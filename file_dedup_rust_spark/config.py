@@ -1,0 +1,86 @@
+"""Shared configuration for the dedup pipeline AND the numpy oracle.
+
+One dataclass is the single source of truth for every tunable that
+affects which duplicate pairs are found.  The recall >= 0.99 criterion
+(BASELINE.json) demands bit-exact agreement between the distributed
+pipeline and the single-machine oracle; sharing this object is how we
+get it (SURVEY.md section 7.3 item 1).
+
+Reference constants carried over (file:line in /root/reference):
+  * similarity threshold 0.8  — backend/src/worker/deduplication_service.rs:348
+  * top-k neighbours    10    — backend/src/worker/deduplication_service.rs:309
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # ---- exact duplicates (reference J1: sha256 equi-probe) ----
+    # we hash file *content* (the documented intent of the reference;
+    # see deduplicator.rs:61-76), always with SHA-256.
+
+    # ---- transcript MinHash / LSH (reference J2 analog) ----
+    shingle_k: int = 5          # character k-grams over the transcript
+    num_perm: int = 128         # MinHash permutations
+    lsh_bands: int = 32         # bands (b)
+    lsh_rows: int = 4           # rows per band (r); b*r == num_perm
+    minhash_seed: int = 0x5EED_0001
+
+    # ---- audio SimHash over spectral features ----
+    simhash_bits: int = 64
+    n_fft: int = 512
+    hop: int = 256
+    n_bands: int = 16           # log-spaced frequency bands
+    n_segments: int = 16        # temporal segments (features are the
+                                # adjacent-band log-energy CONTRASTS per
+                                # segment: 16 * 15 = 240 dims — measured
+                                # unrelated-pair Hamming >= 15, SNR-35dB
+                                # dup Hamming <= 4 on the synthetic corpus)
+    simhash_seed: int = 0x5EED_0002
+    sim_bands: int = 8          # simhash LSH: 8 bands x 8 bits
+    # 1 - 8/64 = 0.875 >= reference 0.8; measured separation on the
+    # synthetic corpus: near-dups at SNR>=35dB land at d<=4, 10dB
+    # distractors at d>=13 — 8 splits the gap with margin both ways
+    hamming_max: int = 8
+
+    # ---- containment (winnowing fingerprints + suffix-array verify) ----
+    winnow_k: int = 8           # fingerprint k-gram size
+    winnow_w: int = 16          # winnowing window (guarantee length k+w-1)
+    min_containment_len: int = 24  # ignore tiny strings (>= winnow guarantee)
+
+    # ---- verification thresholds (reference P3 / T2) ----
+    jaccard_threshold: float = 0.8
+    sim_threshold: float = 0.8
+    top_k: int = 10
+
+    # ---- skew handling ----
+    band_cap: int = 200         # max posting-list size per (band, hash)
+    salt_partitions: int = 0    # 0 = let AQE handle it
+
+    # ---- misc ----
+    max_decode_seconds: float = 8.0   # featurize at most this much audio
+    seed: int = 42
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError("lsh_bands * lsh_rows must equal num_perm")
+        if self.simhash_bits % self.sim_bands != 0:
+            raise ValueError("sim_bands must divide simhash_bits")
+
+    @property
+    def sim_band_bits(self) -> int:
+        return self.simhash_bits // self.sim_bands
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config — stored in checkpoint manifests so a
+        resumed run refuses to reuse checkpoints built under another config."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,95 @@
+"""Arrow-vectorized UDF layer: one mapInPandas pass computes every
+signature the pipeline needs, so the binary `bytes` column is read
+exactly once and never crosses a shuffle (SURVEY.md section 7.3 item 4).
+
+Replaces the reference's per-file worker steps 1-4 (hash, embed, store
+— /root/reference/backend/src/worker/deduplication_service.rs:184-298)
+with one columnar batch pass.  Per-row decode failures become
+quarantine rows (decode_ok = false), not job failures — the batch
+analog of the reference's status='failed' dead-lettering
+(deduplication_service.rs:128-137).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from file_dedup_rust_spark.config import DedupConfig
+from file_dedup_rust_spark.functions import audio as A
+from file_dedup_rust_spark.functions import text as TX
+
+SIGNATURE_SCHEMA = (
+    "clip_id string, sha256 string, simhash long, decode_ok boolean, "
+    "n_samples long, pcm_rms double, "
+    "minhash array<long>, mh_bands array<long>, sim_keys array<long>, "
+    "fps array<long>, t_norm string, t_len int"
+)
+
+SIGNATURE_COLUMNS = [
+    "clip_id", "sha256", "simhash", "decode_ok", "n_samples", "pcm_rms",
+    "minhash", "mh_bands", "sim_keys", "fps", "t_norm", "t_len",
+]
+
+
+def signature_batch(pdf: pd.DataFrame, cfg: DedupConfig, planes: np.ndarray) -> pd.DataFrame:
+    """Compute all signatures for one Arrow batch (pure pandas/numpy —
+    unit-testable without Spark; the oracle calls this too)."""
+    out: dict[str, list] = {c: [] for c in SIGNATURE_COLUMNS}
+    for row in pdf.itertuples(index=False):
+        data: bytes = bytes(row.bytes) if row.bytes is not None else b""
+        transcript = row.transcript
+        out["clip_id"].append(row.clip_id)
+        out["sha256"].append(hashlib.sha256(data).hexdigest())
+
+        # ---- audio: decode -> features -> simhash ----
+        try:
+            pcm = A.decode_audio(data, row.codec)
+            feats = A.spectral_features(pcm, int(row.sr_hz), cfg)
+            sim = A.simhash64(feats, planes)
+            out["simhash"].append(sim)
+            out["sim_keys"].append(A.simhash_band_keys(sim, cfg).tolist())
+            out["decode_ok"].append(True)
+            out["n_samples"].append(int(pcm.size))
+            out["pcm_rms"].append(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if pcm.size else 0.0)
+        except Exception:
+            out["simhash"].append(None)
+            out["sim_keys"].append([])
+            out["decode_ok"].append(False)
+            out["n_samples"].append(0)
+            out["pcm_rms"].append(0.0)
+
+        # ---- transcript: minhash + bands + winnow fingerprints ----
+        t_norm = TX.normalize_transcript(transcript)
+        sig = TX.transcript_minhash(transcript, cfg)
+        out["minhash"].append(sig.tolist())
+        if sig[0] >= 0:  # non-empty shingle set
+            out["mh_bands"].append(TX.minhash_bands(sig, cfg).tolist())
+        else:
+            out["mh_bands"].append([])
+        fps = TX.transcript_fingerprints(transcript, cfg)
+        if len(t_norm) >= cfg.min_containment_len:
+            out["fps"].append(fps.view(np.int64).tolist())
+        else:
+            out["fps"].append([])
+        out["t_norm"].append(t_norm.decode("utf-8"))
+        out["t_len"].append(len(t_norm))
+    return pd.DataFrame(out)
+
+
+def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """clips(clip_id, bytes, sr_hz, dur_ms, codec, transcript) ->
+    signatures DataFrame (SIGNATURE_SCHEMA).  bytes never leaves this
+    operator."""
+    planes = A.simhash_planes(cfg)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield signature_batch(pdf, cfg, planes)
+
+    cols = ["clip_id", "bytes", "sr_hz", "codec", "transcript"]
+    return clips.select(*cols).mapInPandas(run, schema=SIGNATURE_SCHEMA)

@@ -1,0 +1,113 @@
+"""Connected components via iterative min-label propagation.
+
+The reference assigns clusters incrementally and order-dependently —
+`update_file_clusters` joins the FIRST similar file's cluster and never
+merges two existing clusters (/root/reference/backend/src/worker/
+deduplication_service.rs:374-433; see SURVEY.md section 2.8).  The
+batch engine computes the order-insensitive transitive closure, which
+is the documented *intent* (duplicate groups) and what recall is
+measured on (co-membership pairs, not cluster ids).
+
+Algorithm: label <- min(label, min over neighbours' labels) until
+fixpoint.  Each iteration is two hash joins + a groupBy; lineage is
+truncated per iteration with localCheckpoint (Catalyst cannot express
+iteration — SURVEY.md section 4 item 2).  Converges in O(max component
+diameter) rounds; dup clusters are near-cliques/stars, so 2-5 rounds
+in practice.  Convergence is detected with a cheap label-checksum
+aggregate (one action, no extra join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 50,
+) -> DataFrame:
+    """edges(a, b) + vertices(clip_id) -> assignments(clip_id, cluster_id).
+
+    cluster_id = min clip_id of the component (stable representative —
+    deterministic across runs and cluster sizes).  Every vertex gets a
+    label; singletons are their own cluster of size 1 (the reference's
+    `cluster_id NULL` state, migrations/0002_file_cluster.sql:10).
+    """
+    sc = vertices.sparkSession.sparkContext
+
+    und = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    und = und.localCheckpoint(eager=True)
+
+    labels = vertices.select(
+        F.col("clip_id").alias("id"), F.col("clip_id").alias("label")
+    ).localCheckpoint(eager=True)
+
+    def checksum(lbl: DataFrame) -> tuple[int, int]:
+        # modular sum keeps ANSI mode (Spark 4 default) overflow-free
+        row = lbl.agg(
+            F.sum(
+                F.pmod(
+                    F.xxhash64(F.concat_ws("\x1f", "id", "label")),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("c"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return (int(row["c"] or 0), int(row["n"]))
+
+    prev = checksum(labels)
+    for _ in range(max_iter):
+        msgs = (
+            und.join(labels, und.dst == labels.id)
+            .select(F.col("src").alias("id"), "label")
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        cur = checksum(new_labels)
+        labels = new_labels
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.select(
+        F.col("id").alias("clip_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def cluster_summary(assignments: DataFrame, edges: DataFrame) -> DataFrame:
+    """clusters(cluster_id, size, intra_similarity_score).
+
+    intra_similarity_score = avg(sim) over the component's verified
+    edges — strictly better than the reference's hardcoded 0.9
+    (deduplication_service.rs:407-414).  Only multi-member clusters
+    are emitted (a singleton is the reference's NULL cluster)."""
+    sizes = (
+        assignments.groupBy("cluster_id")
+        .agg(F.count("*").alias("size"))
+        .filter(F.col("size") > 1)
+    )
+    a_lbl = assignments.select(
+        F.col("clip_id").alias("a"), F.col("cluster_id")
+    )
+    edge_sims = (
+        edges.join(a_lbl, "a")
+        .groupBy("cluster_id")
+        .agg(F.avg("sim").alias("intra_similarity_score"))
+    )
+    return sizes.join(edge_sims, "cluster_id", "left").select(
+        "cluster_id",
+        "size",
+        F.coalesce("intra_similarity_score", F.lit(1.0)).alias(
+            "intra_similarity_score"
+        ),
+    )

@@ -1,0 +1,166 @@
+"""Substring-containment dedup: winnowing fingerprints for candidate
+buckets, a per-bucket suffix array for verification.
+
+Semantics: emit (a, b) when a's normalized transcript is a verbatim
+substring of b's (and len(a) >= cfg.min_containment_len).  The
+reference has no containment operator; BASELINE.json adds it
+("suffix-array substring dedup").
+
+Scale shape:
+  * candidates: winnowing guarantees any shared substring of length
+    >= winnow_w + winnow_k - 1 shares a fingerprint, so grouping rows
+    by fingerprint is a complete candidate generator (the fingerprint
+    density is ~2/winnow_w per char — bounded posting volume).
+  * verification: groupBy(fp).applyInPandas builds ONE generalized
+    suffix array per bucket and range-searches each member — O(total
+    chars * log^2) per bucket instead of O(m^2 * len) pairwise scans.
+  * skew: buckets above cfg.band_cap are dropped and counted, same
+    rule as the LSH bands (and as the numpy oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from file_dedup_rust_spark.config import DedupConfig
+
+PAIR_SCHEMA = "a string, b string, sim double"
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (O(n log^2 n), pure numpy).
+
+    s: 1-D integer array (any small alphabet).  Returns int64 array
+    `sa` with suffixes s[sa[0]:] <= s[sa[1]:] <= ...
+    """
+    n = s.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.asarray(s, dtype=np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        pair = np.stack([rank[order], key2[order]], axis=1)
+        changed = np.ones(n, dtype=np.int64)
+        changed[1:] = np.any(pair[1:] != pair[:-1], axis=1)
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(changed) - 1
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+        if k >= n:
+            return np.lexsort((idx, rank))
+
+
+def _sa_range(concat: np.ndarray, sa: np.ndarray, pat: np.ndarray) -> tuple[int, int]:
+    """[lo, hi) range of suffixes in `sa` whose prefix equals `pat`.
+    Binary search with explicit prefix comparison."""
+    n = sa.size
+    m = pat.size
+
+    def cmp_at(i: int) -> int:
+        """-1 if suffix < pat, 0 if pat is a prefix, 1 if suffix > pat."""
+        start = sa[i]
+        seg = concat[start : start + m]
+        L = seg.size
+        neq = np.nonzero(seg != pat[:L])[0]
+        if neq.size:
+            j = neq[0]
+            return -1 if seg[j] < pat[j] else 1
+        return -1 if L < m else 0
+
+    lo, hi = 0, n
+    while lo < hi:  # first suffix >= pat (prefix-match counts as >=)
+        mid = (lo + hi) // 2
+        if cmp_at(mid) < 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    first = lo
+    lo, hi = first, n
+    while lo < hi:  # first suffix with prefix > pat
+        mid = (lo + hi) // 2
+        if cmp_at(mid) == 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    return first, lo
+
+
+def containment_pairs_in_bucket(
+    ids: list[str], texts: list[str], min_len: int
+) -> set[tuple[str, str, float]]:
+    """All (contained, container, len_ratio) pairs within one bucket.
+
+    Builds a generalized suffix array over '\\x00'-joined texts
+    (normalize_transcript strips NUL from inputs) and range-searches
+    each member.  Equal texts tie-break to (min_id, max_id)."""
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    ids = [ids[i] for i in order]
+    texts = [texts[i] for i in order]
+    bufs = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64) + 1
+            for t in texts]
+    lens = np.array([b.size for b in bufs], dtype=np.int64)
+    starts = np.zeros(len(bufs), dtype=np.int64)
+    parts: list[np.ndarray] = []
+    pos = 0
+    for i, b in enumerate(bufs):
+        starts[i] = pos
+        parts.append(b)
+        parts.append(np.array([0], dtype=np.int64))  # separator < any byte+1
+        pos += b.size + 1
+    concat = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    sa = suffix_array(concat)
+    # map concat position -> doc index
+    doc_of = np.searchsorted(starts, np.arange(concat.size), side="right") - 1
+
+    out: set[tuple[str, str, float]] = set()
+    for i, pat in enumerate(bufs):
+        if pat.size < min_len:
+            continue
+        lo, hi = _sa_range(concat, sa, pat)
+        for j in doc_of[sa[lo:hi]]:
+            j = int(j)
+            if j == i:
+                continue
+            if lens[j] == lens[i]:
+                x, y = (i, j) if ids[i] < ids[j] else (j, i)
+            else:
+                x, y = i, j  # i contained in j (j strictly longer)
+            out.add((ids[x], ids[y], float(lens[x]) / float(max(lens[y], 1))))
+    return out
+
+
+def containment_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """signatures -> (a, b, kind='containment', sim=len_ratio) edges."""
+    posting = signatures.select(
+        F.explode("fps").alias("key"), "clip_id", "t_norm"
+    )
+    counts = posting.groupBy("key").agg(F.count("*").alias("n"))
+    ok = counts.filter((F.col("n") >= 2) & (F.col("n") <= cfg.band_cap)).select("key")
+    buckets = posting.join(ok, "key")
+
+    min_len = cfg.min_containment_len
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pairs = containment_pairs_in_bucket(
+            pdf["clip_id"].tolist(), pdf["t_norm"].tolist(), min_len
+        )
+        if not pairs:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        a, b, sim = zip(*sorted(pairs))
+        return pd.DataFrame({"a": list(a), "b": list(b), "sim": list(sim)})
+
+    edges = buckets.groupBy("key").applyInPandas(per_bucket, schema=PAIR_SCHEMA)
+    # a pair can surface from several shared fingerprints -> distinct
+    return (
+        edges.distinct()
+        .select("a", "b", F.lit("containment").alias("kind"), "sim")
+    )

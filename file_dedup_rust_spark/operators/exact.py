@@ -1,0 +1,51 @@
+"""Exact-duplicate detection via content hash grouping.
+
+Reference semantics (J1): probe `SELECT file_id FROM File WHERE
+sha256_hash = $1 AND file_id != $2` per file
+(/root/reference/backend/src/worker/deduplication_service.rs:209-222),
+i.e. an incremental hash join of each new file against the corpus.
+
+Batch form: group by sha256.  Crucially we do NOT emit the full m^2
+pair clique per hash group — a 1M-copy boilerplate clip would explode.
+We emit a linear STAR (group-min clip_id -> every other member), which
+has the same connected components; downstream recall is computed on
+cluster co-membership, which stars preserve exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dup_edges(signatures: DataFrame) -> DataFrame:
+    """signatures(clip_id, sha256, ...) -> edges(a, b, kind, sim).
+
+    a = group representative (min clip_id per sha256), b = member,
+    sim = 1.0.  One shuffle on sha256; output is linear in input.
+    """
+    w = Window.partitionBy("sha256")
+    return (
+        signatures.select("clip_id", "sha256")
+        .withColumn("a", F.min("clip_id").over(w))
+        .filter(F.col("clip_id") != F.col("a"))
+        .select(
+            F.col("a"),
+            F.col("clip_id").alias("b"),
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("sim"),
+        )
+    )
+
+
+def exact_dup_groups(signatures: DataFrame) -> DataFrame:
+    """sha256 -> sorted member list, only groups with >1 member
+    (the user-facing `DuplicateGroup` view, client/src/app/type.ts:7-10)."""
+    return (
+        signatures.groupBy("sha256")
+        .agg(
+            F.sort_array(F.collect_list("clip_id")).alias("members"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") > 1)
+    )

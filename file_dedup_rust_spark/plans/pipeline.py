@@ -1,0 +1,201 @@
+"""The end-to-end dedup plan: one batch DAG replacing the reference's
+per-file 7-step worker loop (/root/reference/backend/src/worker/
+deduplication_service.rs:143-182).
+
+    scan(clips)
+      -> signatures (one mapInPandas pass; bytes dropped here)
+      -> content dedup to representatives (exact star edges)
+      -> LSH candidates (explode + capped self-equi-join)  x {minhash, simhash}
+      -> exact verification (JVM expressions, threshold 0.8)
+      -> containment (winnow buckets + per-bucket suffix array)
+      -> union of edges -> connected components -> assignments/clusters
+
+Scale decisions (each mirrors a SURVEY.md section 4 item):
+  * near-dup search runs over UNIQUE content only — one representative
+    per sha256 (audio) / per normalized transcript (text).  An m-copy
+    exact group contributes m-1 star edges, never m^2 LSH pairs, and a
+    boilerplate transcript shared by 1% of rows collapses to one rep
+    before it can form a hot band.
+  * posting-list buckets are capped (cfg.band_cap) and the dropped
+    bucket stats land in the manifest — no silent truncation.
+  * every stage checkpoints through TableIO with the config
+    fingerprint; a killed run resumes at the first uncommitted stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_dedup_rust_spark.config import DedupConfig
+from file_dedup_rust_spark.functions.udfs import compute_signatures
+from file_dedup_rust_spark.operators import candidates as C
+from file_dedup_rust_spark.operators import verify as V
+from file_dedup_rust_spark.operators.connected_components import (
+    cluster_summary,
+    connected_components,
+)
+from file_dedup_rust_spark.operators.containment import containment_edges
+from file_dedup_rust_spark.operators.exact import exact_dup_edges
+from file_dedup_rust_spark.sources.table_io import StageResult, TableIO
+
+EDGE_COLS = ["a", "b", "kind", "sim"]
+
+
+@dataclass
+class PipelineResult:
+    assignments: DataFrame
+    clusters: DataFrame
+    edges: DataFrame
+    stages: list[StageResult] = field(default_factory=list)
+
+
+def exact_transcript_edges(signatures: DataFrame) -> DataFrame:
+    """Star edges over identical normalized transcripts (Jaccard = 1
+    by definition; linear, no LSH needed).  This is what keeps the
+    'hot transcript' skew fixture clustered even though its LSH
+    buckets would blow past any cap."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("t_norm")
+    return (
+        signatures.filter(F.col("t_len") > 0)
+        .select("clip_id", "t_norm")
+        .withColumn("a", F.min("clip_id").over(w))
+        .filter(F.col("clip_id") != F.col("a"))
+        .select(
+            "a",
+            F.col("clip_id").alias("b"),
+            F.lit("transcript").alias("kind"),
+            F.lit(1.0).alias("sim"),
+        )
+    )
+
+
+def audio_reps(signatures: DataFrame) -> DataFrame:
+    """One representative row per distinct sha256 (decodable only)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sha256").orderBy("clip_id")
+    return (
+        signatures.filter(F.col("decode_ok"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def text_reps(signatures: DataFrame) -> DataFrame:
+    """One representative row per distinct normalized transcript."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("t_norm").orderBy("clip_id")
+    return (
+        signatures.filter(F.col("t_len") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def build_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """All verified dup edges from a signatures table (no checkpoints —
+    the checkpointing variant is run_pipeline)."""
+    sigs = signatures
+    e_exact = exact_dup_edges(sigs)
+    e_ttext = exact_transcript_edges(sigs)
+
+    treps = text_reps(sigs)
+    areps = audio_reps(sigs)
+
+    mh_posting = C.explode_keys(treps, "mh_bands")
+    mh_pairs = C.candidate_pairs(mh_posting, cfg.band_cap)
+    e_trans = V.verify_minhash(mh_pairs, treps, cfg)
+
+    sh_posting = C.explode_keys(areps, "sim_keys")
+    sh_pairs = C.candidate_pairs(sh_posting, cfg.band_cap)
+    e_audio = V.verify_simhash(sh_pairs, areps, cfg)
+
+    e_cont = containment_edges(treps, cfg)
+
+    return (
+        e_exact.unionByName(e_ttext)
+        .unionByName(e_trans)
+        .unionByName(e_audio)
+        .unionByName(e_cont)
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    clips: DataFrame,
+    cfg: DedupConfig,
+    checkpoint_dir: str,
+    resume: bool = True,
+    stop_after: str | None = None,
+) -> PipelineResult | None:
+    """Checkpointed end-to-end run.  `stop_after` kills the run after a
+    named stage commits (resume tests); returns None in that case."""
+    io = TableIO(spark, checkpoint_dir)
+    fp = cfg.fingerprint()
+    stages: list[StageResult] = []
+
+    def done(name: str) -> bool:
+        return stop_after == name
+
+    sigs, r = io.stage("signatures", fp, lambda: compute_signatures(clips, cfg))
+    stages.append(r)
+    if done("signatures"):
+        return None
+
+    edges, r = io.stage(
+        "edges", fp, lambda: build_edges(sigs, cfg), parents=["signatures"]
+    )
+    stages.append(r)
+    if done("edges"):
+        return None
+
+    # dropped-bucket accounting (manifest metrics; SURVEY.md 7.3.2)
+    if not io.is_committed("dropped_buckets", fp):
+        treps, areps = text_reps(sigs), audio_reps(sigs)
+        dropped = (
+            C.dropped_buckets(C.explode_keys(treps, "mh_bands"), cfg.band_cap)
+            .withColumn("path", F.lit("minhash"))
+            .unionByName(
+                C.dropped_buckets(
+                    C.explode_keys(areps, "sim_keys"), cfg.band_cap
+                ).withColumn("path", F.lit("simhash"))
+            )
+            .unionByName(
+                C.dropped_buckets(
+                    C.explode_keys(treps, "fps"), cfg.band_cap
+                ).withColumn("path", F.lit("winnow"))
+            )
+        )
+        _, r = io.stage(
+            "dropped_buckets", fp, lambda: dropped, parents=["signatures"]
+        )
+        stages.append(r)
+
+    def build_assignments() -> DataFrame:
+        verts = sigs.select("clip_id")
+        return connected_components(edges.select("a", "b"), verts)
+
+    assignments, r = io.stage(
+        "assignments", fp, build_assignments, parents=["edges"]
+    )
+    stages.append(r)
+    if done("assignments"):
+        return None
+
+    clusters, r = io.stage(
+        "clusters",
+        fp,
+        lambda: cluster_summary(assignments, edges),
+        parents=["assignments", "edges"],
+    )
+    stages.append(r)
+
+    return PipelineResult(assignments, clusters, edges, stages)

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""CLI entry: run the end-to-end dedup pipeline.
+
+    spark-submit --py-files <pkg.zip> run_pipeline.py \
+        --input /path/to/clips_parquet --checkpoint /path/ckpt --output /path/out
+
+or, for a self-contained synthetic run (datagen -> dedup):
+
+    python run_pipeline.py --synthetic 5000 --checkpoint /tmp/ckpt --output /tmp/out
+
+Prints one JSON summary line (stages, row counts, throughput) to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description="PySpark near-dup detection + clustering")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet dir/file with the clips table")
+    src.add_argument("--synthetic", type=int, metavar="N",
+                     help="generate N deterministic synthetic clips instead")
+    p.add_argument("--checkpoint", required=True, help="checkpoint/manifest dir")
+    p.add_argument("--output", help="write assignments/clusters parquet here")
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--no-resume", action="store_true", help="ignore existing checkpoints")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--band-cap", type=int, default=None)
+    args = p.parse_args()
+
+    from file_dedup_rust_spark.config import DedupConfig
+    from file_dedup_rust_spark.session import build_session
+    from file_dedup_rust_spark.plans.pipeline import run_pipeline
+    from file_dedup_rust_spark import datagen
+
+    cfg = DedupConfig(seed=args.seed) if args.band_cap is None else DedupConfig(
+        seed=args.seed, band_cap=args.band_cap
+    )
+    spark = build_session("dedup-pipeline", master=args.master)
+    t0 = time.monotonic()
+    if args.synthetic:
+        clips = datagen.generate_clips(spark, args.synthetic, seed=args.seed)
+    else:
+        clips = spark.read.parquet(args.input)
+
+    res = run_pipeline(
+        spark, clips, cfg, args.checkpoint, resume=not args.no_resume
+    )
+    n_clips = res.assignments.count()
+    n_clusters = res.clusters.count()
+    n_edges = res.edges.count()
+    if args.output:
+        res.assignments.write.mode("overwrite").parquet(f"{args.output}/assignments")
+        res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    wall = time.monotonic() - t0
+    print(json.dumps({
+        "clips": n_clips,
+        "dup_clusters": n_clusters,
+        "dup_edges": n_edges,
+        "wall_s": round(wall, 2),
+        "clips_per_sec": round(n_clips / wall, 1),
+        "stages": [
+            {"name": s.name, "rows": s.row_count, "wall_s": round(s.wall_s, 2),
+             "resumed": s.skipped}
+            for s in res.stages
+        ],
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

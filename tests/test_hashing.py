@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+import numpy as np
+
+from file_dedup_rust_spark.config import DedupConfig
+from file_dedup_rust_spark.functions import hashing as H
+from file_dedup_rust_spark.functions import text as TX
+
+CFG = DedupConfig()
+
+
+def test_splitmix_deterministic():
+    a = H.splitmix64(np.array([1, 2, 3], dtype=np.uint64))
+    b = H.splitmix64(np.array([1, 2, 3], dtype=np.uint64))
+    assert np.array_equal(a, b)
+    assert len(set(a.tolist())) == 3
+
+
+def test_kgram_hashes_shift_invariant():
+    # same k-gram hashes regardless of position
+    h1 = H.kgram_hashes(b"abcdefgh", 5)
+    h2 = H.kgram_hashes(b"XXabcdefgh", 5)
+    assert set(h1.tolist()) <= set(h2.tolist())
+
+
+def test_kgram_short_input():
+    assert H.kgram_hashes(b"ab", 5).size == 0
+
+
+def test_minhash_jaccard_estimate():
+    # MinHash lane agreement approximates true Jaccard
+    rng = np.random.default_rng(7)
+    a_set = rng.integers(0, 2**63, 400, dtype=np.uint64)
+    # 80% overlap
+    b_set = np.concatenate([a_set[:320], rng.integers(0, 2**63, 80, dtype=np.uint64)])
+    a, b = H.minhash_params(CFG.minhash_seed, 256)
+    sa = H.minhash_signature(a_set, a, b)
+    sb = H.minhash_signature(b_set, a, b)
+    true_j = len(set(a_set.tolist()) & set(b_set.tolist())) / len(
+        set(a_set.tolist()) | set(b_set.tolist())
+    )
+    est = float(np.mean(sa == sb))
+    assert abs(est - true_j) < 0.1
+
+
+def test_minhash_identical_inputs_identical_sig():
+    a, b = H.minhash_params(CFG.minhash_seed, CFG.num_perm)
+    s = np.array([5, 6, 7], dtype=np.uint64)
+    assert np.array_equal(H.minhash_signature(s, a, b), H.minhash_signature(s, a, b))
+
+
+def test_minhash_empty():
+    a, b = H.minhash_params(CFG.minhash_seed, CFG.num_perm)
+    sig = H.minhash_signature(np.empty(0, dtype=np.uint64), a, b)
+    assert (sig == -1).all()
+
+
+def test_band_hashes_band_position_matters():
+    a, b = H.minhash_params(CFG.minhash_seed, CFG.num_perm)
+    sig = H.minhash_signature(np.arange(100, dtype=np.uint64), a, b)
+    bands = H.band_hashes(sig, CFG.lsh_bands, CFG.lsh_rows)
+    assert bands.shape == (CFG.lsh_bands,)
+    # identical row values in different bands must not collide
+    flat = np.zeros(CFG.num_perm, dtype=np.int64)
+    bands0 = H.band_hashes(flat, CFG.lsh_bands, CFG.lsh_rows)
+    assert len(set(bands0.tolist())) == CFG.lsh_bands
+
+
+def test_winnow_substring_guarantee():
+    # any shared substring of length >= w + k - 1 shares a fingerprint
+    rng = np.random.default_rng(3)
+    alphabet = b"abcdefghijklmnopqrstuvwxyz "
+    inner = bytes(rng.choice(list(alphabet), 60).tolist())
+    prefix = bytes(rng.choice(list(alphabet), 37).tolist())
+    suffix = bytes(rng.choice(list(alphabet), 41).tolist())
+    k, w = CFG.winnow_k, CFG.winnow_w
+    assert len(inner) >= w + k - 1
+    fa = set(H.winnow_fingerprints(inner, k, w).tolist())
+    fb = set(H.winnow_fingerprints(prefix + inner + suffix, k, w).tolist())
+    assert fa & fb
+
+
+def test_transcript_normalization():
+    assert TX.normalize_transcript("  Hello\t WORLD \n") == b"hello world"
+    assert TX.normalize_transcript(None) == b""
+
+
+def test_jaccard_self_is_one():
+    t = "the quick brown fox jumps over the lazy dog repeatedly today"
+    assert TX.jaccard(t, t, CFG) == 1.0
+    assert TX.jaccard(t, "completely different words here", CFG) < 0.2

@@ -1,0 +1,116 @@
+"""THE correctness gate (BASELINE.json): pipeline-vs-oracle dup-pair
+recall >= 0.99 at identical shingle/signature config, plus per-row
+invariants (decoded-PCM digest + transcript equality) and planted
+ground-truth quality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from file_dedup_rust_spark import datagen as DG
+from file_dedup_rust_spark import oracle as O
+from file_dedup_rust_spark.config import DedupConfig
+from file_dedup_rust_spark.functions import audio as A
+from file_dedup_rust_spark.functions.udfs import compute_signatures
+from file_dedup_rust_spark.plans.pipeline import build_edges, run_pipeline
+
+N = 400
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def clips_pdf():
+    return DG.generate_clips_pandas(N, SEED)
+
+
+@pytest.fixture(scope="module")
+def clips_df(spark, clips_pdf):
+    return spark.createDataFrame(clips_pdf, schema=DG.CLIP_SCHEMA).cache()
+
+
+def test_distributed_generation_matches_pandas(spark, clips_pdf):
+    dist = DG.generate_clips(spark, N, SEED, partitions=8).toPandas()
+    dist = dist.sort_values("clip_id").reset_index(drop=True)
+    ref = clips_pdf.sort_values("clip_id").reset_index(drop=True)
+    assert dist["clip_id"].tolist() == ref["clip_id"].tolist()
+    assert all(bytes(x) == bytes(y) for x, y in zip(dist["bytes"], ref["bytes"]))
+    assert dist["transcript"].tolist() == ref["transcript"].tolist()
+
+
+def test_signature_parity_spark_vs_oracle(spark, clips_df, clips_pdf, cfg):
+    """The mapInPandas signatures must be bit-identical to the oracle's
+    (same kernels, different batching) — including per-row PCM digests
+    (the decoded-PCM invariant) and transcripts."""
+    s_spark = (
+        compute_signatures(clips_df, cfg)
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    s_oracle = (
+        O.oracle_signatures(clips_pdf, cfg)
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert s_spark["sha256"].tolist() == s_oracle["sha256"].tolist()
+    assert s_spark["simhash"].tolist() == s_oracle["simhash"].tolist()
+    assert s_spark["t_norm"].tolist() == s_oracle["t_norm"].tolist()
+    assert s_spark["n_samples"].tolist() == s_oracle["n_samples"].tolist()
+    assert np.allclose(s_spark["pcm_rms"], s_oracle["pcm_rms"])
+    for a, b in zip(s_spark["minhash"], s_oracle["minhash"]):
+        assert list(a) == list(b)
+    for a, b in zip(s_spark["mh_bands"], s_oracle["mh_bands"]):
+        assert list(a) == list(b)
+
+
+def test_pipeline_recall_vs_oracle(spark, clips_df, clips_pdf, cfg, tmp_path):
+    """Dup-pair recall >= 0.99 pipeline vs numpy oracle (co-membership
+    pairs).  Also checks precision — the pipeline must not invent
+    co-memberships the oracle lacks."""
+    res = run_pipeline(spark, clips_df, cfg, str(tmp_path / "ckpt"))
+    assign_spark = res.assignments.toPandas()
+
+    sig = O.oracle_signatures(clips_pdf, cfg)
+    edges_o = O.oracle_edges(sig, cfg)
+    assign_o = O.oracle_assignments(edges_o, clips_pdf["clip_id"].tolist())
+
+    found = O.co_membership_pairs(assign_spark)
+    want = O.co_membership_pairs(assign_o)
+    recall = O.pair_recall(found, want)
+    precision = O.pair_recall(want, found)  # symmetric formula
+    assert recall >= 0.99, f"recall {recall}"
+    assert precision >= 0.99, f"precision {precision}"
+
+
+def test_pipeline_recall_vs_planted_truth(spark, clips_df, cfg, tmp_path):
+    """Quality vs ground truth by construction (FIXTURES.md): planted
+    dup pairs recovered, distractors kept apart."""
+    res = run_pipeline(spark, clips_df, cfg, str(tmp_path / "ckpt2"))
+    assign = res.assignments.toPandas()
+    found = O.co_membership_pairs(assign)
+
+    truth = DG.planted_truth(N, SEED)
+    ids = DG.build_plan(N, SEED)["clip_id"].tolist()
+    assign_t = O.oracle_assignments(truth, ids)
+    want = O.co_membership_pairs(assign_t)
+    rec = O.pair_recall(found, want)
+    assert rec >= 0.98, f"planted recall {rec}"
+
+    plan = DG.build_plan(N, SEED)
+    label = dict(zip(assign["clip_id"], assign["cluster_id"]))
+    for r in plan[plan["role"] == "distractor"].itertuples():
+        assert label[r.clip_id] != label[f"clip_{int(r.source):012d}"]
+
+
+def test_cluster_summary(spark, clips_df, cfg, tmp_path):
+    res = run_pipeline(spark, clips_df, cfg, str(tmp_path / "ckpt3"))
+    clusters = res.clusters.toPandas()
+    assert (clusters["size"] > 1).all()
+    assert clusters["intra_similarity_score"].between(0.0, 1.0).all()
+    # representative id is a member id
+    assign = res.assignments.toPandas()
+    members = set(assign["clip_id"])
+    assert set(clusters["cluster_id"]) <= members

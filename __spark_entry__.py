@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: near-duplicate clustering of the sf0.001
+documents table (MinHash-LSH candidates -> exact-Jaccard verify ->
+exact-hash star edges -> connected components -> cluster summary).
+
+`queries()` / `oracle_sql()` — one entry per SQL-expressible operator
+from SURVEY.md §2 plus the training-data-pipeline operators; oracle SQL
+runs on DuckDB over the same parquet tables.  Approximate operators
+(ann_ivf_topk) intentionally have no oracle (rows-only check).
+
+The non-SQL-expressible parts of the engine (audio decode SNR
+invariants, SimHash over spectral features, winnowing/suffix-array
+containment, checkpoint/resume) are verified by `python -m pytest -x
+-q` against the in-repo numpy oracle (recall >= 0.99 gate).
 """
 
 from __future__ import annotations
@@ -15,24 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dup-cluster summary over sf0.001 documents."""
+    from file_dedup_rust_spark.entry.testdata_queries import q_cluster_summary
+
+    return q_cluster_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from file_dedup_rust_spark.entry.testdata_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from file_dedup_rust_spark.entry.testdata_queries import ORACLES
+
+    return dict(ORACLES)

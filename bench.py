@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workloads:
+  * clips_pipeline — the flagship audio+transcript dedup pipeline
+    (signatures -> LSH candidates -> verify -> containment -> CC) over a
+    deterministic synthetic clips table (BASELINE.json input_hint shape;
+    N scales with sf).  Datagen/write time is excluded — the metric is
+    pipeline compute, reported also as clips/sec.
+  * minhash_lsh_pairs — text near-dup dedup over documents.parquet.
+  * knn_topk — brute-force cosine top-10 over embeddings.parquet.
+  * ann_ivf_topk — the IVF scale path over the same table.
+  * cc_clusters — connected components over dup edges on documents.
+
+Scaling-efficiency evidence (north rule: N vs 4N executors) is produced
+by tools/scaling_bench.py, which re-runs clips_pipeline at local[8] and
+local[32]; results land in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_clips = int(os.environ.get("BENCH_CLIPS", str(max(2000, int(sf * 200_000)))))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.config import DEFAULT_CONFIG
+    from file_dedup_rust_spark.entry import testdata_queries as Q
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+    from file_dedup_rust_spark.plans.pipeline import build_edges
+    from file_dedup_rust_spark.functions.udfs import compute_signatures
+    from file_dedup_rust_spark.session import build_session
+
+    spark = build_session("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="bench-")
+
+    # ---- clips pipeline (datagen excluded from timing) ----
+    clips_path = f"{work}/clips"
+    datagen.generate_clips(spark, n_clips, seed=42).write.mode("overwrite").parquet(
+        clips_path
+    )
+    clips = spark.read.parquet(clips_path)
+    t0 = time.monotonic()
+    sigs = compute_signatures(clips, DEFAULT_CONFIG)
+    sigs.write.mode("overwrite").parquet(f"{work}/sigs")
+    sigs = spark.read.parquet(f"{work}/sigs")
+    edges = build_edges(sigs, DEFAULT_CONFIG)
+    edges.write.mode("overwrite").parquet(f"{work}/edges")
+    edges = spark.read.parquet(f"{work}/edges")
+    assignments = connected_components(
+        edges.select("a", "b"), sigs.select("clip_id")
+    )
+    n_assigned = assignments.count()
+    pipeline_s = time.monotonic() - t0
+    timings["clips_pipeline"] = round(pipeline_s, 2)
+
+    # ---- testdata-table queries ----
+    for name in ["minhash_lsh_pairs", "knn_topk", "ann_ivf_topk", "cc_clusters"]:
+        t0 = time.monotonic()
+        Q.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 2)
+
+    total = round(sum(timings.values()), 2)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "clips": n_assigned,
+        "clips_per_sec": round(n_assigned / pipeline_s, 1),
+        "cpus": cpus,
+    }))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

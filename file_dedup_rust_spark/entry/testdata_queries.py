@@ -1,0 +1,1040 @@
+"""Driver-contract query suite: every SQL-expressible operator from
+SURVEY.md §2 (reference ops J1-J4, P1-P6, A1-A8, T1-T3, F1/F5) plus the
+training-data-pipeline operators (exact dedup, n-gram Jaccard dedup,
+MinHash+LSH dedup, shingle containment, embedding-cosine near-dup,
+brute-force and IVF ANN top-k, language-ID, quality scoring, token
+counting, document fingerprinting, connected-components clustering),
+each as a (spark, sf_dir) -> DataFrame callable with a matching DuckDB
+oracle SQL string.
+
+Parity rules (driver compares row-count + schema + value-hash):
+  * every computed column is aliased identically in Spark and SQL;
+  * every float is round(x, 4) on BOTH sides (summation-order noise);
+  * member lists are emitted as comma-joined strings sorted numerically;
+  * thresholds sit in wide margins of the measured testdata
+    distributions (word-3-gram Jaccard has nothing between 0.15 and
+    0.85; embedding cosine max ~0.55) so rounding can never flip a
+    filter decision.
+
+Reference parity citations are on each query (file:line under
+/root/reference/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (identical literals are spliced into the oracle SQL)
+# ---------------------------------------------------------------------------
+
+JACCARD_T = 0.8        # reference P3 threshold (deduplication_service.rs:348)
+COSINE_T = 0.40        # near-dup cosine threshold for the 64-d testdata embeddings
+CONTAIN_T = 0.9        # containment threshold
+TOP_K = 10             # reference T2 (deduplication_service.rs:309)
+EXACT_COPY_MOD = 3     # corpus_exact: every 3rd doc gets a byte-identical copy
+TRUNC_COPY_MOD = 5     # corpus_near: every 5th doc gets a 60%-prefix copy
+EXACT_ID_OFFSET = 1_000_000
+TRUNC_ID_OFFSET = 2_000_000
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# derived corpora with planted duplicate structure (documents.parquet is
+# all-unique text, so exact-dup operators are exercised on a corpus that
+# deterministically plants copies — same derivation on both sides)
+# ---------------------------------------------------------------------------
+
+def corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ byte-identical copies of every 3rd doc (id+1e6)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t"), "n_chars"
+    )
+    copies = d.filter(F.col("doc_id") % EXACT_COPY_MOD == 0).select(
+        (F.col("doc_id") + EXACT_ID_OFFSET).alias("doc_id"), "t", "n_chars"
+    )
+    return d.unionByName(copies)
+
+
+SQL_CORPUS_EXACT = f"""
+corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_ID_OFFSET}, lower(coalesce(text, '')), n_chars
+  FROM documents WHERE doc_id % {EXACT_COPY_MOD} = 0
+)
+"""
+
+# word-3-gram shingle machinery (shared by jaccard/minhash/containment)
+
+def shingles(docs_with_t: DataFrame) -> DataFrame:
+    """(doc_id, t) -> distinct (doc_id, g) word-3-gram rows."""
+    toks = docs_with_t.select("doc_id", F.split("t", " ").alias("w"))
+    grams = F.when(
+        F.size("w") >= 3,
+        F.expr("transform(sequence(1, size(w) - 2),"
+               " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", F.explode(grams).alias("g")).distinct()
+
+
+def _sql_shingles(corpus_sql: str) -> str:
+    """DuckDB CTEs mirroring shingles() + sizes, over a corpus CTE."""
+    return f"""
+{corpus_sql},
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+SQL_DOCS_CORPUS = """
+corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+)
+"""
+
+
+def docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t")
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard over all colliding pairs (a<b).
+
+    Plan shape: posting-list join on the shingle (equi-join; posting
+    lists for word-3-grams are short so no cap needed here — the
+    capped variant is operators.candidates for LSH keys), partial-agg
+    count, then two broadcast-ready joins to attach set sizes.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("ia"), "g")
+    b = sh.select(F.col("doc_id").alias("ib"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "ia")
+        .join(sb, "ib")
+        .select(
+            "ia",
+            "ib",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+SQL_JACCARD_PAIRS = f"""
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT ia, ib, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac
+  FROM inter
+  JOIN sz sa ON sa.doc_id = ia
+  JOIN sz sb ON sb.doc_id = ib
+)
+"""
+
+# ---------------------------------------------------------------------------
+# J1 / A1: exact-duplicate detection by content hash
+# (reference: SELECT file_id FROM File WHERE sha256_hash = $1 AND
+#  file_id != $2 — deduplication_service.rs:209-222, batch = groupBy)
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus_exact(spark, sf_dir)
+    return (
+        c.select("doc_id", F.md5("t").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+SQL_EXACT_DUP_GROUPS = f"""
+WITH {SQL_CORPUS_EXACT}
+SELECT md5(t) AS content_hash,
+       count(*) AS n_members,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM corpus
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+# A2: dedup ratio (metrics.rs:261-267 — duplicates / total * 100)
+def q_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus_exact(spark, sf_dir).select("doc_id", F.md5("t").alias("h"))
+    return c.agg(
+        F.count("*").alias("total_files"),
+        (F.count("*") - F.countDistinct("h")).alias("duplicates"),
+        F.round(
+            (F.count("*") - F.countDistinct("h")) * 100.0 / F.count("*"), 4
+        ).alias("dedup_ratio_pct"),
+    )
+
+
+SQL_DEDUP_RATIO = f"""
+WITH {SQL_CORPUS_EXACT}
+SELECT CAST(count(*) AS BIGINT) AS total_files,
+       CAST(count(*) - count(DISTINCT md5(t)) AS BIGINT) AS duplicates,
+       round((count(*) - count(DISTINCT md5(t))) * 100.0 / count(*), 4)
+         AS dedup_ratio_pct
+FROM corpus
+"""
+
+
+# A3: average cluster size (metrics.rs:269-275)
+def q_avg_cluster_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus_exact(spark, sf_dir).select("doc_id", F.md5("t").alias("h"))
+    groups = c.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    return groups.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n").alias("files_in_clusters"),
+        F.round(F.avg("n"), 4).alias("avg_cluster_size"),
+    )
+
+
+SQL_AVG_CLUSTER_SIZE = f"""
+WITH {SQL_CORPUS_EXACT},
+g AS (SELECT md5(t) AS h, count(*) AS n FROM corpus GROUP BY 1 HAVING count(*) > 1)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n) AS BIGINT) AS files_in_clusters,
+       round(avg(n), 4) AS avg_cluster_size
+FROM g
+"""
+
+
+# A5: wasted space — bytes held by non-representative duplicate members
+# (metrics.rs:285-297; client/src/app/type.ts:9 `wasted_space`)
+def q_wasted_space(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus_exact(spark, sf_dir).select(
+        "doc_id", F.md5("t").alias("h"), "n_chars"
+    )
+    w = Window.partitionBy("h")
+    return (
+        c.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .agg(
+            F.count("*").alias("redundant_files"),
+            F.sum("n_chars").alias("wasted_chars"),
+        )
+    )
+
+
+SQL_WASTED_SPACE = f"""
+WITH {SQL_CORPUS_EXACT},
+lbl AS (
+  SELECT doc_id, n_chars, min(doc_id) OVER (PARTITION BY md5(t)) AS rep
+  FROM corpus
+)
+SELECT CAST(count(*) AS BIGINT) AS redundant_files,
+       CAST(sum(n_chars) AS BIGINT) AS wasted_chars
+FROM lbl WHERE doc_id != rep
+"""
+
+
+# ---------------------------------------------------------------------------
+# T1 / P4: job-listing filter + order + limit
+# (reference: jobs.rs:27-83 — WHERE status ORDER BY created_at DESC LIMIT)
+# ---------------------------------------------------------------------------
+
+def q_top_events_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "event_type",
+            F.round("value", 4).alias("value_r"),
+        )
+    )
+
+
+SQL_TOP_EVENTS_LISTING = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       event_type,
+       round(value, 4) AS value_r
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 100
+"""
+
+
+def q_status_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 status filter + A8-style counters by type (jobs.rs:32-41)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+SQL_STATUS_FILTER_COUNTS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2 / T2 / P2 / P3: similarity search over embeddings
+# (reference k-NN: deduplication_service.rs:300-372 — cosine, k=10,
+#  self-excluded (P2 :311-315), score>threshold (P3 :347-348))
+# ---------------------------------------------------------------------------
+
+def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "v", F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    e = e.withColumn("nrm", norm)
+    a = e.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia", "ib", F.round(dot / (F.col("na") * F.col("nb")), 4).alias("sim")
+        )
+    )
+
+
+SQL_COSINE_PAIRS = """
+elems AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elems GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dot
+  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ia, ib, round(dot / (sa.n * sb.n), 4) AS sim
+  FROM dots JOIN nrm sa ON sa.vec_id = ia JOIN nrm sb ON sb.vec_id = ib
+)
+"""
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _cosine_pairs(spark, sf_dir)
+    mirrored = pairs.select(
+        F.col("ia").alias("vec_id"), F.col("ib").alias("neighbor_id"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("ib").alias("vec_id"), F.col("ia").alias("neighbor_id"), "sim"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        mirrored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "neighbor_id", "sim", "rank")
+    )
+
+
+SQL_KNN_TOPK = f"""
+WITH {SQL_COSINE_PAIRS},
+mirrored AS (
+  SELECT ia AS vec_id, ib AS neighbor_id, sim FROM pairs
+  UNION ALL
+  SELECT ib, ia, sim FROM pairs
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM mirrored
+)
+SELECT vec_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 threshold filter over the cosine-pair table."""
+    return _cosine_pairs(spark, sf_dir).filter(F.col("sim") >= COSINE_T)
+
+
+SQL_EMBEDDING_NEARDUP_PAIRS = f"""
+WITH {SQL_COSINE_PAIRS}
+SELECT ia, ib, sim FROM pairs WHERE sim >= {COSINE_T}
+"""
+
+
+def q_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: similarity-score distribution (metrics.rs:111-114,150-153)."""
+    return (
+        _cosine_pairs(spark, sf_dir)
+        .groupBy(F.round("sim", 1).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_SIM_HISTOGRAM = f"""
+WITH {SQL_COSINE_PAIRS}
+SELECT round(sim, 1) AS bucket, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (exact) and MinHash+LSH dedup (same output,
+# LSH-pruned) — the J2 analog over text, oracle-checked against the
+# exact O(collisions) SQL
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(docs_corpus(spark, sf_dir))
+    return jaccard_pairs(sh, JACCARD_T)
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_sql_shingles(SQL_DOCS_CORPUS)},
+{SQL_JACCARD_PAIRS}
+SELECT ia, ib, jac FROM jpairs WHERE jac >= {JACCARD_T}
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result set as q_ngram_jaccard_pairs, produced the scalable
+    way: MinHash signatures -> LSH band posting lists -> capped
+    candidate join (operators.candidates) -> exact-Jaccard verification
+    on candidates only.  At J >= 0.8 with 32 bands x 4 rows the LSH
+    miss probability is < 1e-9 per pair, so the oracle is the exact SQL.
+    """
+    import pandas as pd  # noqa: F401 (documented dependency of the UDF)
+
+    from file_dedup_rust_spark.config import DEFAULT_CONFIG
+    from file_dedup_rust_spark.functions import hashing
+    from file_dedup_rust_spark.operators.candidates import candidate_pairs
+
+    cfg = DEFAULT_CONFIG
+    sh = shingles(docs_corpus(spark, sf_dir))
+    # 64-bit shingle hash JVM-side, then vectorized numpy MinHash+bands
+    hashed = sh.select("doc_id", F.xxhash64("g").alias("h"))
+    grouped = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+
+    def to_bands(batches):
+        import numpy as np
+
+        a, b = hashing.minhash_params(cfg.minhash_seed, cfg.num_perm)
+        for pdf in batches:
+            out_id, out_bands = [], []
+            for row in pdf.itertuples(index=False):
+                hs = np.asarray(row.hs, dtype=np.int64).view(np.uint64)
+                sig = hashing.minhash_signature(hs, a, b)
+                out_id.append(row.doc_id)
+                out_bands.append(
+                    hashing.band_hashes(sig, cfg.lsh_bands, cfg.lsh_rows).tolist()
+                )
+            import pandas as pd
+
+            yield pd.DataFrame({"doc_id": out_id, "mh_bands": out_bands})
+
+    sigs = grouped.mapInPandas(
+        to_bands, schema="doc_id long, mh_bands array<long>"
+    )
+    posting = sigs.select(F.explode("mh_bands").alias("key"), F.col("doc_id").alias("clip_id"))
+    cand = candidate_pairs(posting, cfg.band_cap).select(
+        F.col("a").alias("ia"), F.col("b").alias("ib")
+    )
+    # exact-Jaccard verification restricted to candidates
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = sh.select(F.col("doc_id").alias("ia"), "g")
+    b_sh = sh.select(F.col("doc_id").alias("ib"), "g")
+    inter = (
+        cand.join(a_sh, "ia").join(b_sh, ["ib", "g"])
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "ia").join(sb, "ib")
+        .select(
+            "ia", "ib",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= JACCARD_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# containment: prefix/substring duplicates (suffix-array analog,
+# oracle-checked via exact shingle containment)
+# ---------------------------------------------------------------------------
+
+def corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ 60%-prefix copies of every 5th doc (id+2e6)."""
+    d = docs_corpus(spark, sf_dir)
+    trunc = (
+        d.filter(F.col("doc_id") % TRUNC_COPY_MOD == 0)
+        .select(
+            (F.col("doc_id") + TRUNC_ID_OFFSET).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    F.split("t", " "),
+                    1,
+                    F.greatest(
+                        (F.size(F.split("t", " ")) * 3 / 5).cast("int"), F.lit(1)
+                    ),
+                ),
+                " ",
+            ).alias("t"),
+        )
+    )
+    return d.unionByName(trunc)
+
+
+SQL_CORPUS_NEAR = f"""
+corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + {TRUNC_ID_OFFSET},
+         array_to_string(
+           (string_split(lower(coalesce(text, '')), ' '))[
+             1 : greatest(CAST(len(string_split(lower(coalesce(text, '')), ' ')) * 3 / 5 AS INT), 1)
+           ], ' ')
+  FROM documents WHERE doc_id % {TRUNC_COPY_MOD} = 0
+)
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(corpus_near(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("ia"), "g")
+    b = sh.select(F.col("doc_id").alias("ib"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "ia").join(sb, "ib")
+        .select(
+            "ia", "ib",
+            F.round(F.col("c") / F.least("na", "nb"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {_sql_shingles(SQL_CORPUS_NEAR)},
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia, ib, round(c * 1.0 / least(sa.n, sb.n), 4) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = ia
+JOIN sz sb ON sb.doc_id = ib
+WHERE c * 1.0 / least(sa.n, sb.n) >= {CONTAIN_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3/J4 + clustering: connected components over dup edges
+# (reference update_file_clusters, deduplication_service.rs:374-433 —
+#  batch CC is the order-insensitive closure of its intent, SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact-hash star edges (corpus_exact) ∪ Jaccard>=0.8 edges (docs)."""
+    c = corpus_exact(spark, sf_dir).select("doc_id", F.md5("t").alias("h"))
+    w = Window.partitionBy("h")
+    exact = (
+        c.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("a"), F.col("doc_id").alias("b"),
+            F.lit(1.0).alias("sim"),
+        )
+    )
+    jac = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("ia").alias("a"), F.col("ib").alias("b"), F.col("jac").alias("sim")
+    )
+    return exact.unionByName(jac)
+
+
+SQL_DOC_EDGES = f"""
+{SQL_CORPUS_EXACT},
+lbl AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(t)) AS rep FROM corpus
+),
+exact_edges AS (
+  -- CAST: a bare 1.0 is DECIMAL(2,1) in DuckDB and the UNION would
+  -- coerce the double jaccard sims to one decimal place
+  SELECT rep AS a, doc_id AS b, CAST(1.0 AS DOUBLE) AS sim
+  FROM lbl WHERE doc_id != rep
+),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus
+         WHERE doc_id < {EXACT_ID_OFFSET}),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jac_edges AS (
+  SELECT ia AS a, ib AS b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS sim
+  FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+  WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= {JACCARD_T}
+),
+edges AS (SELECT a, b, sim FROM exact_edges UNION ALL SELECT a, b, sim FROM jac_edges)
+"""
+
+
+def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = _doc_edges(spark, sf_dir).select("a", "b")
+    verts = corpus_exact(spark, sf_dir).select(F.col("doc_id").alias("clip_id"))
+    cc = connected_components(edges, verts)
+    return cc.select(
+        F.col("clip_id").alias("doc_id"), F.col("cluster_id")
+    )
+
+
+SQL_CC_CLUSTERS = f"""
+WITH RECURSIVE {SQL_DOC_EDGES},
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+verts AS (SELECT DISTINCT doc_id FROM corpus),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def q_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sizes + A7 intra-cluster similarity = avg edge sim per
+    component (strictly better than the reference's hardcoded 0.9 at
+    deduplication_service.rs:407-414)."""
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = _doc_edges(spark, sf_dir)
+    verts = corpus_exact(spark, sf_dir).select(F.col("doc_id").alias("clip_id"))
+    cc = connected_components(edges.select("a", "b"), verts)
+    sizes = (
+        cc.groupBy("cluster_id").agg(F.count("*").alias("size"))
+        .filter(F.col("size") > 1)
+    )
+    lbl = cc.select(F.col("clip_id").alias("a"), "cluster_id")
+    intra = (
+        edges.join(lbl, "a")
+        .groupBy("cluster_id")
+        .agg(F.round(F.avg("sim"), 4).alias("intra_similarity"))
+    )
+    return sizes.join(intra, "cluster_id").select(
+        "cluster_id", "size", "intra_similarity"
+    )
+
+
+SQL_CLUSTER_SUMMARY = f"""
+WITH RECURSIVE {SQL_DOC_EDGES},
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+verts AS (SELECT DISTINCT doc_id FROM corpus),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS size FROM cc
+  GROUP BY 1 HAVING count(*) > 1
+),
+intra AS (
+  SELECT cc.cluster_id, round(avg(e.sim), 4) AS intra_similarity
+  FROM edges e JOIN cc ON cc.id = e.a GROUP BY 1
+)
+SELECT s.cluster_id, s.size, i.intra_similarity
+FROM sizes s JOIN intra i ON i.cluster_id = s.cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID, quality, token counts, fingerprints
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "in")
+_SQL_STOPLIST = "['the', 'a', 'of', 'and', 'in']"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_corpus(spark, sf_dir).select(
+        "doc_id", F.split("t", " ").alias("w")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
+    n_tok = F.size("w")
+    score = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4)
+    return d.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        score.alias("stopword_score"),
+        F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+SQL_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS w FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(w, x -> list_contains({_SQL_STOPLIST}, x))) AS INT)
+         AS n_stopwords,
+       round(len(list_filter(w, x -> list_contains({_SQL_STOPLIST}, x)))
+             * 1.0 / greatest(len(w), 1), 4) AS stopword_score,
+       CASE WHEN round(len(list_filter(w, x -> list_contains({_SQL_STOPLIST}, x)))
+                 * 1.0 / greatest(len(w), 1), 4) >= 0.05
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM toks
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_corpus(spark, sf_dir).select(
+        "doc_id", "t", F.split("t", " ").alias("w")
+    )
+    n_tok = F.size("w")
+    n_chars = F.length("t")
+    avg_tok = F.round(
+        (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)), 4
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = F.round(
+        F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
+        / F.greatest(n_tok, F.lit(1)),
+        4,
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        avg_tok.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (n_tok >= 20) & (n_tok <= 1000) & (stop_ratio > 0)
+        ).cast("int").alias("passes_quality"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t,
+         string_split(lower(coalesce(text, '')), ' ') AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_tokens,
+       CAST(length(t) AS INT) AS n_chars,
+       round((length(t) - (len(w) - 1)) * 1.0 / greatest(len(w), 1), 4)
+         AS avg_token_len,
+       round(len(list_filter(w, x -> list_contains({_SQL_STOPLIST}, x)))
+             * 1.0 / greatest(len(w), 1), 4) AS stopword_ratio,
+       CAST(len(w) >= 20 AND len(w) <= 1000
+            AND len(list_filter(w, x -> list_contains({_SQL_STOPLIST}, x))) > 0
+            AS INT) AS passes_quality
+FROM d
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_corpus(spark, sf_dir).select("doc_id", F.split("t", " ").alias("w"))
+    return d.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_distinct_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(string_split(lower(coalesce(text, '')), ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(lower(coalesce(text, '')), ' '))) AS INT)
+         AS n_distinct_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 analog: content fingerprint = md5 prefix of normalized text
+    (the reference's sha256-of-content intent, deduplicator.rs:61-76;
+    sha256 itself is q_sha256_hash)."""
+    return docs_corpus(spark, sf_dir).select(
+        "doc_id", F.substring(F.md5("t"), 1, 16).alias("fingerprint")
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, substr(md5(lower(coalesce(text, ''))), 1, 16) AS fingerprint
+FROM documents
+"""
+
+
+def q_sha256_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: SHA-256 content hash (deduplicator.rs:61-76 → F.sha2)."""
+    return docs_corpus(spark, sf_dir).select(
+        "doc_id", F.sha2("t", 256).alias("sha256_hash")
+    )
+
+
+SQL_SHA256_HASH = """
+SELECT doc_id, sha256(lower(coalesce(text, ''))) AS sha256_hash
+FROM documents
+"""
+
+
+# A8 / P1: counts by type + F5 extension-style dispatch
+def q_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+SQL_COUNTS_BY_TYPE = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_extension_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: file_name.split('.').last().lower() routing
+    (deduplication_service.rs:249-253)."""
+    d = _docs(spark, sf_dir).select(
+        F.concat_ws(".", "source", "lang").alias("file_name")
+    )
+    ext = F.lower(F.element_at(F.split("file_name", r"\."), -1))
+    return d.select(ext.alias("ext")).groupBy("ext").agg(F.count("*").alias("n"))
+
+
+SQL_EXTENSION_DISPATCH = """
+WITH f AS (SELECT source || '.' || lang AS file_name FROM documents)
+SELECT lower(string_split(file_name, '.')[-1]) AS ext,
+       CAST(count(*) AS BIGINT) AS n
+FROM f GROUP BY 1
+"""
+
+
+# T3: display top-3 members per group (Dashboard.tsx:345)
+def q_display_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("top3_members")
+        )
+    )
+
+
+SQL_DISPLAY_TOP3 = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+  AS top3_members
+FROM ranked WHERE rn <= 3 GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# approximate-nearest-neighbour (IVF scale path) — deterministic but
+# approximate, so no SQL oracle (driver records rows-only check)
+# ---------------------------------------------------------------------------
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    'centroid' (deterministically chosen seed vectors: vec_id % 50 == 0),
+    probe the 2 nearest centroid buckets, brute-force within.  The
+    bucket join replaces the all-pairs cross join — at 1000x data the
+    per-bucket work stays bounded while recall stays high for
+    clusterable data.  Approximate by design → no SQL oracle."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    e = e.withColumn("nrm", nrm)
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "nrm", "cent_id",
+        (dot / (F.col("nrm") * F.col("cn"))).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    assign = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)  # nprobe = 2
+        .select("vec_id", "v", "nrm", "cent_id")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cent_id",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cent_id",
+    )
+    pdot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            F.col("ia").alias("vec_id"), F.col("ib").alias("neighbor_id"),
+            F.round(pdot / (F.col("na") * F.col("nb")), 4).alias("sim"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    wk = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "exact_dup_groups": q_exact_dup_groups,
+    "dedup_ratio": q_dedup_ratio,
+    "avg_cluster_size": q_avg_cluster_size,
+    "wasted_space": q_wasted_space,
+    "top_events_listing": q_top_events_listing,
+    "status_filter_counts": q_status_filter_counts,
+    "knn_topk": q_knn_topk,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "sim_histogram": q_sim_histogram,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "containment_pairs": q_containment_pairs,
+    "cc_clusters": q_cc_clusters,
+    "cluster_summary": q_cluster_summary,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "sha256_hash": q_sha256_hash,
+    "counts_by_type": q_counts_by_type,
+    "extension_dispatch": q_extension_dispatch,
+    "display_top3": q_display_top3,
+    "ann_ivf_topk": q_ann_ivf_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "dedup_ratio": SQL_DEDUP_RATIO,
+    "avg_cluster_size": SQL_AVG_CLUSTER_SIZE,
+    "wasted_space": SQL_WASTED_SPACE,
+    "top_events_listing": SQL_TOP_EVENTS_LISTING,
+    "status_filter_counts": SQL_STATUS_FILTER_COUNTS,
+    "knn_topk": SQL_KNN_TOPK,
+    "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
+    "sim_histogram": SQL_SIM_HISTOGRAM,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "minhash_lsh_pairs": SQL_NGRAM_JACCARD_PAIRS,  # LSH must reproduce exact
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "cc_clusters": SQL_CC_CLUSTERS,
+    "cluster_summary": SQL_CLUSTER_SUMMARY,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY_SCORE,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "sha256_hash": SQL_SHA256_HASH,
+    "counts_by_type": SQL_COUNTS_BY_TYPE,
+    "extension_dispatch": SQL_EXTENSION_DISPATCH,
+    "display_top3": SQL_DISPLAY_TOP3,
+    # ann_ivf_topk: approximate by design — rows-only check
+}

@@ -1,0 +1,232 @@
+"""Multimodal columns: image / video payloads as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas UDFs.
+
+The reference routes uploads by file extension into an image-vs-text
+embedding model (/root/reference/backend/src/worker/
+deduplication_service.rs:247-254, deduplicator.rs:78-84: base64 of the
+raw bytes into Bedrock Titan image).  This module is the batch-engine
+analog generalized to image and video payloads; audio is fully real in
+functions/audio.py.
+
+Sandbox constraint: no image/video codec libraries are installed, so
+the *codec decode* step is stubbed — `decode_image` raises
+NotImplementedError unless PIL is importable, and tests/fakes use
+`fake_decode_image`, a deterministic pure-numpy pixel synthesizer
+seeded from the payload bytes.  Everything AROUND the decode — the
+typed schema, Arrow batch shape, resize/pooling math, frame sampling,
+feature vectors, SimHash — is real and tested, so swapping in a real
+decoder is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from file_dedup_rust_spark.functions.hashing import rng_u64, splitmix64
+
+# typed metadata schema for opaque media payloads
+MEDIA_SCHEMA = (
+    "media_id string, bytes binary, media_type string, mime string, "
+    "width int, height int, n_frames int, fps double"
+)
+
+IMAGE_FEATURE_DIM = 64  # 8x8 luma grid
+FRAME_FEATURE_DIM = 16  # 4x4 luma grid per sampled frame
+
+
+def try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(data: bytes, mime: str) -> np.ndarray:
+    """Decode an encoded image payload -> (H, W) float32 luma in [0,1].
+
+    STUB: the sandbox has no codec libraries.  With PIL installed this
+    decodes for real; otherwise it raises and callers must use
+    `fake_decode_image` (tests) or quarantine the row (pipeline).
+    """
+    pil = try_import_pil()
+    if pil is None:
+        raise NotImplementedError(
+            "image codec decode requires PIL/pillow (not in this sandbox); "
+            "use fake_decode_image for deterministic tests"
+        )
+    import io
+
+    img = pil.open(io.BytesIO(data)).convert("L")
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def fake_decode_image(data: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decoder: (height, width) float32 luma derived
+    purely from sha256(bytes) — byte-identical payloads give identical
+    pixels, so exact-dup semantics survive the stub."""
+    if not data or width <= 0 or height <= 0:
+        raise ValueError("empty payload or degenerate dimensions")
+    seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
+    n = int(width) * int(height)
+    u = rng_u64(seed, n).astype(np.float64) / 2**64
+    return u.reshape(int(height), int(width)).astype(np.float32)
+
+
+def resize_luma(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-style resize by block averaging (pure numpy, no codec lib).
+    Handles non-divisible shapes by index-mapped nearest rows/cols of a
+    block-mean pyramid — deterministic and vectorized."""
+    h, w = img.shape
+    ys = (np.arange(out_h) * h // out_h).astype(int)
+    xs = (np.arange(out_w) * w // out_w).astype(int)
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    # integral image makes each output cell an O(1) box mean
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(img, axis=0), axis=1)
+    out = (
+        ii[ye][:, xe] - ii[ys][:, xe] - ii[ye][:, xs] + ii[ys][:, xs]
+    )
+    area = (ye - ys)[:, None] * (xe - xs)[None, :]
+    return (out / np.maximum(area, 1)).astype(np.float32)
+
+
+def image_feature_vector(luma: np.ndarray) -> np.ndarray:
+    """(H, W) luma -> contrast-normalized 8x8 grid, flattened (64,)."""
+    g = resize_luma(luma, 8, 8).astype(np.float64).reshape(-1)
+    g = g - g.mean()
+    n = np.linalg.norm(g)
+    if n > 1e-12:
+        g = g / n
+    return g.astype(np.float32)
+
+
+def image_simhash64(feat: np.ndarray, seed: int = 0x51D_0003) -> int:
+    """64-bit sign-of-projection SimHash over an image feature vector."""
+    raw = rng_u64(seed, 64 * feat.size * 4)
+    u = (raw.astype(np.float64) / 2**64) - 0.5
+    planes = u.reshape(64, feat.size, 4).sum(axis=2)
+    bits = (planes @ feat.astype(np.float64)) >= 0.0
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+IMAGE_SIG_SCHEMA = (
+    "media_id string, sha256 string, decode_ok boolean, "
+    "feat array<float>, simhash long"
+)
+
+
+def image_signatures(media: DataFrame, use_fake_decode: bool = True) -> DataFrame:
+    """media(MEDIA_SCHEMA) -> per-image signatures.
+
+    One mapInPandas pass (bytes never cross a shuffle — same hygiene
+    rule as the audio path, SURVEY.md §7.3 item 4).  Rows whose decode
+    fails are quarantined with decode_ok=false, not dropped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ["media_id", "sha256", "decode_ok", "feat", "simhash"]}
+            for row in pdf.itertuples(index=False):
+                data = bytes(row.bytes) if row.bytes is not None else b""
+                out["media_id"].append(row.media_id)
+                out["sha256"].append(hashlib.sha256(data).hexdigest())
+                try:
+                    if use_fake_decode:
+                        luma = fake_decode_image(data, row.width, row.height)
+                    else:
+                        luma = decode_image(data, row.mime)
+                    feat = image_feature_vector(luma)
+                    out["feat"].append(feat.tolist())
+                    out["simhash"].append(image_simhash64(feat))
+                    out["decode_ok"].append(True)
+                except Exception:
+                    out["feat"].append([])
+                    out["simhash"].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    cols = ["media_id", "bytes", "media_type", "mime", "width", "height"]
+    return media.select(*cols).mapInPandas(run, schema=IMAGE_SIG_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "media_id string, frame_idx int, frame_feat array<float>, decode_ok boolean"
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 10, use_fake_decode: bool = True
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame with a
+    per-frame feature vector — the UDTF-shaped (1 row -> N rows)
+    multimodal operator.  Decode is stubbed per module docstring; the
+    frame-index arithmetic, batch fan-out shape, and per-frame
+    features are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ["media_id", "frame_idx", "frame_feat", "decode_ok"]}
+            for row in pdf.itertuples(index=False):
+                data = bytes(row.bytes) if row.bytes is not None else b""
+                n_frames = int(row.n_frames or 0)
+                for fi in range(0, max(n_frames, 0), every_n):
+                    out["media_id"].append(row.media_id)
+                    out["frame_idx"].append(fi)
+                    try:
+                        if not use_fake_decode:
+                            raise NotImplementedError(
+                                "video codec decode not available in sandbox"
+                            )
+                        # deterministic per-frame payload: frame index
+                        # mixed into the content hash
+                        fdata = data + fi.to_bytes(4, "little")
+                        luma = fake_decode_image(fdata, row.width, row.height)
+                        g = resize_luma(luma, 4, 4).reshape(-1)
+                        g = g - g.mean()
+                        n = np.linalg.norm(g)
+                        if n > 1e-12:
+                            g = g / n
+                        out["frame_feat"].append(g.astype(np.float32).tolist())
+                        out["decode_ok"].append(True)
+                    except Exception:
+                        out["frame_feat"].append([])
+                        out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    cols = ["media_id", "bytes", "width", "height", "n_frames"]
+    return media.select(*cols).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def fake_media_table(spark, n: int, seed: int = 7, n_dup: int | None = None):
+    """Deterministic media table for tests: n unique payloads plus
+    n_dup byte-identical copies (exact-dup planted structure)."""
+    n_dup = n // 5 if n_dup is None else n_dup
+    rows = []
+    for i in range(n):
+        payload = splitmix64(
+            np.arange(64, dtype=np.uint64) + np.uint64(seed * 1000003 + i)
+        ).tobytes()
+        kind = "video" if i % 3 == 0 else "image"
+        rows.append((
+            f"m{i:06d}", payload, kind,
+            "video/fake" if kind == "video" else "image/fake",
+            32 + (i % 4) * 16, 24 + (i % 3) * 8,
+            30 if kind == "video" else 1,
+            12.5 if kind == "video" else 0.0,
+        ))
+    for j in range(n_dup):
+        src = rows[j * (n // max(n_dup, 1)) % n]
+        rows.append((f"d{j:06d}", *src[1:]))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

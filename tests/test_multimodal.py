@@ -1,0 +1,86 @@
+"""Multimodal plumbing: typed media schema, Arrow batch shapes, stubbed
+decode with quarantine, deterministic fake decoder, frame sampling
+fan-out, and exact-dup semantics surviving the stub."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from file_dedup_rust_spark.functions import multimodal as M
+
+
+def test_fake_decode_deterministic_and_shaped():
+    a = M.fake_decode_image(b"payload", 32, 24)
+    b = M.fake_decode_image(b"payload", 32, 24)
+    c = M.fake_decode_image(b"other", 32, 24)
+    assert a.shape == (24, 32) and a.dtype == np.float32
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_decode_image_stub_raises_without_pil():
+    if M.try_import_pil() is not None:
+        pytest.skip("PIL installed; stub path not applicable")
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG...", "image/png")
+
+
+def test_resize_luma_block_means():
+    img = np.arange(16, dtype=np.float64).reshape(4, 4)
+    out = M.resize_luma(img, 2, 2)
+    assert out.shape == (2, 2)
+    assert np.allclose(out, [[2.5, 4.5], [10.5, 12.5]])
+
+
+def test_image_signatures_schema_and_dups(spark):
+    media = M.fake_media_table(spark, 25, n_dup=5)
+    sigs = M.image_signatures(media).cache()
+    assert sigs.schema.simpleString() == (
+        "struct<media_id:string,sha256:string,decode_ok:boolean,"
+        "feat:array<float>,simhash:bigint>"
+    )
+    rows = sigs.collect()
+    assert len(rows) == 30 and all(r.decode_ok for r in rows)
+    assert all(len(r.feat) == M.IMAGE_FEATURE_DIM for r in rows)
+    # byte-identical payloads -> identical sha256, features, simhash
+    by_sha = {}
+    for r in rows:
+        by_sha.setdefault(r.sha256, []).append(r)
+    dup_groups = [g for g in by_sha.values() if len(g) > 1]
+    assert len(dup_groups) >= 5
+    for g in dup_groups:
+        assert len({r.simhash for r in g}) == 1
+        assert len({tuple(r.feat) for r in g}) == 1
+
+
+def test_image_signatures_quarantines_bad_rows(spark):
+    media = M.fake_media_table(spark, 4, n_dup=0)
+    bad = spark.createDataFrame(
+        [("bad1", None, "image", "image/fake", 0, 0, 1, 0.0)],
+        schema=M.MEDIA_SCHEMA,
+    )
+    sigs = M.image_signatures(media.unionByName(bad)).collect()
+    bad_rows = [r for r in sigs if r.media_id == "bad1"]
+    assert len(bad_rows) == 1 and not bad_rows[0].decode_ok
+    assert sum(1 for r in sigs if r.decode_ok) == 4
+
+
+def test_sample_video_frames_fanout(spark):
+    media = M.fake_media_table(spark, 9, n_dup=0)
+    frames = M.sample_video_frames(media, every_n=10).collect()
+    videos = [r for r in M.fake_media_table(spark, 9, n_dup=0).collect()
+              if r.media_type == "video"]
+    # 30 frames, every 10th -> 3 rows per video; images have n_frames=1 -> 1 row
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r.media_id, []).append(r)
+    for v in videos:
+        assert len(per_media[v.media_id]) == 3
+        assert [r.frame_idx for r in sorted(per_media[v.media_id],
+                                            key=lambda r: r.frame_idx)] == [0, 10, 20]
+        assert all(len(r.frame_feat) == M.FRAME_FEATURE_DIM
+                   for r in per_media[v.media_id])
+    # frames of the same video differ (frame idx mixed into payload)
+    v0 = per_media[videos[0].media_id]
+    assert len({tuple(r.frame_feat) for r in v0}) == 3

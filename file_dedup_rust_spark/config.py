@@ -49,9 +49,17 @@ class DedupConfig:
     hamming_max: int = 8
 
     # ---- containment (winnowing fingerprints + suffix-array verify) ----
-    winnow_k: int = 8           # fingerprint k-gram size
+    # winnow_k=16: an 8-char gram over a natural-language-like vocab
+    # collides across thousands of documents (winnowing preferentially
+    # selects globally-small hashes), which measured 2.67M candidate
+    # pairs for 800 true containment edges at 18k docs; 16-char grams
+    # span ~2.5 words and cut cross-doc collisions by ~100x.  The
+    # winnowing guarantee (shared substring >= k+w-1 = 31 chars yields
+    # a shared fingerprint) still covers every planted containment
+    # (base transcripts are >= 10 tokens ~ 40 chars).
+    winnow_k: int = 16          # fingerprint k-gram size
     winnow_w: int = 16          # winnowing window (guarantee length k+w-1)
-    min_containment_len: int = 24  # ignore tiny strings (>= winnow guarantee)
+    min_containment_len: int = 32  # ignore tiny strings (>= winnow guarantee)
 
     # ---- verification thresholds (reference P3 / T2) ----
     jaccard_threshold: float = 0.8

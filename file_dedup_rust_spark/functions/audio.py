@@ -171,20 +171,38 @@ def simhash64(features: np.ndarray, planes: np.ndarray) -> int:
 
 
 def simhash_band_keys(sim: int, cfg: DedupConfig) -> np.ndarray:
-    """Split a 64-bit simhash into sim_bands keys for LSH banding.
+    """LSH keys for a 64-bit simhash: one key per unordered PAIR of
+    bands, C(sim_bands, 2) keys of 2*band_bits value bits each.
 
-    Key layout: (band_index << band_bits) | band_value — int64 safe
-    because band_bits <= 16 and band_index < 64.
+    Why pairs, not single bands: an 8-bit band has only 256 values, so
+    at n items every band bucket holds ~n/256 RANDOM members and
+    candidate generation degenerates to ~n^2/256 pairs (measured: 5M
+    candidate pairs for 18k clips).  Band-pair keys have 16 value bits
+    (65k buckets) — random collisions drop by ~256x while the
+    pigeonhole guarantee stays strong: d dirty bits hit at most d
+    bands, so any pair with Hamming distance d <= sim_bands - 2 = 6
+    still shares >= 2 clean bands = >= 1 clean band-pair key.
+    Planted near-dups land at d <= 4 (config notes); the d in {7,8}
+    tail passes verification only if it collides by luck — the numpy
+    oracle applies the identical key rule, so pipeline and oracle
+    agree bit-for-bit either way.
     """
     u = np.uint64(sim & 0xFFFFFFFFFFFFFFFF)
     bb = cfg.sim_band_bits
     mask = np.uint64((1 << bb) - 1)
     shifts = (np.arange(cfg.sim_bands, dtype=np.uint64)) * np.uint64(bb)
     vals = (u >> shifts) & mask
-    keys = (np.arange(cfg.sim_bands, dtype=np.int64) << np.int64(bb + 1)) | vals.astype(
-        np.int64
+    i, j = np.triu_indices(cfg.sim_bands, k=1)
+    pair_idx = np.arange(i.size, dtype=np.uint64)
+    raw = (
+        (pair_idx << np.uint64(2 * bb + 1))
+        ^ (vals[i] << np.uint64(bb))
+        ^ vals[j]
+        ^ np.uint64(cfg.simhash_seed)
     )
-    return keys
+    from file_dedup_rust_spark.functions.hashing import splitmix64
+
+    return splitmix64(raw).astype(np.int64)
 
 
 def hamming64(a: int, b: int) -> int:

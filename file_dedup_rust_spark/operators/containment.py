@@ -138,29 +138,81 @@ def containment_pairs_in_bucket(
     return out
 
 
+def verify_patterns_in_container(
+    cont_text: str, pat_ids: list[str], pats: list[str]
+) -> list[tuple[str, float]]:
+    """(pattern ids that are verbatim substrings of cont_text,
+    len ratio) — ONE suffix array over the container, binary search per
+    pattern."""
+    buf = np.frombuffer(cont_text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    sa = suffix_array(buf)
+    out = []
+    for pid, pt in zip(pat_ids, pats):
+        pat = np.frombuffer(pt.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        lo, hi = _sa_range(buf, sa, pat)
+        if hi > lo:
+            out.append((pid, float(pat.size) / float(max(buf.size, 1))))
+    return out
+
+
 def containment_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """signatures -> (a, b, kind='containment', sim=len_ratio) edges."""
-    posting = signatures.select(
-        F.explode("fps").alias("key"), "clip_id", "t_norm"
-    )
-    counts = posting.groupBy("key").agg(F.count("*").alias("n"))
-    ok = counts.filter((F.col("n") >= 2) & (F.col("n") <= cfg.band_cap)).select("key")
-    buckets = posting.join(ok, "key")
+    """signatures -> (a, b, kind='containment', sim=len_ratio) edges.
 
-    min_len = cfg.min_containment_len
+    Plan shape (the fix for hot-bucket duplicate work): fingerprint
+    posting lists generate candidate PAIRS first (capped buckets,
+    a<b, DISTINCT — so a pair sharing 30 fingerprints is verified
+    once, not 30 times), then verification groups the surviving
+    pattern candidates per CONTAINER and builds one suffix array per
+    container text, searched once per pattern.  Matches the numpy
+    oracle's pair-level semantics (oracle.oracle_edges containment
+    block) exactly: equal-length pairs can never contain (distinct
+    normalized texts), pattern must be >= min_containment_len.
+    """
+    from file_dedup_rust_spark.operators.candidates import candidate_pairs
 
-    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        pairs = containment_pairs_in_bucket(
-            pdf["clip_id"].tolist(), pdf["t_norm"].tolist(), min_len
+    posting = signatures.select(F.explode("fps").alias("key"), "clip_id")
+    cand = candidate_pairs(posting, cfg.band_cap)
+
+    t = signatures.select("clip_id", "t_norm", "t_len")
+    p = (
+        cand.join(
+            t.select(
+                F.col("clip_id").alias("a"), F.col("t_norm").alias("ta"),
+                F.col("t_len").alias("la"),
+            ),
+            "a",
+        ).join(
+            t.select(
+                F.col("clip_id").alias("b"), F.col("t_norm").alias("tb"),
+                F.col("t_len").alias("lb"),
+            ),
+            "b",
         )
-        if not pairs:
+    )
+    a_short = F.col("la") < F.col("lb")
+    oriented = (
+        p.filter(F.col("la") != F.col("lb"))  # equal length != equal text here
+        .select(
+            F.when(a_short, F.col("a")).otherwise(F.col("b")).alias("pat_id"),
+            F.when(a_short, F.col("ta")).otherwise(F.col("tb")).alias("pat"),
+            F.when(a_short, F.col("b")).otherwise(F.col("a")).alias("cont_id"),
+            F.when(a_short, F.col("tb")).otherwise(F.col("ta")).alias("cont"),
+        )
+        .filter(F.length("pat") >= cfg.min_containment_len)
+    )
+
+    def per_container(pdf: pd.DataFrame) -> pd.DataFrame:
+        cont_id = pdf["cont_id"].iloc[0]
+        hits = verify_patterns_in_container(
+            pdf["cont"].iloc[0], pdf["pat_id"].tolist(), pdf["pat"].tolist()
+        )
+        if not hits:
             return pd.DataFrame({"a": [], "b": [], "sim": []})
-        a, b, sim = zip(*sorted(pairs))
+        rows = [
+            (min(pid, cont_id), max(pid, cont_id), ratio) for pid, ratio in hits
+        ]
+        a, b, sim = zip(*sorted(rows))
         return pd.DataFrame({"a": list(a), "b": list(b), "sim": list(sim)})
 
-    edges = buckets.groupBy("key").applyInPandas(per_bucket, schema=PAIR_SCHEMA)
-    # a pair can surface from several shared fingerprints -> distinct
-    return (
-        edges.distinct()
-        .select("a", "b", F.lit("containment").alias("kind"), "sim")
-    )
+    edges = oriented.groupBy("cont_id").applyInPandas(per_container, schema=PAIR_SCHEMA)
+    return edges.select("a", "b", F.lit("containment").alias("kind"), "sim")

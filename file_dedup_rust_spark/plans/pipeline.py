@@ -74,41 +74,56 @@ def exact_transcript_edges(signatures: DataFrame) -> DataFrame:
     )
 
 
-def audio_reps(signatures: DataFrame) -> DataFrame:
-    """One representative row per distinct sha256 (decodable only)."""
-    from pyspark.sql import Window
+AUDIO_REP_COLS = ["clip_id", "simhash", "sim_keys", "decode_ok"]
+TEXT_REP_COLS = ["clip_id", "minhash", "mh_bands", "fps", "t_norm", "t_len"]
 
-    w = Window.partitionBy("sha256").orderBy("clip_id")
+
+def audio_reps(signatures: DataFrame) -> DataFrame:
+    """One representative row per distinct sha256 (decodable only).
+
+    min_by aggregation instead of a row_number window: hash aggregate
+    with map-side partial combine, so an m-copy exact group sends ONE
+    row per map partition through the shuffle instead of m sorted rows
+    — the difference between linear and pathological on a 100 TB table
+    where exact dup rates run 20-50%.  Columns pruned to what the
+    audio LSH path consumes."""
+    s = signatures.filter(F.col("decode_ok")).select("sha256", *AUDIO_REP_COLS)
     return (
-        signatures.filter(F.col("decode_ok"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        s.groupBy("sha256")
+        .agg(F.min_by(F.struct(*AUDIO_REP_COLS), "clip_id").alias("r"))
+        .select("r.*")
     )
 
 
 def text_reps(signatures: DataFrame) -> DataFrame:
-    """One representative row per distinct normalized transcript."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("t_norm").orderBy("clip_id")
+    """One representative row per distinct normalized transcript
+    (same min_by/pruning rationale as audio_reps)."""
+    s = signatures.filter(F.col("t_len") > 0).select("t_norm", *TEXT_REP_COLS[:-2], "t_len")
     return (
-        signatures.filter(F.col("t_len") > 0)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        s.groupBy("t_norm")
+        .agg(
+            F.min_by(
+                F.struct(*[c for c in TEXT_REP_COLS if c != "t_norm"]), "clip_id"
+            ).alias("r")
+        )
+        .select("t_norm", "r.*")
     )
 
 
 def build_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """All verified dup edges from a signatures table (no checkpoints —
-    the checkpointing variant is run_pipeline)."""
+    the checkpointing variant is run_pipeline).
+
+    The rep tables feed three branches each (posting explode, verify
+    attach, containment/dropped-bucket accounting), so they are
+    persisted — without it every union branch would recompute the
+    dedup-to-representatives shuffle."""
     sigs = signatures
     e_exact = exact_dup_edges(sigs)
     e_ttext = exact_transcript_edges(sigs)
 
-    treps = text_reps(sigs)
-    areps = audio_reps(sigs)
+    treps = text_reps(sigs).persist()
+    areps = audio_reps(sigs).persist()
 
     mh_posting = C.explode_keys(treps, "mh_bands")
     mh_pairs = C.candidate_pairs(mh_posting, cfg.band_cap)

@@ -28,7 +28,13 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at the default TRUE: LSH posting
+        # tables are small in BYTES but their self-joins fan out m^2
+        # per bucket, so size-based coalescing (parallelismFirst=false)
+        # serialized the join explosion onto 1-2 tasks — measured 47s
+        # for a 48k-pair candidate join that runs in ~3s parallel
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

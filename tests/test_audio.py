@@ -96,8 +96,17 @@ def test_simhash_codec_invariance():
 
 
 def test_simhash_band_keys():
+    n_pairs = CFG.sim_bands * (CFG.sim_bands - 1) // 2
     keys = A.simhash_band_keys(-12345678901234, CFG)
-    assert keys.shape == (CFG.sim_bands,)
-    # band index is embedded -> all keys distinct even for value 0
+    assert keys.shape == (n_pairs,)
+    # pair index is mixed in -> all keys distinct even for value 0
     k0 = A.simhash_band_keys(0, CFG)
-    assert len(set(k0.tolist())) == CFG.sim_bands
+    assert len(set(k0.tolist())) == n_pairs
+    # flipping bits confined to <= sim_bands-2 bands keeps >= 1 shared
+    # key (the pigeonhole candidate guarantee)
+    sim = 0x0123456789ABCDEF
+    corrupted = sim ^ 0x00000000000000FF ^ 0xFF00000000000000  # 2 bands dirty
+    shared = set(A.simhash_band_keys(sim, CFG)) & set(
+        A.simhash_band_keys(corrupted, CFG)
+    )
+    assert len(shared) >= 1

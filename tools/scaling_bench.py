@@ -3,11 +3,13 @@
 criterion.  No multi-node cluster exists in this sandbox, so the same
 clips-dedup job runs at local[N] and local[4N] cores on the SAME input
 (subprocess-isolated JVMs) and we report throughput at both plus
-efficiency = (T_4N / T_N) / 4.
+efficiency = (T_4N / T_N) / 4, with a per-stage breakdown so
+fixed-overhead stages (driver-side CC iterations, tiny shuffles) are
+visible separately from the compute-dominated signature stage.
 
-    python tools/scaling_bench.py [--clips 20000] [--n 8]
+    python tools/scaling_bench.py [--clips 80000] [--n 8] [--input DIR]
 
-Prints one JSON line; paste/record results into BENCH.md.
+Prints one JSON line; results recorded in BENCH.md.
 """
 
 from __future__ import annotations
@@ -32,29 +34,39 @@ from file_dedup_rust_spark.session import build_session
 
 cores = {cores}
 clips_path = {clips_path!r}
+# shuffle_partitions is held CONSTANT across the two cluster sizes so
+# both runs execute the identical physical plan with identical task
+# counts — the only variable is executor parallelism (the same way a
+# production job keeps its partitioning when the cluster grows)
 spark = build_session("scaling", master=f"local[{{cores}}]",
-                      shuffle_partitions=max(2 * cores, 16))
+                      shuffle_partitions={parts})
 spark.sparkContext.setLogLevel("ERROR")
 work = tempfile.mkdtemp(prefix="scale-")
 clips = spark.read.parquet(clips_path)
+stages = {{}}
 t0 = time.monotonic()
 sigs = compute_signatures(clips, DEFAULT_CONFIG)
 sigs.write.mode("overwrite").parquet(f"{{work}}/sigs")
+stages["signatures"] = round(time.monotonic() - t0, 2)
+t1 = time.monotonic()
 sigs = spark.read.parquet(f"{{work}}/sigs")
 edges = build_edges(sigs, DEFAULT_CONFIG)
 edges.write.mode("overwrite").parquet(f"{{work}}/edges")
+stages["edges"] = round(time.monotonic() - t1, 2)
+t2 = time.monotonic()
 edges = spark.read.parquet(f"{{work}}/edges")
 n = connected_components(edges.select("a", "b"), sigs.select("clip_id")).count()
+stages["cc"] = round(time.monotonic() - t2, 2)
 wall = time.monotonic() - t0
-print(json.dumps({{"cores": cores, "wall_s": round(wall, 2),
+print(json.dumps({{"cores": cores, "wall_s": round(wall, 2), "stages": stages,
                    "clips": n, "clips_per_sec": round(n / wall, 1)}}))
 shutil.rmtree(work, ignore_errors=True)
 spark.stop()
 """
 
 
-def run_at(cores: int, clips_path: str) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path)
+def run_at(cores: int, clips_path: str, parts: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, clips_path=clips_path, parts=parts)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
@@ -64,33 +76,47 @@ def run_at(cores: int, clips_path: str) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clips", type=int, default=20000)
-    ap.add_argument("--n", type=int, default=8, help="small cluster size N (4N must be <= cores)")
+    ap.add_argument("--clips", type=int, default=80000)
+    ap.add_argument("--n", type=int, default=8,
+                    help="small cluster size N (4N must be <= cores)")
+    ap.add_argument("--input", default=None,
+                    help="existing clips parquet dir (skips datagen)")
+    ap.add_argument("--parts", type=int, default=64,
+                    help="fixed shuffle partition count for both runs")
     args = ap.parse_args()
 
-    # generate the shared input once
-    gen = tempfile.mkdtemp(prefix="scale-input-")
-    clips_path = f"{gen}/clips"
-    code = (
-        f"import sys; sys.path.insert(0, {REPO!r})\n"
-        "from file_dedup_rust_spark import datagen\n"
-        "from file_dedup_rust_spark.session import build_session\n"
-        "spark = build_session('gen', master='local[32]')\n"
-        "spark.sparkContext.setLogLevel('ERROR')\n"
-        f"datagen.generate_clips(spark, {args.clips}, seed=42)"
-        f".write.mode('overwrite').parquet({clips_path!r})\n"
-        "spark.stop()\n"
-    )
-    subprocess.run([sys.executable, "-c", code], check=True, capture_output=True)
+    if args.input:
+        clips_path = args.input
+    else:
+        gen = tempfile.mkdtemp(prefix="scale-input-")
+        clips_path = f"{gen}/clips"
+        code = (
+            f"import sys; sys.path.insert(0, {REPO!r})\n"
+            "from file_dedup_rust_spark import datagen\n"
+            "from file_dedup_rust_spark.session import build_session\n"
+            "spark = build_session('gen', master='local[32]')\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            f"datagen.generate_clips(spark, {args.clips}, seed=42, partitions=128)"
+            f".write.mode('overwrite').parquet({clips_path!r})\n"
+            "spark.stop()\n"
+        )
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       capture_output=True)
 
-    small = run_at(args.n, clips_path)
-    big = run_at(4 * args.n, clips_path)
+    small = run_at(args.n, clips_path, args.parts)
+    big = run_at(4 * args.n, clips_path, args.parts)
     eff = round((big["clips_per_sec"] / small["clips_per_sec"]) / 4, 3)
+    stage_eff = {
+        k: round((small["stages"][k] / max(big["stages"][k], 1e-9)) / 4, 3)
+        for k in small["stages"]
+    }
     print(json.dumps({
-        "clips": args.clips,
+        "clips": small["clips"],
+        "input": clips_path,
         "small": small,
         "big": big,
         "scaling_efficiency": eff,
+        "stage_efficiency": stage_eff,
         "criterion": "efficiency >= 0.8 (BASELINE.json north rule)",
         "pass": eff >= 0.8,
     }))

@@ -43,6 +43,14 @@ class DedupConfig:
                                 # dup Hamming <= 4 on the synthetic corpus)
     simhash_seed: int = 0x5EED_0002
     sim_bands: int = 8          # simhash LSH: 8 bands x 8 bits
+    # LSH keys are hashes of band COMBINATIONS of this size.  arity 2
+    # (16 value bits) measured 9.0M candidate pairs on 80k clips —
+    # structured audio shares individual band values far above the
+    # 2^-16 random rate.  arity 3 (24 value bits) needs 3 clean bands
+    # to collide: detection is still guaranteed for Hamming d <=
+    # sim_bands - 3 = 5 (planted near-dups measure d <= 4) and random
+    # collisions drop ~256x.
+    sim_key_arity: int = 3
     # 1 - 8/64 = 0.875 >= reference 0.8; measured separation on the
     # synthetic corpus: near-dups at SNR>=35dB land at d<=4, 10dB
     # distractors at d>=13 — 8 splits the gap with margin both ways
@@ -79,6 +87,8 @@ class DedupConfig:
             raise ValueError("lsh_bands * lsh_rows must equal num_perm")
         if self.simhash_bits % self.sim_bands != 0:
             raise ValueError("sim_bands must divide simhash_bits")
+        if not (1 <= self.sim_key_arity <= self.sim_bands):
+            raise ValueError("sim_key_arity must be in [1, sim_bands]")
 
     @property
     def sim_band_bits(self) -> int:

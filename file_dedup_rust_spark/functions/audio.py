@@ -20,6 +20,7 @@ results.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -88,6 +89,24 @@ def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", len(body)) + body
 
 
+@lru_cache(maxsize=8)
+def _hann(n_fft: int) -> np.ndarray:
+    w = np.hanning(n_fft)
+    w.flags.writeable = False
+    return w
+
+
+@lru_cache(maxsize=32)
+def _band_edges(n_bins: int, n_bands: int) -> np.ndarray:
+    edges = np.unique(
+        np.round(np.geomspace(2, n_bins, n_bands + 1)).astype(int)
+    )
+    while edges.size < n_bands + 1:  # degenerate tiny-fft guard
+        edges = np.append(edges, edges[-1] + 1)
+    edges.flags.writeable = False
+    return edges
+
+
 def spectral_features(pcm: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarray:
     """Per-row spectral contrast features, shape (n_segments * (n_bands-1),).
 
@@ -113,17 +132,13 @@ def spectral_features(pcm: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarr
         x = x / rms
     n_frames = 1 + (x.size - cfg.n_fft) // cfg.hop
     idx = np.arange(cfg.n_fft)[None, :] + cfg.hop * np.arange(n_frames)[:, None]
-    frames = x[idx] * np.hanning(cfg.n_fft)[None, :]
+    frames = x[idx] * _hann(cfg.n_fft)[None, :]
     mag = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (n_frames, n_fft//2+1)
 
     # log-spaced band edges over the bin axis (sample-rate independent
     # binning keeps the same *relative* bands; near-dups share sr)
     n_bins = mag.shape[1]
-    edges = np.unique(
-        np.round(np.geomspace(2, n_bins, cfg.n_bands + 1)).astype(int)
-    )
-    while edges.size < cfg.n_bands + 1:  # degenerate tiny-fft guard
-        edges = np.append(edges, edges[-1] + 1)
+    edges = _band_edges(n_bins, cfg.n_bands)
     band_e = np.add.reduceat(mag, edges[:-1], axis=1)[:, : cfg.n_bands]
 
     # temporal pooling into n_segments equal chunks
@@ -163,46 +178,61 @@ def simhash_planes(cfg: DedupConfig) -> np.ndarray:
 def simhash64(features: np.ndarray, planes: np.ndarray) -> int:
     """Sign-of-projection 64-bit SimHash -> python int (int64 range)."""
     bits = (planes @ features) >= 0.0
-    # pack 64 bits, MSB = bit 0
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    # pack 64 bits, MSB = bit 0 (packbits is MSB-first per byte; reading
+    # the 8 bytes big-endian reproduces the former shift-loop exactly)
+    if bits.size == 64:
+        val = int(np.packbits(bits).view(">u8")[0])
+    else:
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
-def simhash_band_keys(sim: int, cfg: DedupConfig) -> np.ndarray:
-    """LSH keys for a 64-bit simhash: one key per unordered PAIR of
-    bands, C(sim_bands, 2) keys of 2*band_bits value bits each.
+@lru_cache(maxsize=16)
+def _band_combos(n: int, r: int) -> np.ndarray:
+    """(C(n,r), r) index array of all band combinations, lexicographic."""
+    import itertools
 
-    Why pairs, not single bands: an 8-bit band has only 256 values, so
-    at n items every band bucket holds ~n/256 RANDOM members and
-    candidate generation degenerates to ~n^2/256 pairs (measured: 5M
-    candidate pairs for 18k clips).  Band-pair keys have 16 value bits
-    (65k buckets) — random collisions drop by ~256x while the
-    pigeonhole guarantee stays strong: d dirty bits hit at most d
-    bands, so any pair with Hamming distance d <= sim_bands - 2 = 6
-    still shares >= 2 clean bands = >= 1 clean band-pair key.
-    Planted near-dups land at d <= 4 (config notes); the d in {7,8}
-    tail passes verification only if it collides by luck — the numpy
-    oracle applies the identical key rule, so pipeline and oracle
-    agree bit-for-bit either way.
+    combos = np.array(list(itertools.combinations(range(n), r)), dtype=np.int64)
+    combos.flags.writeable = False
+    return combos
+
+
+def simhash_band_keys(sim: int, cfg: DedupConfig) -> np.ndarray:
+    """LSH keys for a 64-bit simhash: one key per unordered COMBINATION
+    of cfg.sim_key_arity bands, C(sim_bands, arity) keys.
+
+    Why combinations, not single bands: an 8-bit band has only 256
+    values, so at n items every band bucket holds ~n/256 RANDOM
+    members and candidate generation degenerates to ~n^2/256 pairs.
+    Arity-a keys expose a*band_bits value bits; each +1 of arity cuts
+    random collisions ~256x.  Pigeonhole guarantee: d dirty bits hit
+    at most d bands, so any pair at Hamming distance d <= sim_bands -
+    arity still shares >= arity clean bands = >= 1 clean key (arity 3:
+    d <= 5; planted near-dups measure d <= 4 — config notes).  Pairs
+    in the (hamming_max - guarantee] tail pass verification only if
+    they collide by luck — the numpy oracle consumes these same keys,
+    so pipeline and oracle agree bit-for-bit either way.
     """
+    from file_dedup_rust_spark.functions.hashing import splitmix64
+
     u = np.uint64(sim & 0xFFFFFFFFFFFFFFFF)
     bb = cfg.sim_band_bits
     mask = np.uint64((1 << bb) - 1)
     shifts = (np.arange(cfg.sim_bands, dtype=np.uint64)) * np.uint64(bb)
     vals = (u >> shifts) & mask
-    i, j = np.triu_indices(cfg.sim_bands, k=1)
-    pair_idx = np.arange(i.size, dtype=np.uint64)
-    raw = (
-        (pair_idx << np.uint64(2 * bb + 1))
-        ^ (vals[i] << np.uint64(bb))
-        ^ vals[j]
+    combos = _band_combos(cfg.sim_bands, cfg.sim_key_arity)
+    # chained splitmix64 fold over (slot index, band values) — mixes
+    # each member in fully so distinct combinations can't cancel
+    acc = splitmix64(
+        np.arange(combos.shape[0], dtype=np.uint64)
         ^ np.uint64(cfg.simhash_seed)
     )
-    from file_dedup_rust_spark.functions.hashing import splitmix64
-
-    return splitmix64(raw).astype(np.int64)
+    with np.errstate(over="ignore"):
+        for c in range(combos.shape[1]):
+            acc = splitmix64(acc ^ vals[combos[:, c]])
+    return acc.astype(np.int64)
 
 
 def hamming64(a: int, b: int) -> int:

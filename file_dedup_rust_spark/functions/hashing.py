@@ -14,6 +14,8 @@ Design notes:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 _U64 = np.uint64
@@ -32,9 +34,24 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+@lru_cache(maxsize=256)
+def _rng_u64_cached(seed: int, n: int) -> np.ndarray:
+    out = splitmix64(
+        np.arange(1, n + 1, dtype=np.uint64) + _U64(seed & 0xFFFFFFFFFFFFFFFF)
+    )
+    out.flags.writeable = False  # cached copies are shared — freeze them
+    return out
+
+
 def rng_u64(seed: int, n: int) -> np.ndarray:
-    """n deterministic uint64 values derived from seed via splitmix64."""
-    return splitmix64(np.arange(1, n + 1, dtype=np.uint64) + _U64(seed & 0xFFFFFFFFFFFFFFFF))
+    """n deterministic uint64 values derived from seed via splitmix64.
+
+    Cached per (seed, n): these streams are per-row constants inside
+    the signature UDF (per-position multipliers, MinHash params), and
+    recomputing them dominated per-row CPU in profiles.  The returned
+    array is read-only; callers that transform it (e.g. `| 1`) get a
+    fresh array from numpy anyway."""
+    return _rng_u64_cached(int(seed), int(n))
 
 
 def kgram_hashes(data: bytes, k: int) -> np.ndarray:
@@ -56,9 +73,12 @@ def kgram_hashes(data: bytes, k: int) -> np.ndarray:
     return splitmix64(mixed)
 
 
+@lru_cache(maxsize=16)
 def minhash_params(seed: int, num_perm: int) -> tuple[np.ndarray, np.ndarray]:
-    """(a, b) multiply-shift parameters; a forced odd."""
+    """(a, b) multiply-shift parameters; a forced odd.  Cached — called
+    once per row inside the signature UDF."""
     a = rng_u64(seed, num_perm) | _U64(1)
+    a.flags.writeable = False
     b = rng_u64(seed ^ 0xDEADBEEF, num_perm)
     return a, b
 

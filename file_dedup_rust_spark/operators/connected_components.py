@@ -35,8 +35,6 @@ def connected_components(
     label; singletons are their own cluster of size 1 (the reference's
     `cluster_id NULL` state, migrations/0002_file_cluster.sql:10).
     """
-    sc = vertices.sparkSession.sparkContext
-
     und = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -44,9 +42,16 @@ def connected_components(
     )
     und = und.localCheckpoint(eager=True)
 
-    labels = vertices.select(
-        F.col("clip_id").alias("id"), F.col("clip_id").alias("label")
-    ).localCheckpoint(eager=True)
+    # iterate ONLY over edge-incident vertices: singletons (the vast
+    # majority of a deduped corpus) keep label == id by definition and
+    # are attached after the fixpoint — the iterated state is the dup
+    # subgraph, not the whole table
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
 
     def checksum(lbl: DataFrame) -> tuple[int, int]:
         # modular sum keeps ANSI mode (Spark 4 default) overflow-free
@@ -72,15 +77,20 @@ def connected_components(
             .union(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # the checksum action materializes the lazy checkpoint — one
+        # Spark job per iteration instead of two
         cur = checksum(new_labels)
         labels = new_labels
         if cur == prev:
             break
         prev = cur
 
-    return labels.select(
-        F.col("id").alias("clip_id"), F.col("label").alias("cluster_id")
+    return vertices.join(
+        labels.withColumnRenamed("id", "clip_id"), "clip_id", "left"
+    ).select(
+        "clip_id",
+        F.coalesce("label", F.col("clip_id")).alias("cluster_id"),
     )
 
 

@@ -96,17 +96,26 @@ def test_simhash_codec_invariance():
 
 
 def test_simhash_band_keys():
-    n_pairs = CFG.sim_bands * (CFG.sim_bands - 1) // 2
+    import math
+
+    n_keys = math.comb(CFG.sim_bands, CFG.sim_key_arity)
     keys = A.simhash_band_keys(-12345678901234, CFG)
-    assert keys.shape == (n_pairs,)
-    # pair index is mixed in -> all keys distinct even for value 0
+    assert keys.shape == (n_keys,)
+    # slot index is mixed in -> all keys distinct even for value 0
     k0 = A.simhash_band_keys(0, CFG)
-    assert len(set(k0.tolist())) == n_pairs
-    # flipping bits confined to <= sim_bands-2 bands keeps >= 1 shared
-    # key (the pigeonhole candidate guarantee)
+    assert len(set(k0.tolist())) == n_keys
+    # flipping bits confined to <= sim_bands-arity bands keeps >= 1
+    # shared key (the pigeonhole candidate guarantee)
     sim = 0x0123456789ABCDEF
-    corrupted = sim ^ 0x00000000000000FF ^ 0xFF00000000000000  # 2 bands dirty
+    dirty = CFG.sim_bands - CFG.sim_key_arity  # worst guaranteed case
+    corrupted = sim
+    for band in range(dirty):
+        corrupted ^= 0xFF << (band * CFG.sim_band_bits)
     shared = set(A.simhash_band_keys(sim, CFG)) & set(
         A.simhash_band_keys(corrupted, CFG)
     )
     assert len(shared) >= 1
+    # and the keys differ between the two hashes somewhere
+    assert set(A.simhash_band_keys(sim, CFG)) != set(
+        A.simhash_band_keys(corrupted, CFG)
+    )

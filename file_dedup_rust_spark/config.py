@@ -68,6 +68,12 @@ class DedupConfig:
     winnow_k: int = 16          # fingerprint k-gram size
     winnow_w: int = 16          # winnowing window (guarantee length k+w-1)
     min_containment_len: int = 32  # ignore tiny strings (>= winnow guarantee)
+    # containers below this byte length are verified JVM-side
+    # (whole-stage-codegen `contains`); at/above it, candidates group
+    # per container and a numpy suffix array is binary-searched per
+    # pattern (the asymptotic winner for mega-documents probed by
+    # many patterns)
+    sa_container_bytes: int = 4096
 
     # ---- verification thresholds (reference P3 / T2) ----
     jaccard_threshold: float = 0.8

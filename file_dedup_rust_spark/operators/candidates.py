@@ -39,21 +39,26 @@ def bucket_stats(posting: DataFrame, cap: int):
 def candidate_pairs(posting: DataFrame, cap: int) -> DataFrame:
     """(key, clip_id) -> distinct unordered pairs (a < b).
 
-    Plan shape: filter to useful keys (>=2, <=cap members), self-join
-    on key, canonical a<b (also the reference's self-exclusion
-    predicate P2, deduplication_service.rs:214), distinct.  All
-    equi-joins — Catalyst/AQE pick broadcast or skew-split at runtime.
+    Plan shape: filter to useful keys (>=2, <=cap members) using the
+    slim per-key counts (map-side partial combine — hot keys never
+    materialize their members), then group the SURVIVING posting rows
+    per key (arrays bounded by the cap, so the collect is OOM-safe by
+    construction) and explode the m*(m-1)/2 ordered pairs inline.  The
+    a<b canonical order is also the reference's self-exclusion
+    predicate P2 (deduplication_service.rs:214).  One exchange on key
+    + the distinct exchange — the former self-join needed the same
+    pair-expansion volume plus an extra scan of the posting table.
     """
     ok, _ = bucket_stats(posting, cap)
     p = posting.join(ok, "key")  # prune singleton + hot buckets first
-    left = p.alias("l")
-    right = p.alias("r")
+    grouped = p.groupBy("key").agg(
+        F.sort_array(F.collect_list("clip_id")).alias("ids")
+    )
     return (
-        left.join(right, "key")
-        .filter(F.col("l.clip_id") < F.col("r.clip_id"))
+        grouped.select(F.explode("ids").alias("a"), "ids")
         .select(
-            F.col("l.clip_id").alias("a"),
-            F.col("r.clip_id").alias("b"),
+            "a",
+            F.explode(F.filter("ids", lambda x: x > F.col("a"))).alias("b"),
         )
         .distinct()
     )

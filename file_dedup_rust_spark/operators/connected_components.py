@@ -27,6 +27,7 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
     max_iter: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges(a, b) + vertices(clip_id) -> assignments(clip_id, cluster_id).
 
@@ -34,7 +35,60 @@ def connected_components(
     deterministic across runs and cluster sizes).  Every vertex gets a
     label; singletons are their own cluster of size 1 (the reference's
     `cluster_id NULL` state, migrations/0002_file_cluster.sql:10).
-    """
+
+    Adaptive physical strategy: the edge set here is *verified dup
+    pairs between content representatives* — orders of magnitude
+    smaller than the input table (a corpus with 30% dup rate at 10^12
+    rows still yields rep-graph edges in the 10^8-10^9 range, and at
+    bench scales mere thousands).  Below `driver_threshold` edges the
+    transitive closure is a driver-side union-find over one Arrow
+    collect (~seconds, zero shuffle); above it, the iterative
+    distributed min-label propagation runs.  Both paths produce
+    identical labels (min clip_id per component)."""
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        return _driver_cc(edges, vertices)
+    return _distributed_cc(edges, vertices, max_iter)
+
+
+def _driver_cc(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Union-find on the driver (small verified-edge sets)."""
+    spark = vertices.sparkSession
+    pdf = edges.select("a", "b").toPandas()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["a"], pdf["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    ids = list(parent.keys())
+    if not ids:
+        return vertices.select(
+            "clip_id", F.col("clip_id").alias("cluster_id")
+        )
+    import pandas as pd
+
+    labels = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ids, "label": [find(i) for i in ids]})
+    )
+    return vertices.join(labels, "clip_id", "left").select(
+        "clip_id", F.coalesce("label", F.col("clip_id")).alias("cluster_id")
+    )
+
+
+def _distributed_cc(
+    edges: DataFrame, vertices: DataFrame, max_iter: int
+) -> DataFrame:
     und = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))

@@ -33,7 +33,13 @@ def build_session(
         # per bucket, so size-based coalescing (parallelismFirst=false)
         # serialized the join explosion onto 1-2 tasks — measured 47s
         # for a 48k-pair candidate join that runs in ~3s parallel
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # skew-join OFF by default: every join key in the engine is
+        # bounded by construction (band_cap posting lists, rep
+        # contraction before LSH), so AQE's per-join skew statistics
+        # are pure overhead — measured ~9s constant per edge stage.
+        # Callers processing un-capped external joins can re-enable
+        # via extra_conf.
+        .config("spark.sql.adaptive.skewJoin.enabled", "false")
         .config("spark.locality.wait", "0s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

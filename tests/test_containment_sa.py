@@ -43,3 +43,39 @@ def test_containment_bucket_pairs():
 def test_containment_min_len_filter():
     pairs = containment_pairs_in_bucket(["a", "b"], ["abc", "xx abc yy"], min_len=10)
     assert pairs == set()
+
+
+def test_containment_edges_both_branches(spark, cfg):
+    """containment_edges splits verification by container size: short
+    containers go through JVM `contains`, containers >=
+    cfg.sa_container_bytes through the grouped-map suffix array.  Both
+    must emit the same edge shape."""
+    from file_dedup_rust_spark.functions import text as TX
+    from file_dedup_rust_spark.operators.containment import containment_edges
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"tok{i:04d} pad word" for i in range(400))
+    mega = f"{filler} {base} {filler}"          # > 4096 bytes -> SA branch
+    short_cont = f"prefix words {base} suffix words"  # JVM branch
+    rows = {
+        "pat": base,
+        "short_cont": short_cont,
+        "mega_cont": mega,
+        "other": "completely different material with no overlap at all xyz",
+    }
+    assert len(mega.encode()) >= cfg.sa_container_bytes
+
+    recs = []
+    for cid, text in rows.items():
+        t_norm = TX.normalize_transcript(text)
+        fps = TX.transcript_fingerprints(text, cfg)
+        recs.append((cid, t_norm.decode(), len(t_norm),
+                     fps.view("int64").tolist()))
+    sig = spark.createDataFrame(
+        recs, "clip_id string, t_norm string, t_len int, fps array<long>"
+    )
+    got = {(r["a"], r["b"]): r["kind"] for r in containment_edges(sig, cfg).collect()}
+    assert ("pat", "short_cont") in got          # JVM contains branch
+    assert ("mega_cont", "pat") in got or ("pat", "mega_cont") in got  # SA branch
+    assert all(k == "containment" for k in got.values())
+    assert not any("other" in p for p in got)

@@ -81,9 +81,14 @@ def main() -> int:
                     help="small cluster size N (4N must be <= cores)")
     ap.add_argument("--input", default=None,
                     help="existing clips parquet dir (skips datagen)")
-    ap.add_argument("--parts", type=int, default=64,
-                    help="fixed shuffle partition count for both runs")
+    ap.add_argument("--parts", type=int, default=None,
+                    help="fixed shuffle partition count for both runs "
+                         "(default: sized to the DATA — clips/5000 clamped "
+                         "to [16, 256] — exactly like a production job, and "
+                         "held constant across the two cluster sizes)")
     args = ap.parse_args()
+    if args.parts is None:
+        args.parts = max(16, min(256, args.clips // 5000))
 
     if args.input:
         clips_path = args.input

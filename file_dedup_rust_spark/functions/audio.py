@@ -91,7 +91,7 @@ def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
 
 @lru_cache(maxsize=8)
 def _hann(n_fft: int) -> np.ndarray:
-    w = np.hanning(n_fft)
+    w = np.hanning(n_fft).astype(np.float32)
     w.flags.writeable = False
     return w
 
@@ -123,17 +123,24 @@ def spectral_features(pcm: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarr
     """
     n_feat = cfg.n_segments * (cfg.n_bands - 1)
     max_samples = int(cfg.max_decode_seconds * sr_hz)
-    x = pcm[:max_samples].astype(np.float64)
+    # float32 end-to-end: decode already yields float32, and upcasting
+    # doubled the kernel's memory traffic (the frame matrix is the
+    # single biggest allocation per row) — the sign-of-projection
+    # SimHash only needs ~1e-3 relative precision.  The log/contrast
+    # accumulations below run in float64 where cancellation matters.
+    x = np.ascontiguousarray(pcm[:max_samples], dtype=np.float32)
     if x.size < cfg.n_fft:
         x = np.pad(x, (0, cfg.n_fft - x.size))
     # RMS-normalize (gain invariance), guard silence
-    rms = np.sqrt(np.mean(x * x))
+    rms = float(np.sqrt(np.mean(np.square(x, dtype=np.float64))))
     if rms > 1e-8:
-        x = x / rms
+        x = x / np.float32(rms)
     n_frames = 1 + (x.size - cfg.n_fft) // cfg.hop
     idx = np.arange(cfg.n_fft)[None, :] + cfg.hop * np.arange(n_frames)[:, None]
     frames = x[idx] * _hann(cfg.n_fft)[None, :]
-    mag = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (n_frames, n_fft//2+1)
+    spec = np.fft.rfft(frames, axis=1)  # complex64 for float32 input
+    mag = (spec.real.astype(np.float64) ** 2
+           + spec.imag.astype(np.float64) ** 2)  # (n_frames, n_fft//2+1)
 
     # log-spaced band edges over the bin axis (sample-rate independent
     # binning keeps the same *relative* bands; near-dups share sr)
@@ -141,14 +148,14 @@ def spectral_features(pcm: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarr
     edges = _band_edges(n_bins, cfg.n_bands)
     band_e = np.add.reduceat(mag, edges[:-1], axis=1)[:, : cfg.n_bands]
 
-    # temporal pooling into n_segments equal chunks
+    # temporal pooling into n_segments equal chunks (vectorized via a
+    # frame-axis prefix sum; degenerate segments clamp like before)
     seg_bounds = np.linspace(0, n_frames, cfg.n_segments + 1).astype(int)
-    feats = np.empty((cfg.n_segments, cfg.n_bands))
-    for s in range(cfg.n_segments):
-        lo, hi = seg_bounds[s], max(seg_bounds[s + 1], seg_bounds[s] + 1)
-        hi = min(hi, n_frames)
-        lo = min(lo, n_frames - 1)
-        feats[s] = band_e[lo:hi].mean(axis=0)
+    los = np.minimum(seg_bounds[:-1], n_frames - 1)
+    his = np.minimum(np.maximum(seg_bounds[1:], los + 1), n_frames)
+    csum = np.zeros((n_frames + 1, band_e.shape[1]), dtype=np.float64)
+    np.cumsum(band_e, axis=0, out=csum[1:])
+    feats = (csum[his] - csum[los]) / (his - los)[:, None]
     # log with a per-row floor (quiet bands can't be yanked around by
     # tiny absolute noise), then adjacent-band contrasts
     L = np.log(feats + 1e-4 * feats.mean() + 1e-300)

@@ -193,37 +193,50 @@ def containment_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     block) exactly: equal-length pairs can never contain (distinct
     normalized texts), pattern must be >= min_containment_len.
     """
-    from file_dedup_rust_spark.operators.candidates import candidate_pairs
-
     posting = signatures.select(F.explode("fps").alias("key"), "clip_id")
-    cand = candidate_pairs(posting, cfg.band_cap)
+    counts = posting.groupBy("key").agg(F.count("*").alias("n"))
+    pok = posting.join(counts.filter(F.col("n") <= cfg.band_cap), "key")
 
-    t = signatures.select("clip_id", "t_norm", "t_len")
-    p = (
-        cand.join(
-            t.select(
-                F.col("clip_id").alias("a"), F.col("t_norm").alias("ta"),
-                F.col("t_len").alias("la"),
-            ),
-            "a",
-        ).join(
-            t.select(
-                F.col("clip_id").alias("b"), F.col("t_norm").alias("tb"),
-                F.col("t_len").alias("lb"),
-            ),
-            "b",
+    # Min-df pruning (prefix filtering specialised to containment).
+    # Winnowing self-consistency: if pat is a verbatim substring of
+    # cont, every window of pat's k-gram stream appears with identical
+    # contents inside cont, so EVERY fingerprint of pat is also a
+    # fingerprint of cont — including pat's RAREST surviving one.
+    # Indexing each pattern under only that one fingerprint and
+    # probing the posting list is therefore a COMPLETE candidate
+    # generator (and exactly matches the numpy oracle's recall: if any
+    # pat fp survives the cap, the rarest one does).  Candidate volume
+    # drops from sum-of-C(bucket,2) — measured 52.3M pairs at 640k
+    # clips, growing ~n^2 — to sum-of-df(rarest), i.e. near-linear.
+    # Ties on df break on the key value for determinism.
+    pat_min = (
+        pok.groupBy("clip_id")
+        .agg(F.min(F.struct("n", "key")).alias("mk"))
+        .select(
+            F.col("clip_id").alias("pat_id"), F.col("mk.key").alias("key")
         )
     )
-    a_short = F.col("la") < F.col("lb")
+    t = signatures.select("clip_id", "t_norm", "t_len")
+    pat = pat_min.join(
+        t.select(
+            F.col("clip_id").alias("pat_id"), F.col("t_norm").alias("pat"),
+            F.col("t_len").alias("lp"),
+        ),
+        "pat_id",
+    ).filter(F.col("lp") >= cfg.min_containment_len)
     oriented = (
-        p.filter(F.col("la") != F.col("lb"))  # equal length != equal text here
-        .select(
-            F.when(a_short, F.col("a")).otherwise(F.col("b")).alias("pat_id"),
-            F.when(a_short, F.col("ta")).otherwise(F.col("tb")).alias("pat"),
-            F.when(a_short, F.col("b")).otherwise(F.col("a")).alias("cont_id"),
-            F.when(a_short, F.col("tb")).otherwise(F.col("ta")).alias("cont"),
+        pat.join(pok.select("key", F.col("clip_id").alias("cont_id")), "key")
+        .join(
+            t.select(
+                F.col("clip_id").alias("cont_id"),
+                F.col("t_norm").alias("cont"), F.col("t_len").alias("lc"),
+            ),
+            "cont_id",
         )
-        .filter(F.octet_length("pat") >= cfg.min_containment_len)
+        # the contained side is strictly shorter (equal-length distinct
+        # normalized texts can never contain each other)
+        .filter(F.col("lp") < F.col("lc"))
+        .select("pat_id", "pat", "cont_id", "cont")
     )
 
     # two physical strategies, same semantics, split by container size:

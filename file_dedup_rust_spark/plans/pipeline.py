@@ -129,9 +129,9 @@ def build_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     mh_pairs = C.candidate_pairs(mh_posting, cfg.band_cap)
     e_trans = V.verify_minhash(mh_pairs, treps, cfg)
 
-    sh_posting = C.explode_keys(areps, "sim_keys")
-    sh_pairs = C.candidate_pairs(sh_posting, cfg.band_cap)
-    e_audio = V.verify_simhash(sh_pairs, areps, cfg)
+    # simhash rides the posting rows (8 bytes) and verifies in-bucket:
+    # failed candidates never reach a shuffle (verify.py docstring)
+    e_audio = V.simhash_edges_in_bucket(areps, cfg, cfg.band_cap)
 
     e_cont = containment_edges(treps, cfg)
 

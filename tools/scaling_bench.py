@@ -88,7 +88,10 @@ def main() -> int:
                          "held constant across the two cluster sizes)")
     args = ap.parse_args()
     if args.parts is None:
-        args.parts = max(16, min(256, args.clips // 5000))
+        # ~20k clips per shuffle partition keeps partitions well under
+        # executor memory while avoiding tiny-task scheduling waves
+        # (16 partitions measured fastest at 80k clips on this box)
+        args.parts = max(16, min(256, args.clips // 20000))
 
     if args.input:
         clips_path = args.input

@@ -87,18 +87,23 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     """MinHash signature over a set of 64-bit shingle hashes.
 
     shingles: uint64 (n,);  a, b: uint64 (num_perm,).
-    Returns int64 (num_perm,) — stored as Spark array<long>.
+    Returns int32 (num_perm,) — stored as Spark array<int>.  Each lane
+    keeps the top 30 bits of its 63-bit minimum: lane agreement is
+    preserved exactly, disagreement collapses to a false agreement
+    with probability ~2^-30 per lane (immaterial next to the
+    1/sqrt(num_perm) estimator noise), and the signature is half the
+    bytes through every shuffle and checkpoint that carries it.
     Empty shingle set -> all -1 sentinel (never collides with a real
-    signature because real lanes are >= 0 after the >>1).
+    signature because real lanes are >= 0).
     """
     num_perm = a.shape[0]
     if shingles.size == 0:
-        return np.full(num_perm, -1, dtype=np.int64)
+        return np.full(num_perm, -1, dtype=np.int32)
     u = np.unique(shingles)
     with np.errstate(over="ignore"):
-        # (num_perm, n) lane values; >>1 keeps them in int64-positive range
+        # (num_perm, n) lane values; >>1 keeps them int64-positive
         lanes = (a[:, None] * u[None, :] + b[:, None]) >> _U64(1)
-    return lanes.min(axis=1).astype(np.int64)
+    return (lanes.min(axis=1) >> _U64(33)).astype(np.int32)
 
 
 def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:

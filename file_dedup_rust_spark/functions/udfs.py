@@ -26,7 +26,7 @@ from file_dedup_rust_spark.functions import text as TX
 SIGNATURE_SCHEMA = (
     "clip_id string, sha256 string, simhash long, decode_ok boolean, "
     "n_samples long, pcm_rms double, "
-    "minhash array<long>, mh_bands array<long>, sim_keys array<long>, "
+    "minhash array<int>, mh_bands array<long>, sim_keys array<long>, "
     "fps array<long>, t_norm string, t_len int"
 )
 

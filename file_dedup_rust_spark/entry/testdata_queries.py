@@ -372,19 +372,46 @@ pairs AS (
 
 
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _cosine_pairs(spark, sf_dir)
-    mirrored = pairs.select(
-        F.col("ia").alias("vec_id"), F.col("ib").alias("neighbor_id"), "sim"
-    ).unionByName(
-        pairs.select(
-            F.col("ib").alias("vec_id"), F.col("ia").alias("neighbor_id"), "sim"
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        mirrored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("vec_id", "neighbor_id", "sim", "rank")
+    """Brute-force cosine top-k, vectorized: the corpus matrix is
+    normalized once and broadcast (the baseline path — the scale path
+    is q_ann_ivf_topk); each Arrow batch of probes computes one BLAS
+    matmul against it instead of O(n^2) per-pair fold expressions.
+    Ranking semantics identical to the window formulation the oracle
+    uses: rounded sim desc, neighbor_id asc, self excluded (reference
+    P2/T2, deduplication_service.rs:214,309)."""
+    import numpy as np
+    import pandas as pd
+
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    corpus = e.toPandas()
+    ids = corpus["vec_id"].to_numpy()
+    M = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    bc = spark.sparkContext.broadcast((ids, M, idx_of))
+
+    def topk(batches):
+        ids_b, M_b, idx_b = bc.value
+        for pdf in batches:
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            S = np.round(A @ M_b.T, 4)
+            out_v, out_n, out_s, out_r = [], [], [], []
+            for r, vid in enumerate(pdf["vec_id"]):
+                row = S[r].copy()
+                row[idx_b[int(vid)]] = -np.inf  # self-exclusion (P2)
+                order = np.lexsort((ids_b, -row))[:TOP_K]
+                out_v.extend([int(vid)] * len(order))
+                out_n.extend(ids_b[order].tolist())
+                out_s.extend(row[order].tolist())
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {"vec_id": out_v, "neighbor_id": out_n,
+                 "sim": out_s, "rank": out_r}
+            )
+
+    return e.mapInPandas(
+        topk, schema="vec_id long, neighbor_id long, sim double, rank long"
     )
 
 

@@ -72,3 +72,30 @@ def test_paths_agree_on_random_graph(spark):
     # labels are component minima
     for v, lbl in a.items():
         assert lbl <= v
+
+
+def test_simhash_inbucket_equals_join_verify(spark, cfg):
+    """simhash_edges_in_bucket (verification inside the bucket stage)
+    must emit exactly the edge set of the candidate_pairs ->
+    verify_simhash join formulation — moving the Hamming filter before
+    the distinct cannot change the result."""
+    from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.functions.udfs import compute_signatures
+    from file_dedup_rust_spark.operators import candidates as C
+    from file_dedup_rust_spark.operators import verify as V
+    from file_dedup_rust_spark.plans.pipeline import audio_reps
+
+    clips = datagen.generate_clips(spark, 600, seed=7)
+    sigs = compute_signatures(clips, cfg)
+    areps = audio_reps(sigs).persist()
+    fast = {
+        (r["a"], r["b"], round(r["sim"], 9))
+        for r in V.simhash_edges_in_bucket(areps, cfg, cfg.band_cap).collect()
+    }
+    pairs = C.candidate_pairs(C.explode_keys(areps, "sim_keys"), cfg.band_cap)
+    slow = {
+        (r["a"], r["b"], round(r["sim"], 9))
+        for r in V.verify_simhash(pairs, areps, cfg).collect()
+    }
+    assert fast == slow
+    assert len(fast) > 0  # the seed plants near-dups; non-vacuous

@@ -123,6 +123,127 @@ def incremental_exact_dedup(
     return writer.start()
 
 
+def incremental_near_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    available_now: bool = True,
+):
+    """Incremental exact + NEAR dedup — the streaming analog of the
+    reference's full per-file flow: hash probe (J1), store the
+    signature in the index (S5), then similarity-search the index (J2)
+    — batched per micro-batch instead of per file.
+
+    Two accumulating stores:
+      * ``{store_dir}/sigs``    — one row per clip (sha256, simhash)
+      * ``{store_dir}/posting`` — the LSH index: exploded
+        (key, clip_id, simhash) band-posting rows (the OpenSearch-index
+        analog, deduplication_service.rs:256-298)
+
+    Each micro-batch probes its sha256 against the sig store and its
+    band keys against the posting store (plus within-batch probes),
+    verifies candidates with the Hamming threshold inline, appends
+    match rows to ``out_dir``, then appends the batch to both stores.
+    Emits (clip_id, matched_clip_id, match_kind in {exact, audio},
+    sim, match_scope in {batch, corpus}).
+    """
+    cfg = cfg or DedupConfig()
+    clips = read_clip_stream(spark, landing_dir)
+    sigs = compute_signatures(clips, cfg).select(
+        "clip_id", "sha256", "simhash", "sim_keys", "decode_ok"
+    )
+    d_max = cfg.hamming_max
+    bits = float(cfg.simhash_bits)
+
+    def hamming_matches(probe, index):
+        d = F.bit_count(F.col("p.simhash").bitwiseXOR(F.col("i.simhash")))
+        return (
+            probe.alias("p")
+            .join(index.alias("i"), "key")
+            .filter(F.col("p.clip_id") != F.col("i.clip_id"))
+            .filter(d <= d_max)
+            .select(
+                F.col("p.clip_id").alias("clip_id"),
+                F.col("i.clip_id").alias("matched_clip_id"),
+                F.lit("audio").alias("match_kind"),
+                (F.lit(1.0) - d / F.lit(bits)).alias("sim"),
+            )
+            .distinct()
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.persist()
+        try:
+            spark_l = b.sparkSession
+            posting_b = b.filter("decode_ok").select(
+                F.explode("sim_keys").alias("key"), "clip_id", "simhash"
+            )
+            # ---- exact (J1): within batch + against the store ----
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("sha256")
+            exact_intra = (
+                b.withColumn("rep", F.min("clip_id").over(w))
+                .filter(F.col("clip_id") != F.col("rep"))
+                .select(
+                    "clip_id",
+                    F.col("rep").alias("matched_clip_id"),
+                    F.lit("exact").alias("match_kind"),
+                    F.lit(1.0).alias("sim"),
+                    F.lit("batch").alias("match_scope"),
+                )
+            )
+            # ---- near (J2): batch self-probe, one direction ----
+            near_intra = (
+                hamming_matches(
+                    posting_b, posting_b.select("key", "clip_id", "simhash")
+                )
+                .filter(F.col("clip_id") > F.col("matched_clip_id"))
+                .withColumn("match_scope", F.lit("batch"))
+            )
+            matches = exact_intra.unionByName(near_intra)
+            if os.path.exists(os.path.join(store_dir, "sigs")):
+                corpus = spark_l.read.parquet(f"{store_dir}/sigs")
+                exact_cross = (
+                    b.join(
+                        corpus.select(
+                            F.col("clip_id").alias("matched_clip_id"), "sha256"
+                        ),
+                        "sha256",
+                    )
+                    .select(
+                        "clip_id", "matched_clip_id",
+                        F.lit("exact").alias("match_kind"),
+                        F.lit(1.0).alias("sim"),
+                        F.lit("corpus").alias("match_scope"),
+                    )
+                )
+                index = spark_l.read.parquet(f"{store_dir}/posting")
+                near_cross = hamming_matches(posting_b, index).withColumn(
+                    "match_scope", F.lit("corpus")
+                )
+                matches = matches.unionByName(exact_cross).unionByName(near_cross)
+            matches.write.mode("append").parquet(out_dir)
+            b.select("clip_id", "sha256", "simhash").write.mode("append").parquet(
+                f"{store_dir}/sigs"
+            )
+            posting_b.write.mode("append").parquet(f"{store_dir}/posting")
+        finally:
+            b.unpersist()
+
+    writer = (
+        sigs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 _ASSIGN_STATE_SCHEMA = "rep string"
 _ASSIGN_OUT_SCHEMA = "clip_id string, sha256 string, cluster_rep string"
 

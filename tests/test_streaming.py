@@ -100,3 +100,51 @@ def test_windowed_ingest_stats_schema(spark, two_batches):
     # the schema/plumbing is what this asserts. Run a second drop to
     # close the first window if rows exist.
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def near_batches(spark, tmp_path_factory):
+    """Batch 1 = audio bases, batch 2 = their SNR-perturbed near-dup
+    children (role 'audio_near') plus everything else."""
+    root = tmp_path_factory.mktemp("stream-near")
+    landing = str(root / "landing")
+    pdf = datagen.generate_clips_pandas(150, seed=43)
+    plan = datagen.build_plan(150, seed=43)
+    base_id = {int(r.idx): r.clip_id for r in plan.itertuples() if r.role == "base"}
+    near_children = [
+        (r.clip_id, base_id[int(r.source)])
+        for r in plan.itertuples() if r.role == "audio_near"
+    ]
+    assert len(near_children) > 0
+    base_ids = {b for _, b in near_children}
+    b1 = pdf[pdf.clip_id.isin(base_ids)]
+    b2 = pdf[~pdf.clip_id.isin(base_ids)]
+    os.makedirs(landing, exist_ok=True)
+    spark.createDataFrame(b1, schema=datagen.CLIP_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{landing}/batch=1")
+    spark.createDataFrame(b2, schema=datagen.CLIP_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{landing}/batch=2")
+    return landing, root, near_children
+
+
+def test_incremental_near_dedup_cross_batch(spark, near_batches, cfg):
+    from file_dedup_rust_spark.streaming.incremental import incremental_near_dedup
+
+    landing, root, near_children = near_batches
+    out = str(root / "matches")
+    store = str(root / "store")
+    q = incremental_near_dedup(spark, f"{landing}/batch=1", store, out, str(root / "ck1"), cfg)
+    q.awaitTermination(180)
+    q2 = incremental_near_dedup(spark, f"{landing}/batch=2", store, out, str(root / "ck2"), cfg)
+    q2.awaitTermination(180)
+    m = spark.read.parquet(out)
+    audio = {(r.clip_id, r.matched_clip_id) for r in m.filter("match_kind='audio'").collect()}
+    missing = set(near_children) - audio
+    assert not missing, f"missed cross-batch near dups: {missing}"
+    # every match passed the Hamming threshold
+    sims = [r.sim for r in m.filter("match_kind='audio'").collect()]
+    assert all(s >= 1.0 - cfg.hamming_max / cfg.simhash_bits - 1e-9 for s in sims)
+    # stores accumulated both batches
+    assert spark.read.parquet(f"{store}/sigs").count() == 150

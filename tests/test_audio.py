@@ -119,3 +119,33 @@ def test_simhash_band_keys():
     assert set(A.simhash_band_keys(sim, CFG)) != set(
         A.simhash_band_keys(corrupted, CFG)
     )
+
+
+def test_corrupt_audio_quarantined():
+    """Undecodable bytes become decode_ok=False quarantine rows (the
+    batch analog of the reference's status='failed' dead-lettering,
+    deduplication_service.rs:128-137) — transcript signatures still
+    compute, and nothing raises."""
+    import pandas as pd
+
+    from file_dedup_rust_spark.functions.udfs import signature_batch
+
+    pdf = pd.DataFrame({
+        "clip_id": ["good", "bad_wav", "empty", "bad_codec"],
+        "bytes": [
+            A.encode_wav(_tone(seed=1), 8000),
+            b"RIFFxxxxWAVEgarbage-not-a-chunk",
+            b"",
+            b"\x01\x02\x03\x04",
+        ],
+        "sr_hz": [8000] * 4,
+        "codec": ["wav", "wav", "wav", "flac"],
+        "transcript": ["hello world one", None, "still has text here", "x"],
+    })
+    out = signature_batch(pdf, CFG, A.simhash_planes(CFG))
+    ok = dict(zip(out["clip_id"], out["decode_ok"]))
+    assert ok == {"good": True, "bad_wav": False, "empty": False,
+                  "bad_codec": False}
+    # sha256 and transcript features exist for every row regardless
+    assert all(len(h) == 64 for h in out["sha256"])
+    assert out.loc[out.clip_id == "empty", "t_len"].iloc[0] > 0

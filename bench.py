@@ -37,7 +37,9 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
-    n_clips = int(os.environ.get("BENCH_CLIPS", str(max(2000, int(sf * 200_000)))))
+    # enough clips that compute, not per-stage scheduling floor,
+    # dominates the pipeline timing (datagen is excluded from timing)
+    n_clips = int(os.environ.get("BENCH_CLIPS", str(max(2000, int(sf * 500_000)))))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from file_dedup_rust_spark import datagen

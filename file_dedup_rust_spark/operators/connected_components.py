@@ -52,34 +52,38 @@ def connected_components(
 
 
 def _driver_cc(edges: DataFrame, vertices: DataFrame) -> DataFrame:
-    """Union-find on the driver (small verified-edge sets)."""
+    """Vectorized min-label solve on the driver (small verified-edge
+    sets): one Arrow collect, then numpy edge-relaxation + pointer
+    jumping (label <- label[label]) to a fixpoint.  np.unique returns
+    SORTED uniques, so the index minimum of a component IS its
+    lexicographically-min clip_id — identical labels to the
+    distributed path.  ~O(E log V) total, all C-speed; the former
+    per-edge Python union-find dominated this path at millions of
+    edges."""
+    import numpy as np
+    import pandas as pd
+
     spark = vertices.sparkSession
     pdf = edges.select("a", "b").toPandas()
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(pdf["a"], pdf["b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    ids = list(parent.keys())
-    if not ids:
+    if len(pdf) == 0:
         return vertices.select(
             "clip_id", F.col("clip_id").alias("cluster_id")
         )
-    import pandas as pd
-
+    both = pd.concat([pdf["a"], pdf["b"]]).to_numpy()
+    uniques, codes = np.unique(both, return_inverse=True)
+    m = len(pdf)
+    ea, eb = codes[:m], codes[m:]
+    label = np.arange(len(uniques))
+    while True:
+        old = label.copy()
+        lo = np.minimum(label[ea], label[eb])
+        np.minimum.at(label, ea, lo)
+        np.minimum.at(label, eb, lo)
+        label = np.minimum(label, label[label])  # pointer jumping
+        if np.array_equal(label, old):
+            break
     labels = spark.createDataFrame(
-        pd.DataFrame({"clip_id": ids, "label": [find(i) for i in ids]})
+        pd.DataFrame({"clip_id": uniques, "label": uniques[label]})
     )
     return vertices.join(labels, "clip_id", "left").select(
         "clip_id", F.coalesce("label", F.col("clip_id")).alias("cluster_id")

@@ -27,7 +27,7 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
     max_iter: int = 50,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 20_000_000,
 ) -> DataFrame:
     """edges(a, b) + vertices(clip_id) -> assignments(clip_id, cluster_id).
 
@@ -40,11 +40,13 @@ def connected_components(
     pairs between content representatives* — orders of magnitude
     smaller than the input table (a corpus with 30% dup rate at 10^12
     rows still yields rep-graph edges in the 10^8-10^9 range, and at
-    bench scales mere thousands).  Below `driver_threshold` edges the
-    transitive closure is a driver-side union-find over one Arrow
-    collect (~seconds, zero shuffle); above it, the iterative
-    distributed min-label propagation runs.  Both paths produce
-    identical labels (min clip_id per component)."""
+    bench scales mere millions).  Below `driver_threshold` edges the
+    transitive closure solves driver-side over one Arrow collect
+    (~50 B/edge, so the default 20M caps the collect at ~1 GB —
+    seconds of numpy, zero shuffle); above it, the distributed
+    min-label propagation with pointer jumping runs (O(log diameter)
+    rounds).  Both paths produce identical labels (min clip_id per
+    component)."""
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         return _driver_cc(edges, vertices)
@@ -130,11 +132,23 @@ def _distributed_cc(
             und.join(labels, und.dst == labels.id)
             .select(F.col("src").alias("id"), "label")
         )
-        new_labels = (
+        relaxed = (
             labels.select("id", "label")
             .union(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label <- label[label].  Every label value is
+        # itself an edge-incident vertex id, so the self-join resolves
+        # it to that vertex's (smaller-or-equal) label — convergence in
+        # O(log diameter) rounds instead of O(diameter), which is what
+        # separates chains of near-dups (long diameters) from stars.
+        j = relaxed.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            relaxed.join(j, relaxed.label == j.jid, "left")
+            .select("id", F.coalesce("jlabel", "label").alias("label"))
         ).localCheckpoint(eager=False)
         # the checksum action materializes the lazy checkpoint — one
         # Spark job per iteration instead of two

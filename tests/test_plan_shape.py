@@ -1,0 +1,53 @@
+"""Physical-plan guards: the properties tools/explain_plans.py audits,
+pinned as tests so a regression (a row-at-a-time Python UDF sneaking
+into the hot pair path, losing column pruning on the binary column)
+fails CI loudly.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from file_dedup_rust_spark.config import DEFAULT_CONFIG
+from file_dedup_rust_spark.functions.udfs import compute_signatures
+from file_dedup_rust_spark.plans.pipeline import build_edges
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_edges_plan_has_no_rowwise_python(spark, cfg, tmp_path):
+    from file_dedup_rust_spark import datagen
+
+    clips_path = str(tmp_path / "clips")
+    datagen.generate_clips(spark, 300, seed=42).write.parquet(clips_path)
+    sigs = compute_signatures(spark.read.parquet(clips_path), DEFAULT_CONFIG)
+    text = _plan(build_edges(sigs, DEFAULT_CONFIG))
+    # verification is JVM expressions + grouped-map only — never
+    # per-row Python in the pair path
+    assert "BatchEvalPython" not in text
+    # candidate/verify aggregation shows hash aggregates + exchanges
+    assert "HashAggregate" in text
+    assert "Exchange" in text
+
+
+def test_signature_scan_prunes_unused_columns(spark, tmp_path):
+    """The signature operator must read only the columns it consumes —
+    dur_ms is not part of the signature inputs and must be pruned from
+    the parquet ReadSchema (Catalyst column pruning through
+    mapInPandas)."""
+    from file_dedup_rust_spark import datagen
+
+    clips_path = str(tmp_path / "clips")
+    datagen.generate_clips(spark, 200, seed=42).write.parquet(clips_path)
+    sigs = compute_signatures(spark.read.parquet(clips_path), DEFAULT_CONFIG)
+    text = _plan(sigs)
+    read_schema = [ln for ln in text.splitlines() if "ReadSchema" in ln]
+    assert read_schema, text
+    assert "dur_ms" not in read_schema[0]
+    assert "bytes" in read_schema[0]  # consumed here, nowhere else

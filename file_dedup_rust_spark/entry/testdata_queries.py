@@ -372,47 +372,18 @@ pairs AS (
 
 
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k, vectorized: the corpus matrix is
-    normalized once and broadcast (the baseline path — the scale path
-    is q_ann_ivf_topk); each Arrow batch of probes computes one BLAS
-    matmul against it instead of O(n^2) per-pair fold expressions.
-    Ranking semantics identical to the window formulation the oracle
-    uses: rounded sim desc, neighbor_id asc, self excluded (reference
+    """Exact brute-force cosine top-k as a distributed block-matmul
+    join (operators.ann.knn_topk_blocked): corpus and probes are each
+    packed into dense blocks, blocks cross-join, each pair computes one
+    BLAS matmul + partial top-k, and a window rank merges partials.  No
+    driver-side collect of the input table anywhere in the plan
+    (tests/test_plan_shape.py pins this).  Ranking semantics match the
+    oracle: rounded sim desc, neighbor_id asc, self excluded (reference
     P2/T2, deduplication_service.rs:214,309)."""
-    import numpy as np
-    import pandas as pd
+    from file_dedup_rust_spark.operators.ann import knn_topk_blocked
 
     e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
-    corpus = e.toPandas()
-    ids = corpus["vec_id"].to_numpy()
-    M = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    idx_of = {int(v): i for i, v in enumerate(ids)}
-    bc = spark.sparkContext.broadcast((ids, M, idx_of))
-
-    def topk(batches):
-        ids_b, M_b, idx_b = bc.value
-        for pdf in batches:
-            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            S = np.round(A @ M_b.T, 4)
-            out_v, out_n, out_s, out_r = [], [], [], []
-            for r, vid in enumerate(pdf["vec_id"]):
-                row = S[r].copy()
-                row[idx_b[int(vid)]] = -np.inf  # self-exclusion (P2)
-                order = np.lexsort((ids_b, -row))[:TOP_K]
-                out_v.extend([int(vid)] * len(order))
-                out_n.extend(ids_b[order].tolist())
-                out_s.extend(row[order].tolist())
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {"vec_id": out_v, "neighbor_id": out_n,
-                 "sim": out_s, "rank": out_r}
-            )
-
-    return e.mapInPandas(
-        topk, schema="vec_id long, neighbor_id long, sim double, rank long"
-    )
+    return knn_topk_blocked(e, top_k=TOP_K)
 
 
 SQL_KNN_TOPK = f"""
@@ -953,61 +924,20 @@ FROM ranked WHERE rn <= 3 GROUP BY lang
 # ---------------------------------------------------------------------------
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantize every vector to its nearest
-    'centroid' (deterministically chosen seed vectors: vec_id % 50 == 0),
-    probe the 2 nearest centroid buckets, brute-force within.  The
-    bucket join replaces the all-pairs cross join — at 1000x data the
-    per-bucket work stays bounded while recall stays high for
-    clusterable data.  Approximate by design → no SQL oracle."""
-    e = _embeddings(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    e = e.withColumn("nrm", nrm)
-    cents = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    dot = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "nrm", "cent_id",
-        (dot / (F.col("nrm") * F.col("cn"))).alias("csim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    assign = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 2)  # nprobe = 2
-        .select("vec_id", "v", "nrm", "cent_id")
-    )
-    a = assign.select(
-        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "cent_id",
-    )
-    b = assign.select(
-        F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "cent_id",
-    )
-    pdot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    pairs = (
-        a.join(b, "cent_id")
-        .filter(F.col("ia") != F.col("ib"))
-        .select(
-            F.col("ia").alias("vec_id"), F.col("ib").alias("neighbor_id"),
-            F.round(pdot / (F.col("na") * F.col("nb")), 4).alias("sim"),
-        )
-        .dropDuplicates(["vec_id", "neighbor_id"])
-    )
-    wk = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= TOP_K)
-        .select("vec_id", "neighbor_id", "sim", "rank")
-    )
+    """IVF ANN top-k (operators.ann.ivf_topk): FIXED-size codebook
+    (k ~ 3*sqrt(n), capped 4096) trained by deterministic sampled
+    Lloyd, broadcast (k*d*8 bytes — bounded, ~2 MB worst case), every
+    vector multi-assigned to its top-8 cells, probes scan their top-16
+    cells, per-cell work one cogrouped matmul.  Per-probe candidates
+    are O(sqrt(n)) when k tracks sqrt(n) — the sublinear scale path
+    for the reference's HNSW index (iac/opensearch_indexes.tf:8-14).
+    Approximate by design → no SQL oracle; quality is gated by
+    tests/test_ann_quality.py (recall@10 >= 0.9 vs brute at sf0.01 and
+    sf0.1)."""
+    from file_dedup_rust_spark.operators.ann import ivf_topk
+
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return ivf_topk(e, top_k=TOP_K)
 
 
 # ---------------------------------------------------------------------------

@@ -34,11 +34,25 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
-@lru_cache(maxsize=256)
-def _rng_u64_cached(seed: int, n: int) -> np.ndarray:
-    out = splitmix64(
+# Only small streams are cacheable: the hot callers (per-position
+# k-gram multipliers, MinHash params, SimHash planes) all request
+# n <= a few thousand with a handful of distinct seeds.  Large
+# one-off streams (e.g. per-payload pixel synthesis in
+# multimodal.fake_decode_image) must NOT enter the cache — a stream of
+# unique (seed, n=width*height) keys would pin up to 256 * w*h*8 bytes
+# per executor Python worker and evict the hot entries.
+_RNG_CACHE_MAX_N = 65_536
+
+
+def _rng_raw(seed: int, n: int) -> np.ndarray:
+    return splitmix64(
         np.arange(1, n + 1, dtype=np.uint64) + _U64(seed & 0xFFFFFFFFFFFFFFFF)
     )
+
+
+@lru_cache(maxsize=256)
+def _rng_u64_cached(seed: int, n: int) -> np.ndarray:
+    out = _rng_raw(seed, n)
     out.flags.writeable = False  # cached copies are shared — freeze them
     return out
 
@@ -46,12 +60,15 @@ def _rng_u64_cached(seed: int, n: int) -> np.ndarray:
 def rng_u64(seed: int, n: int) -> np.ndarray:
     """n deterministic uint64 values derived from seed via splitmix64.
 
-    Cached per (seed, n): these streams are per-row constants inside
-    the signature UDF (per-position multipliers, MinHash params), and
-    recomputing them dominated per-row CPU in profiles.  The returned
-    array is read-only; callers that transform it (e.g. `| 1`) get a
-    fresh array from numpy anyway."""
-    return _rng_u64_cached(int(seed), int(n))
+    Small streams (n <= 65536) are cached per (seed, n): they are
+    per-row constants inside the signature UDF, and recomputing them
+    dominated per-row CPU in profiles.  Cached arrays are read-only;
+    callers that transform them (e.g. `| 1`) get a fresh array from
+    numpy anyway.  Larger requests are computed fresh (bounded memory;
+    see _RNG_CACHE_MAX_N note)."""
+    if n <= _RNG_CACHE_MAX_N:
+        return _rng_u64_cached(int(seed), int(n))
+    return _rng_raw(int(seed), int(n))
 
 
 def kgram_hashes(data: bytes, k: int) -> np.ndarray:

@@ -75,7 +75,14 @@ def fake_decode_image(data: bytes, width: int, height: int) -> np.ndarray:
         raise ValueError("empty payload or degenerate dimensions")
     seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
     n = int(width) * int(height)
-    u = rng_u64(seed, n).astype(np.float64) / 2**64
+    # splitmix64 directly, NOT rng_u64: per-payload seeds are unique, so
+    # going through the (seed, n) cache would only evict the hot
+    # signature-UDF streams while pinning w*h*8 bytes per distinct image
+    raw = splitmix64(
+        np.arange(1, n + 1, dtype=np.uint64)
+        + np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    )
+    u = raw.astype(np.float64) / 2**64
     return u.reshape(int(height), int(width)).astype(np.float32)
 
 

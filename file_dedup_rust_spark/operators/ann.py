@@ -1,0 +1,305 @@
+"""Approximate + exact nearest-neighbour operators over an embedding
+column — the engine's analog of the reference's k-NN similarity search
+(/root/reference/backend/src/worker/deduplication_service.rs:300-372,
+OpenSearch HNSW index iac/opensearch_indexes.tf:8-14).
+
+Two physical strategies, both free of driver-side collects of input
+tables:
+
+* `knn_topk_blocked` — EXACT brute-force cosine top-k as a distributed
+  block-matmul join: the corpus is packed into B dense float64 blocks
+  (one Arrow pass), probes into P blocks, and each (probe-block,
+  corpus-block) pair computes one BLAS matmul + per-probe partial
+  top-k; a final window rank merges partials.  Shuffle volume is
+  P*corpus_bytes + B*probe_bytes (classic block matmul), and nothing
+  ever lands on the driver.  This is the oracle-checkable baseline.
+
+* `ivf_topk` — IVF scale path: a FIXED-size codebook (k = O(sqrt(n)),
+  capped) is trained by Lloyd iterations on a BOUNDED deterministic
+  sample, broadcast (k*d*8 bytes, ~2 MB at k=4096 d=64), every vector
+  is assigned to its top-`assign_m` cells (multi-assignment) and each
+  probe scans its top-`nprobe` cells; per-cell work is one cogrouped
+  matmul.  Per-probe work is nprobe * assign_m * n / k = O(sqrt(n))
+  when k tracks sqrt(n) — sublinear, with bounded broadcast and
+  bounded per-cell memory.  (Replaces the round-1 `vec_id % 50`
+  centroid scheme whose codebook grew O(n).)
+
+Determinism: the codebook sample is the `sample_cap` smallest
+xxhash64(vec_id) rows, Lloyd is seeded numpy — identical across runs
+and cluster sizes.
+
+Tuning note (measured, tests/test_ann_quality.py): the synthetic
+testdata embeddings are near-isotropic (median pairwise cosine ~0.0,
+true top-10 neighbours only ~0.3), so high recall needs generous
+defaults (assign_m=8, nprobe=16) — at toy n this scans a large
+fraction, but the SAME parameters with k ~ 3*sqrt(n) are genuinely
+sublinear at scale: per-probe candidates ~ nprobe*assign_m*sqrt(n)/3
+~ 43*sqrt(n), i.e. ~0.1% of a 10^9-vector corpus.  On clusterable
+real embeddings nprobe can drop an order of magnitude at equal recall.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PACKED_SCHEMA = "block_id int, ids binary, mat binary, n int, d int"
+
+
+def _pack_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Group of (block_id, vec_id, embedding) -> one packed row with the
+    L2-normalized float64 matrix as bytes (Arrow-friendly; avoids
+    millions of tiny array objects through the cross join)."""
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    return pd.DataFrame(
+        {
+            "block_id": [int(pdf["block_id"].iloc[0])],
+            "ids": [ids.tobytes()],
+            "mat": [M.tobytes()],
+            "n": [len(ids)],
+            "d": [M.shape[1]],
+        }
+    )
+
+
+def _pack_blocks(e: DataFrame, n_blocks: int, id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, embedding) -> n_blocks packed rows (one applyInPandas)."""
+    return (
+        e.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+            .cast("int")
+            .alias("block_id"),
+            F.col(id_col).alias("vec_id"),
+            "embedding",
+        )
+        .groupBy("block_id")
+        .applyInPandas(_pack_fn, schema=_PACKED_SCHEMA)
+    )
+
+
+def knn_topk_blocked(
+    e: DataFrame,
+    top_k: int = 10,
+    n_blocks: int = 16,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k via distributed block matmul.
+
+    e(vec_id long, embedding array<numeric>) ->
+    (vec_id, neighbor_id, sim, rank), rank 1..top_k ordered by
+    (round(sim, 4) DESC, neighbor_id ASC), self excluded (reference
+    P2/T2 semantics, deduplication_service.rs:214,309).
+
+    Physical plan: probes and corpus are the SAME table packed into
+    `n_blocks` blocks each; the blocks cross-join (n_blocks^2 rows),
+    each computing one (n/B x n/B) BLAS matmul and keeping top_k
+    candidates per probe per corpus block; the global window rank
+    merges partials.  Nothing is ever gathered to the driver.
+    """
+    blocks = _pack_blocks(e, n_blocks)
+    probe = blocks.select(
+        F.col("ids").alias("p_ids"), F.col("mat").alias("p_mat"),
+        F.col("n").alias("p_n"), F.col("d").alias("p_d"),
+    )
+    corp = blocks.select(
+        F.col("ids").alias("c_ids"), F.col("mat").alias("c_mat"),
+        F.col("n").alias("c_n"),
+    )
+
+    def partial_topk(batches):
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                d = int(row.p_d)
+                p_ids = np.frombuffer(row.p_ids, dtype=np.int64)
+                P = np.frombuffer(row.p_mat, dtype=np.float64).reshape(-1, d)
+                c_ids = np.frombuffer(row.c_ids, dtype=np.int64)
+                C = np.frombuffer(row.c_mat, dtype=np.float64).reshape(-1, d)
+                S = np.round(P @ C.T, round_digits)
+                # self-exclusion: mask identical ids (only hits when the
+                # probe and corpus block coincide)
+                self_mask = p_ids[:, None] == c_ids[None, :]
+                S[self_mask] = -np.inf
+                kk = min(top_k, S.shape[1])
+                # rank by (-sim, neighbor_id): lexsort keys are applied
+                # last-key-primary
+                order = np.lexsort(
+                    (np.broadcast_to(c_ids, S.shape), -S), axis=1
+                )[:, :kk]
+                sims = np.take_along_axis(S, order, axis=1)
+                keep = np.isfinite(sims)
+                rows_idx = np.broadcast_to(
+                    np.arange(S.shape[0])[:, None], order.shape
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": p_ids[rows_idx[keep]],
+                            "neighbor_id": c_ids[order[keep]],
+                            "sim": sims[keep],
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "sim": []}
+            )
+
+    partials = probe.crossJoin(corp).mapInPandas(
+        partial_topk, schema="vec_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("vec_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def train_codebook(
+    e: DataFrame,
+    k: int,
+    sample_cap: int = 262_144,
+    iters: int = 8,
+    seed: int = 12345,
+) -> np.ndarray:
+    """Deterministic sampled-Lloyd codebook: the `sample_cap` smallest
+    xxhash64(vec_id) rows (a uniform, order-stable sample bounded
+    regardless of n) are collected and k-means-iterated in numpy.
+    Returns unit-norm float64 (k, d).  The collect is BOUNDED by
+    sample_cap — this is a sketch of the data, not the data."""
+    sample = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_cap)
+        .toPandas()
+    )
+    M = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    k = min(k, len(M))
+    rng = np.random.default_rng(seed)
+    cents = M[rng.choice(len(M), k, replace=False)].copy()
+    for _ in range(iters):
+        a = np.argmax(M @ cents.T, axis=1)
+        for c in range(k):
+            mem = M[a == c]
+            if len(mem):
+                v = mem.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-300)
+    return cents
+
+
+def default_k(n: int, cap: int = 4096) -> int:
+    """Codebook size: ~3*sqrt(n), capped.  With k on this schedule the
+    per-probe candidate count is O(sqrt(n))."""
+    return max(4, min(int(math.ceil(3.0 * math.sqrt(max(n, 1)))), cap))
+
+
+def ivf_topk(
+    e: DataFrame,
+    top_k: int = 10,
+    k_cells: int | None = None,
+    assign_m: int = 8,
+    nprobe: int = 16,
+    round_digits: int = 4,
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: fixed-k codebook, multi-assignment, cell-local
+    cogrouped matmuls.  Output schema/ordering identical to
+    `knn_topk_blocked` (rank by rounded sim desc, neighbor asc, self
+    excluded) but approximate: only cell-cohabiting pairs are scored.
+    """
+    spark = e.sparkSession
+    if codebook is None:
+        n = e.count()
+        k = k_cells or default_k(n)
+        codebook = train_codebook(e, k)
+    k = codebook.shape[0]
+    m = min(assign_m, k)
+    p = min(nprobe, k)
+    bc = spark.sparkContext.broadcast(codebook)
+
+    def assign(batches):
+        cents = bc.value
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            cs = V @ cents.T
+            # top-p cells per row (deterministic: score desc, cell asc)
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(k), cs.shape), -cs), axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "embedding": list(V),
+                    "db_cells": list(order[:, :m].astype(np.int32)),
+                    "probe_cells": list(order[:, :p].astype(np.int32)),
+                }
+            )
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(
+        assign,
+        schema=(
+            "vec_id long, embedding array<double>, "
+            "db_cells array<int>, probe_cells array<int>"
+        ),
+    )
+    db = assigned.select(
+        F.explode("db_cells").alias("cell"), "vec_id", "embedding"
+    )
+    probe = assigned.select(
+        F.explode("probe_cells").alias("cell"), "vec_id", "embedding"
+    )
+
+    def cell_topk(probe_pdf: pd.DataFrame, db_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []})
+        if len(probe_pdf) == 0 or len(db_pdf) == 0:
+            return empty
+        p_ids = probe_pdf["vec_id"].to_numpy(dtype=np.int64)
+        P = np.stack(probe_pdf["embedding"].to_numpy())
+        c_ids = db_pdf["vec_id"].to_numpy(dtype=np.int64)
+        C = np.stack(db_pdf["embedding"].to_numpy())
+        S = np.round(P @ C.T, round_digits)
+        S[p_ids[:, None] == c_ids[None, :]] = -np.inf
+        kk = min(top_k, S.shape[1])
+        order = np.lexsort((np.broadcast_to(c_ids, S.shape), -S), axis=1)[:, :kk]
+        sims = np.take_along_axis(S, order, axis=1)
+        keep = np.isfinite(sims)
+        rows_idx = np.broadcast_to(np.arange(S.shape[0])[:, None], order.shape)
+        return pd.DataFrame(
+            {
+                "vec_id": p_ids[rows_idx[keep]],
+                "neighbor_id": c_ids[order[keep]],
+                "sim": sims[keep],
+            }
+        )
+
+    partials = (
+        probe.groupBy("cell")
+        .cogroup(db.groupBy("cell"))
+        .applyInPandas(
+            lambda l, r: cell_topk(l, r),
+            schema="vec_id long, neighbor_id long, sim double",
+        )
+    )
+    # the same pair can co-habit several cells (identical sim each time)
+    dedup = partials.groupBy("vec_id", "neighbor_id").agg(
+        F.max("sim").alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("vec_id", "neighbor_id", "sim", "rank")
+    )

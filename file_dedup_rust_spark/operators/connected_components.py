@@ -27,7 +27,7 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
     max_iter: int = 50,
-    driver_threshold: int = 20_000_000,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """edges(a, b) + vertices(clip_id) -> assignments(clip_id, cluster_id).
 
@@ -41,16 +41,33 @@ def connected_components(
     smaller than the input table (a corpus with 30% dup rate at 10^12
     rows still yields rep-graph edges in the 10^8-10^9 range, and at
     bench scales mere millions).  Below `driver_threshold` edges the
-    transitive closure solves driver-side over one Arrow collect
-    (~50 B/edge, so the default 20M caps the collect at ~1 GB —
-    seconds of numpy, zero shuffle); above it, the distributed
-    min-label propagation with pointer jumping runs (O(log diameter)
-    rounds).  Both paths produce identical labels (min clip_id per
-    component)."""
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        return _driver_cc(edges, vertices)
-    return _distributed_cc(edges, vertices, max_iter)
+    transitive closure solves driver-side over one Arrow collect;
+    above it, the distributed min-label propagation with pointer
+    jumping runs (O(log diameter) rounds).  Both paths produce
+    identical labels (min clip_id per component).
+
+    Sizing the threshold: toPandas of string clip_ids materializes
+    Python str objects (~150-200 B per edge for two ~20-char ids, NOT
+    the ~50 B Arrow wire size), so the 5M default caps driver memory
+    at ~1 GB of object heap.  Raise it only with long-lived drivers
+    and short numeric ids.
+
+    The incoming `edges` plan is persisted before the strategy count so
+    the count action and the solve (collect or iterate) share one
+    computation of the (often expensive — LSH join + verify) edge
+    derivation instead of running it twice."""
+    edges = edges.persist()
+    try:
+        n_edges = edges.count()
+        if n_edges <= driver_threshold:
+            return _driver_cc(edges, vertices)
+        return _distributed_cc(edges, vertices, max_iter)
+    finally:
+        # both paths have materialized what they need from `edges`
+        # (driver: the Arrow collect; distributed: the localCheckpoint
+        # of the symmetrized edge set) before returning, so the cache
+        # can be dropped eagerly without recompute risk.
+        edges.unpersist()
 
 
 def _driver_cc(edges: DataFrame, vertices: DataFrame) -> DataFrame:

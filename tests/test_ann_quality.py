@@ -1,33 +1,39 @@
-"""ANN quality gate: the IVF scale path must retain a usable fraction
-of the exact brute-force top-k (reference J2 semantics, OpenSearch
+"""ANN quality gate: the IVF scale path must reproduce (almost all of)
+the exact brute-force top-k (reference J2 semantics, OpenSearch
 ef_search=100 HNSW — an approximate index with bounded per-probe work,
 /root/reference/iac/opensearch_indexes.tf:8-14).
 
-Measured on the sf0.01 embeddings table: recall@10 = 0.58 with
-nprobe=2 of 10 coarse cells (i.e. scanning ~20% of the corpus per
-probe).  The gate asserts >= 0.5 so regressions in the bucketing or
-ranking logic fail loudly while leaving margin for data refreshes.
+The synthetic testdata embeddings are near-isotropic (median pairwise
+cosine ~0.0, true top-10 neighbours only ~0.3 — measured), which is the
+WORST case for any cell-probing ANN; the fixed-k sampled-Lloyd codebook
+with multi-assignment (operators/ann.py) still measures recall@10 =
+0.997 (sf0.01) / 0.971 (sf0.1).  The gate asserts >= 0.9 at both scale
+factors so regressions in codebook training, assignment, or per-cell
+ranking fail loudly.
 """
 
 from __future__ import annotations
 
-SF_DIR = "/root/testdata/sf0.01"
+import pytest
 
 
-def test_ivf_recall_vs_brute(spark):
+def _recall(spark, sf_dir: str) -> tuple[float, int, int]:
     from file_dedup_rust_spark.entry import testdata_queries as Q
 
     brute = {
         (r["vec_id"], r["neighbor_id"])
-        for r in Q.q_knn_topk(spark, SF_DIR).collect()
+        for r in Q.q_knn_topk(spark, sf_dir).collect()
     }
-    ivf = {
-        (r["vec_id"], r["neighbor_id"])
-        for r in Q.q_ann_ivf_topk(spark, SF_DIR).collect()
-    }
+    ivf_rows = Q.q_ann_ivf_topk(spark, sf_dir).collect()
+    ivf = {(r["vec_id"], r["neighbor_id"]) for r in ivf_rows}
     assert brute, "brute-force top-k is empty"
-    recall = len(brute & ivf) / len(brute)
-    assert recall >= 0.5, f"IVF recall@10 vs brute = {recall:.3f}"
-    # every IVF probe still returns a full (or capped) neighbour list
     probes = {v for v, _ in ivf}
-    assert len(ivf) >= 5 * len(probes)
+    return len(brute & ivf) / len(brute), len(ivf_rows), len(probes)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    recall, n_rows, n_probes = _recall(spark, sf_dir)
+    assert recall >= 0.9, f"IVF recall@10 vs brute = {recall:.3f} at {sf_dir}"
+    # every IVF probe still returns a full (or capped) neighbour list
+    assert n_rows >= 5 * n_probes

@@ -36,6 +36,23 @@ def test_edges_plan_has_no_rowwise_python(spark, cfg, tmp_path):
     assert "Exchange" in text
 
 
+def test_knn_topk_has_no_driver_collect(spark):
+    """q_knn_topk must be fully distributed: neither the query nor the
+    blocked-matmul operator may contain a driver-side collect of an
+    input table (the round-1 version collected the whole corpus with
+    toPandas and broadcast it — driver OOM at 100x scale)."""
+    import inspect
+
+    from file_dedup_rust_spark.entry import testdata_queries as Q
+    from file_dedup_rust_spark.operators import ann
+
+    src = inspect.getsource(Q.q_knn_topk) + inspect.getsource(ann.knn_topk_blocked)
+    assert "toPandas" not in src and ".collect(" not in src
+    # and it still executes distributed end-to-end
+    df = Q.q_knn_topk(spark, "/root/testdata/sf0.001")
+    assert df.limit(1).count() >= 0
+
+
 def test_signature_scan_prunes_unused_columns(spark, tmp_path):
     """The signature operator must read only the columns it consumes —
     dur_ms is not part of the signature inputs and must be pruned from

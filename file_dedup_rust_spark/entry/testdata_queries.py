@@ -919,6 +919,196 @@ FROM ranked WHERE rn <= 3 GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# T1 completion: OFFSET + keyset pagination, job point-lookup and
+# delete analogs (reference jobs API: GET /jobs list with LIMIT $ /
+# OFFSET $ jobs.rs:29-51, GET /jobs/{id} jobs.rs:85-121, DELETE
+# /jobs/{id} jobs.rs:123-166)
+# ---------------------------------------------------------------------------
+
+PAGE_LIMIT = 100   # reference caps listings at 100 (jobs.rs:36)
+PAGE_OFFSET = 100  # page 2
+
+
+def _events_listing_cols(df: DataFrame) -> DataFrame:
+    return df.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_type",
+        F.round("value", 4).alias("value_r"),
+    )
+
+
+def q_events_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET pagination (T1): rows offset+1..offset+limit of the
+    created_at-DESC listing.  Physical shape: TakeOrdered(offset+limit)
+    first — the global sort never materializes more than one page-span
+    of rows — then a row_number window over that tiny result drops the
+    first `offset` (a bare unpartitioned window over the full table
+    would single-task the whole sort)."""
+    e = _events(spark, sf_dir)
+    span = e.orderBy(F.desc("ts"), F.desc("event_id")).limit(
+        PAGE_OFFSET + PAGE_LIMIT
+    )
+    w = Window.orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        span.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > PAGE_OFFSET)
+        .drop("rn")
+        .transform(_events_listing_cols)
+    )
+
+
+SQL_EVENTS_PAGE2 = f"""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       event_type,
+       round(value, 4) AS value_r
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT {PAGE_LIMIT} OFFSET {PAGE_OFFSET}
+"""
+
+
+def q_events_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination — the scale-correct form of OFFSET (jobs.rs
+    ordering: created_at DESC, cap 100): the cursor is the last row of
+    page 1 and page 2 is WHERE (ts, event_id) < cursor ORDER BY ...
+    LIMIT.  Unlike OFFSET, cost does not grow with page number.  The
+    cursor derivation (min of the top-100) is itself a TakeOrdered —
+    broadcast as a 1-row join side."""
+    e = _events(spark, sf_dir)
+    page1 = e.orderBy(F.desc("ts"), F.desc("event_id")).limit(PAGE_LIMIT)
+    cursor = (
+        page1.orderBy(F.asc("ts"), F.asc("event_id"))
+        .limit(1)
+        .select(F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+    )
+    after = (
+        e.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("ts") < F.col("c_ts"))
+            | ((F.col("ts") == F.col("c_ts")) & (F.col("event_id") < F.col("c_id")))
+        )
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(PAGE_LIMIT)
+    )
+    return _events_listing_cols(after)
+
+
+SQL_EVENTS_KEYSET_PAGE = f"""
+WITH cursor AS (
+  SELECT ts AS c_ts, event_id AS c_id FROM events
+  ORDER BY ts DESC, event_id DESC
+  LIMIT 1 OFFSET {PAGE_LIMIT - 1}
+)
+SELECT e.event_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       e.event_type,
+       round(e.value, 4) AS value_r
+FROM events e, cursor
+WHERE e.ts < c_ts OR (e.ts = c_ts AND e.event_id < c_id)
+ORDER BY e.ts DESC, e.event_id DESC
+LIMIT {PAGE_LIMIT}
+"""
+
+
+def q_job_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup (GET /jobs/{id}, jobs.rs:85-121): fetch one row by
+    key.  The key is data-derived (max event_id) so the query is
+    scale-factor independent; the 1-row key side broadcasts."""
+    e = _events(spark, sf_dir)
+    key = e.agg(F.max("event_id").alias("event_id"))
+    return (
+        e.join(F.broadcast(key), "event_id")
+        .transform(_events_listing_cols)
+    )
+
+
+SQL_JOB_LOOKUP = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       event_type,
+       round(value, 4) AS value_r
+FROM events
+WHERE event_id = (SELECT max(event_id) FROM events)
+"""
+
+
+def q_jobs_delete_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE /jobs/{id} analog (jobs.rs:123-166): batch delete-set
+    (every 100th event) anti-joined away; the result is the surviving
+    listing summarized per type (count + value checksum) — i.e. what a
+    subsequent GET list would aggregate to.  The delete is expressed
+    declaratively (left_anti), the Iceberg form being DELETE WHERE /
+    MERGE on the same predicate."""
+    e = _events(spark, sf_dir)
+    delete_set = e.filter(F.col("event_id") % 100 == 0).select("event_id")
+    return (
+        e.join(delete_set, "event_id", "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_remaining"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+SQL_JOBS_DELETE_REMAINING = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_remaining,
+       round(sum(value), 2) AS value_sum
+FROM events
+WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 100 = 0)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# T2 parity inside the engine output: k=10 neighbour cap per node over
+# the verified dup-edge table (reference deduplication_service.rs:309 —
+# the k-NN result consumed by clustering)
+# ---------------------------------------------------------------------------
+
+def q_topk_neighbors_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node top-k over verified edges: symmetrize the dup-edge
+    table and keep each node's k best neighbours (sim desc, neighbor
+    asc).  This is the engine surface the reference's k=10 probe cap
+    maps to — bounded output per node regardless of cluster size."""
+    edges = _doc_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("neighbor_id"), "sim"
+    ).unionByName(
+        edges.select(
+            F.col("b").alias("doc_id"), F.col("a").alias("neighbor_id"), "sim"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("doc_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+SQL_TOPK_NEIGHBORS_PIPELINE = f"""
+WITH {SQL_DOC_EDGES},
+sym AS (
+  SELECT a AS doc_id, b AS neighbor_id, sim FROM edges
+  UNION ALL
+  SELECT b, a, sim FROM edges
+),
+ranked AS (
+  SELECT doc_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sym
+)
+SELECT doc_id, neighbor_id, round(sim, 4) AS sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # approximate-nearest-neighbour (IVF scale path) — deterministic but
 # approximate, so no SQL oracle (driver records rows-only check)
 # ---------------------------------------------------------------------------
@@ -967,6 +1157,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counts_by_type": q_counts_by_type,
     "extension_dispatch": q_extension_dispatch,
     "display_top3": q_display_top3,
+    "events_page2": q_events_page2,
+    "events_keyset_page": q_events_keyset_page,
+    "job_lookup": q_job_lookup,
+    "jobs_delete_remaining": q_jobs_delete_remaining,
+    "topk_neighbors_pipeline": q_topk_neighbors_pipeline,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
 
@@ -993,5 +1188,10 @@ ORACLES: dict[str, str] = {
     "counts_by_type": SQL_COUNTS_BY_TYPE,
     "extension_dispatch": SQL_EXTENSION_DISPATCH,
     "display_top3": SQL_DISPLAY_TOP3,
+    "events_page2": SQL_EVENTS_PAGE2,
+    "events_keyset_page": SQL_EVENTS_KEYSET_PAGE,
+    "job_lookup": SQL_JOB_LOOKUP,
+    "jobs_delete_remaining": SQL_JOBS_DELETE_REMAINING,
+    "topk_neighbors_pipeline": SQL_TOPK_NEIGHBORS_PIPELINE,
     # ann_ivf_topk: approximate by design — rows-only check
 }

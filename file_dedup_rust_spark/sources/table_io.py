@@ -69,6 +69,40 @@ class TableIO:
         e = self.manifest_entry(name)
         return bool(e and e.get("status") == "committed" and e.get("fingerprint") == fingerprint)
 
+    def manifest_listing(self, limit: int = 100, offset: int = 0) -> list[dict]:
+        """Stage-ledger listing — the GET /jobs analog (reference
+        jobs.rs:29-51: ORDER BY created_at DESC LIMIT $ OFFSET $, cap
+        100).  Returns manifest entries newest-first."""
+        d = os.path.join(self.root, "_manifest")
+        entries = []
+        for fn in os.listdir(d):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    entries.append(json.load(f))
+        entries.sort(
+            key=lambda e: (-e.get("committed_at", 0.0), e.get("stage", ""))
+        )
+        limit = min(limit, 100)
+        return entries[offset : offset + limit]
+
+    def delete_stage(self, name: str) -> bool:
+        """Remove a stage's data AND its manifest entry — the DELETE
+        /jobs/{id} analog (jobs.rs:123-166: delete row + associated
+        artifacts).  Manifest entry goes first so a crash mid-delete
+        leaves an uncommitted (re-runnable) stage, never a committed
+        entry pointing at missing data.  Returns False if the stage
+        does not exist (the reference's 404)."""
+        entry = self.manifest_entry(name)
+        data = self._table_path(name)
+        if entry is None and not os.path.exists(data):
+            return False
+        mp = self._manifest_path(name)
+        if os.path.exists(mp):
+            os.remove(mp)
+        if os.path.exists(data):
+            shutil.rmtree(data)
+        return True
+
     # ---- data ----
     def _table_path(self, name: str) -> str:
         return os.path.join(self.root, name)

@@ -60,3 +60,38 @@ def test_config_change_invalidates_checkpoints(spark, cfg, clips_df, tmp_path):
     res = run_pipeline(spark, clips_df, other, ckpt)
     sig_stage = [s for s in res.stages if s.name == "signatures"][0]
     assert not sig_stage.skipped, "stale checkpoint reused across configs"
+
+
+def test_manifest_listing_lookup_delete(spark, cfg, clips_df, tmp_path):
+    """Jobs-API analogs over the stage ledger (reference jobs.rs:29-51
+    listing, :85-121 lookup, :123-166 delete): listing is newest-first
+    and capped, lookup returns the committed entry, delete removes data
+    + manifest and a re-run rebuilds the stage."""
+    from file_dedup_rust_spark.sources.table_io import TableIO
+
+    ckpt = str(tmp_path / "ckpt3")
+    run_pipeline(spark, clips_df, cfg, ckpt)
+    io = TableIO(spark, ckpt)
+
+    listing = io.manifest_listing()
+    names = [e["stage"] for e in listing]
+    assert "signatures" in names and "edges" in names
+    stamps = [e["committed_at"] for e in listing]
+    assert stamps == sorted(stamps, reverse=True), "listing not newest-first"
+    assert len(io.manifest_listing(limit=2)) == 2
+    assert io.manifest_listing(limit=2, offset=1)[0] == listing[1]
+
+    entry = io.manifest_entry("signatures")  # GET /jobs/{id}
+    assert entry["status"] == "committed" and entry["row_count"] == N
+    assert io.manifest_entry("nonexistent") is None  # 404
+
+    assert io.delete_stage("edges") is True  # DELETE /jobs/{id}
+    assert io.manifest_entry("edges") is None
+    assert not os.path.exists(os.path.join(ckpt, "edges"))
+    assert io.delete_stage("edges") is False  # already gone -> 404
+
+    # a resumed run rebuilds only the deleted stage
+    res = run_pipeline(spark, clips_df, cfg, ckpt)
+    by_name = {s.name: s for s in res.stages}
+    assert by_name["signatures"].skipped
+    assert not by_name["edges"].skipped

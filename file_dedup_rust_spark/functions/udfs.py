@@ -47,11 +47,17 @@ SIGNATURE_COLUMNS = [
 
 def signature_batch(pdf: pd.DataFrame, cfg: DedupConfig, planes: np.ndarray) -> pd.DataFrame:
     """Compute all signatures for one Arrow batch (pure pandas/numpy —
-    unit-testable without Spark; the oracle calls this too)."""
+    unit-testable without Spark; the oracle calls this too).
+
+    The transcript half (MinHash, bands, winnowing) is vectorized
+    ACROSS rows via text.batch_transcript_features — one concatenated
+    buffer, one k-gram pass per k, reduceat minima — bit-identical to
+    the per-row functions.  The audio half stays per-row because clips
+    decode to variable-length PCM with per-clip FFT framing; all heavy
+    math inside a row is vectorized numpy."""
     out: dict[str, list] = {c: [] for c in SIGNATURE_COLUMNS}
     for row in pdf.itertuples(index=False):
         data: bytes = bytes(row.bytes) if row.bytes is not None else b""
-        transcript = row.transcript
         out["clip_id"].append(row.clip_id)
         out["sha256"].append(hashlib.sha256(data).hexdigest())
 
@@ -72,21 +78,20 @@ def signature_batch(pdf: pd.DataFrame, cfg: DedupConfig, planes: np.ndarray) -> 
             out["n_samples"].append(0)
             out["pcm_rms"].append(0.0)
 
-        # ---- transcript: minhash + bands + winnow fingerprints ----
-        t_norm = TX.normalize_transcript(transcript)
-        sig = TX.transcript_minhash(transcript, cfg)
-        out["minhash"].append(sig.tolist())
-        if sig[0] >= 0:  # non-empty shingle set
-            out["mh_bands"].append(TX.minhash_bands(sig, cfg).tolist())
-        else:
-            out["mh_bands"].append([])
-        fps = TX.transcript_fingerprints(transcript, cfg)
-        if len(t_norm) >= cfg.min_containment_len:
-            out["fps"].append(fps.view(np.int64).tolist())
-        else:
-            out["fps"].append([])
-        out["t_norm"].append(t_norm.decode("utf-8"))
-        out["t_len"].append(len(t_norm))
+    # ---- transcript: minhash + bands + winnow fingerprints (batch) ----
+    norms = [TX.normalize_transcript(t) for t in pdf["transcript"]]
+    sigs, bands, fps_list = TX.batch_transcript_features(norms, cfg)
+    nonempty = sigs[:, 0] >= 0
+    out["minhash"] = [s.tolist() for s in sigs]
+    out["mh_bands"] = [
+        b.tolist() if ne else [] for b, ne in zip(bands, nonempty)
+    ]
+    out["fps"] = [
+        f.view(np.int64).tolist() if len(t) >= cfg.min_containment_len else []
+        for f, t in zip(fps_list, norms)
+    ]
+    out["t_norm"] = [t.decode("utf-8") for t in norms]
+    out["t_len"] = [len(t) for t in norms]
     return pd.DataFrame(out)
 
 

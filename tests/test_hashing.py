@@ -89,3 +89,38 @@ def test_jaccard_self_is_one():
     t = "the quick brown fox jumps over the lazy dog repeatedly today"
     assert TX.jaccard(t, t, CFG) == 1.0
     assert TX.jaccard(t, "completely different words here", CFG) < 0.2
+
+
+def test_batch_transcript_parity():
+    """The cross-row vectorized batch path (one concatenated buffer +
+    reduceat) must be bit-identical to the per-row definition on every
+    edge case: None, empty, shorter than k, exactly k, below/above the
+    winnow window, long texts, duplicates."""
+    import numpy as np
+
+    from file_dedup_rust_spark.config import DedupConfig
+    from file_dedup_rust_spark.functions import text as TX
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    texts = [
+        None, "", "ab", "abcde", "abcdef",
+        "  Mixed   CASE   and   spaces  ",
+        "abcdefghijklmnopqrstuvwxyz0123",   # just below winnow guarantee
+        "abcdefghijklmnopqrstuvwxyz01234",  # at the guarantee boundary
+    ]
+    for _ in range(40):
+        n_words = int(rng.integers(1, 60))
+        texts.append(" ".join(rng.choice(vocab, n_words).tolist()))
+    texts.append(texts[-1])  # exact duplicate rows
+
+    norms = [TX.normalize_transcript(t) for t in texts]
+    sigs, bands, fps = TX.batch_transcript_features(norms, cfg)
+    for i, t in enumerate(texts):
+        ref_sig = TX.transcript_minhash(t, cfg)
+        assert np.array_equal(sigs[i], ref_sig), f"minhash mismatch row {i}"
+        if ref_sig[0] >= 0:
+            assert np.array_equal(bands[i], TX.minhash_bands(ref_sig, cfg)), i
+        ref_fps = TX.transcript_fingerprints(t, cfg)
+        assert np.array_equal(fps[i], ref_fps), f"fps mismatch row {i}"

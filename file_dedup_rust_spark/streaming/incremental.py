@@ -29,8 +29,6 @@ Watermarked event-time aggregation (late data) is in
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -38,6 +36,135 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from file_dedup_rust_spark.config import DedupConfig
 from file_dedup_rust_spark.datagen import CLIP_SCHEMA
 from file_dedup_rust_spark.functions.udfs import compute_signatures
+
+# ---------------------------------------------------------------------------
+# accumulating store: idempotent batch-partition appends + compaction
+#
+# foreachBatch runs with at-least-once semantics — a crashed micro-batch
+# is RE-RUN with the same batch_id.  Plain mode("append") writes would
+# therefore duplicate both the emitted matches and the store rows (which
+# then double every future probe).  Instead every write lands in a
+# batch_id=N partition with dynamic partition overwrite: a retry
+# overwrites its own partition and nothing else.  Unbounded growth of
+# small per-batch partitions is handled by `compact_store`, which folds
+# committed partitions into a `base` snapshot (read = base + partitions
+# newer than the fold watermark) — the parquet-directory approximation
+# of an Iceberg MERGE/snapshot commit, which is what replaces the
+# directory-rename commit below on object stores.
+# ---------------------------------------------------------------------------
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """FileSystem-API existence check — works for hdfs:///s3a://, not
+    just the driver-local filesystem (unlike os.path.exists)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def store_write(df: DataFrame, store_path: str, batch_id: int) -> None:
+    """Idempotently append one micro-batch to a store: the rows land in
+    `{store_path}/inc/batch_id={batch_id}/`, and a foreachBatch retry
+    overwrites exactly that partition (dynamic partition overwrite)."""
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{store_path}/inc")
+    )
+
+
+def _folded_watermark(spark: SparkSession, store_path: str) -> int:
+    meta = f"{store_path}/base/folded_meta"
+    if not _fs_exists(spark, meta):
+        return -1
+    row = spark.read.json(meta).collect()
+    return int(row[0]["max_folded"]) if row else -1
+
+
+def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Current store contents: the compacted base snapshot plus every
+    inc partition newer than the fold watermark.  None if the store
+    does not exist yet."""
+    inc = f"{store_path}/inc"
+    base = f"{store_path}/base/data"
+    has_inc, has_base = _fs_exists(spark, inc), _fs_exists(spark, base)
+    if not has_inc and not has_base:
+        return None
+    parts = []
+    watermark = _folded_watermark(spark, store_path) if has_base else -1
+    if has_base:
+        parts.append(spark.read.parquet(base))
+    if has_inc:
+        parts.append(
+            spark.read.parquet(inc)
+            .filter(F.col("batch_id") > watermark)
+            .drop("batch_id")
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def compact_store(spark: SparkSession, store_path: str, upto_batch: int) -> None:
+    """Fold inc partitions with batch_id <= upto_batch into the base
+    snapshot.  Safe to call from inside process_batch(k) with
+    upto_batch = k-1: those batches are committed (batch k only starts
+    after k-1's foreachBatch completed) so they can never be retried.
+
+    Commit protocol: the new base (data + fold watermark) is fully
+    written to `base_tmp`, then swapped into place with a FileSystem
+    rename; folded inc partitions are deleted last (correctness does
+    not depend on that cleanup — reads exclude them via the
+    watermark).  On a local/HDFS filesystem the rename is the atomic
+    commit point; on S3-like stores this step is what an Iceberg
+    snapshot commit replaces."""
+    inc = f"{store_path}/inc"
+    if not _fs_exists(spark, inc):
+        return
+    watermark = _folded_watermark(spark, store_path)
+    fold_ids = [
+        int(str(st.getPath().getName()).split("=")[1])
+        for st in _hadoop_fs(spark, inc)[0].listStatus(_hadoop_fs(spark, inc)[1])
+        if str(st.getPath().getName()).startswith("batch_id=")
+    ]
+    fold_ids = [i for i in fold_ids if watermark < i <= upto_batch]
+    if not fold_ids:
+        return
+    to_fold = (
+        spark.read.parquet(inc)
+        .filter(
+            (F.col("batch_id") > watermark) & (F.col("batch_id") <= upto_batch)
+        )
+        .drop("batch_id")
+    )
+    base = f"{store_path}/base/data"
+    new_rows = to_fold
+    if _fs_exists(spark, base):
+        new_rows = spark.read.parquet(base).unionByName(to_fold)
+    tmp = f"{store_path}/base_tmp"
+    fs, _ = _hadoop_fs(spark, store_path)
+    jP = spark._jvm.org.apache.hadoop.fs.Path
+    fs.delete(jP(tmp), True)
+    new_rows.write.mode("overwrite").parquet(f"{tmp}/data")
+    spark.createDataFrame(
+        [(int(upto_batch),)], "max_folded long"
+    ).coalesce(1).write.mode("overwrite").json(f"{tmp}/folded_meta")
+    old = f"{store_path}/base_old"
+    fs.delete(jP(old), True)
+    if fs.exists(jP(f"{store_path}/base")):
+        fs.rename(jP(f"{store_path}/base"), jP(old))
+    fs.rename(jP(tmp), jP(f"{store_path}/base"))  # atomic commit (local/HDFS)
+    fs.delete(jP(old), True)
+    for i in fold_ids:  # lazy cleanup; reads already exclude these
+        fs.delete(jP(f"{inc}/batch_id={i}"), True)
 
 
 def read_clip_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
@@ -59,12 +186,15 @@ def incremental_exact_dedup(
     checkpoint_dir: str,
     cfg: DedupConfig | None = None,
     available_now: bool = True,
+    compact_every: int = 16,
 ):
     """Start the incremental exact-dedup stream.
 
     Each micro-batch: signatures (one mapInPandas pass, bytes dropped)
-    -> probe sha256 against the store -> append matches to out_dir ->
-    append batch signatures to the store.  Returns the StreamingQuery.
+    -> probe sha256 against the store -> write matches and batch
+    signatures idempotently (batch_id partitions; a retried batch
+    overwrites itself) -> every `compact_every` batches, fold committed
+    partitions into the base snapshot.  Returns the StreamingQuery.
     """
     cfg = cfg or DedupConfig()
     clips = read_clip_stream(spark, landing_dir)
@@ -76,12 +206,12 @@ def incremental_exact_dedup(
         b = batch_df.persist()
         try:
             spark_l = b.sparkSession
-            if os.path.exists(store_dir):
-                corpus = spark_l.read.parquet(store_dir).select(
-                    F.col("clip_id").alias("matched_clip_id"), "sha256"
-                )
-            else:
-                corpus = None
+            store = read_store(spark_l, store_dir)
+            corpus = (
+                store.select(F.col("clip_id").alias("matched_clip_id"), "sha256")
+                if store is not None
+                else None
+            )
             # within-batch dups: star to the batch-min clip_id per hash
             from pyspark.sql import Window
 
@@ -106,10 +236,13 @@ def incremental_exact_dedup(
                 matches = intra.unionByName(cross)
             else:
                 matches = intra
-            matches.write.mode("append").parquet(out_dir)
-            b.select("clip_id", "sha256", "simhash", "t_norm").write.mode(
-                "append"
-            ).parquet(store_dir)
+            store_write(matches, out_dir, batch_id)
+            store_write(
+                b.select("clip_id", "sha256", "simhash", "t_norm"),
+                store_dir, batch_id,
+            )
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact_store(spark_l, store_dir, int(batch_id) - 1)
         finally:
             b.unpersist()
 
@@ -131,13 +264,15 @@ def incremental_near_dedup(
     checkpoint_dir: str,
     cfg: DedupConfig | None = None,
     available_now: bool = True,
+    compact_every: int = 16,
 ):
     """Incremental exact + NEAR dedup — the streaming analog of the
     reference's full per-file flow: hash probe (J1), store the
     signature in the index (S5), then similarity-search the index (J2)
     — batched per micro-batch instead of per file.
 
-    Two accumulating stores:
+    Two accumulating stores (both batch_id-partitioned + compacted,
+    see the store-layer docstring above):
       * ``{store_dir}/sigs``    — one row per clip (sha256, simhash)
       * ``{store_dir}/posting`` — the LSH index: exploded
         (key, clip_id, simhash) band-posting rows (the OpenSearch-index
@@ -145,10 +280,10 @@ def incremental_near_dedup(
 
     Each micro-batch probes its sha256 against the sig store and its
     band keys against the posting store (plus within-batch probes),
-    verifies candidates with the Hamming threshold inline, appends
-    match rows to ``out_dir``, then appends the batch to both stores.
-    Emits (clip_id, matched_clip_id, match_kind in {exact, audio},
-    sim, match_scope in {batch, corpus}).
+    verifies candidates with the Hamming threshold inline, writes
+    match rows idempotently to ``out_dir``, then appends the batch to
+    both stores.  Emits (clip_id, matched_clip_id, match_kind in
+    {exact, audio}, sim, match_scope in {batch, corpus}).
     """
     cfg = cfg or DedupConfig()
     clips = read_clip_stream(spark, landing_dir)
@@ -205,8 +340,8 @@ def incremental_near_dedup(
                 .withColumn("match_scope", F.lit("batch"))
             )
             matches = exact_intra.unionByName(near_intra)
-            if os.path.exists(os.path.join(store_dir, "sigs")):
-                corpus = spark_l.read.parquet(f"{store_dir}/sigs")
+            corpus = read_store(spark_l, f"{store_dir}/sigs")
+            if corpus is not None:
                 exact_cross = (
                     b.join(
                         corpus.select(
@@ -221,16 +356,20 @@ def incremental_near_dedup(
                         F.lit("corpus").alias("match_scope"),
                     )
                 )
-                index = spark_l.read.parquet(f"{store_dir}/posting")
+                index = read_store(spark_l, f"{store_dir}/posting")
                 near_cross = hamming_matches(posting_b, index).withColumn(
                     "match_scope", F.lit("corpus")
                 )
                 matches = matches.unionByName(exact_cross).unionByName(near_cross)
-            matches.write.mode("append").parquet(out_dir)
-            b.select("clip_id", "sha256", "simhash").write.mode("append").parquet(
-                f"{store_dir}/sigs"
+            store_write(matches, out_dir, batch_id)
+            store_write(
+                b.select("clip_id", "sha256", "simhash"), f"{store_dir}/sigs",
+                batch_id,
             )
-            posting_b.write.mode("append").parquet(f"{store_dir}/posting")
+            store_write(posting_b, f"{store_dir}/posting", batch_id)
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact_store(spark_l, f"{store_dir}/sigs", int(batch_id) - 1)
+                compact_store(spark_l, f"{store_dir}/posting", int(batch_id) - 1)
         finally:
             b.unpersist()
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from file_dedup_rust_spark import datagen
 from file_dedup_rust_spark.streaming.incremental import (
@@ -48,17 +49,31 @@ def two_batches(spark, tmp_path_factory):
     return landing, root, exact_children
 
 
-def test_incremental_exact_dedup_finds_cross_batch_dups(spark, two_batches):
+def test_incremental_exact_dedup_finds_cross_batch_dups(spark, two_batches, tmp_path):
+    """Drop 1 (bases) drains, drop 2 (children) arrives, the SAME
+    checkpoint resumes — real restart semantics, so batch numbering
+    continues and the idempotent batch_id partitions stay distinct."""
+    from file_dedup_rust_spark.streaming.incremental import read_store
+
     landing, root, exact_children = two_batches
-    out = str(root / "matches")
-    store = str(root / "store")
-    ck = str(root / "ck1")
-    q = incremental_exact_dedup(spark, f"{landing}/batch=1", store, out, ck)
+    flat = str(tmp_path / "flat-landing")
+    out = str(tmp_path / "matches")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck1")
+    # drop 1: bases only
+    spark.read.parquet(f"{landing}/batch=1").coalesce(1).write.mode(
+        "append"
+    ).parquet(flat)
+    q = incremental_exact_dedup(spark, flat, store, out, ck)
     q.awaitTermination(120)
-    q2 = incremental_exact_dedup(spark, f"{landing}/batch=2", store, out, str(root / "ck2"))
+    # drop 2: children land; same checkpoint picks up only the new file
+    spark.read.parquet(f"{landing}/batch=2").coalesce(1).write.mode(
+        "append"
+    ).parquet(flat)
+    q2 = incremental_exact_dedup(spark, flat, store, out, ck)
     q2.awaitTermination(120)
 
-    matches = spark.read.parquet(out)
+    matches = read_store(spark, out)
     got = {
         (r.clip_id, r.matched_clip_id) for r in matches.collect()
     }
@@ -67,7 +82,7 @@ def test_incremental_exact_dedup_finds_cross_batch_dups(spark, two_batches):
     missing = want - got
     assert not missing, f"missed cross-batch exact dups: {missing}"
     # store accumulated both batches
-    assert spark.read.parquet(store).count() == 120
+    assert read_store(spark, store).count() == 120
 
 
 def test_streaming_cluster_assign_stateful(spark, two_batches):
@@ -129,17 +144,28 @@ def near_batches(spark, tmp_path_factory):
     return landing, root, near_children
 
 
-def test_incremental_near_dedup_cross_batch(spark, near_batches, cfg):
-    from file_dedup_rust_spark.streaming.incremental import incremental_near_dedup
+def test_incremental_near_dedup_cross_batch(spark, near_batches, cfg, tmp_path):
+    from file_dedup_rust_spark.streaming.incremental import (
+        incremental_near_dedup,
+        read_store,
+    )
 
     landing, root, near_children = near_batches
-    out = str(root / "matches")
-    store = str(root / "store")
-    q = incremental_near_dedup(spark, f"{landing}/batch=1", store, out, str(root / "ck1"), cfg)
+    flat = str(tmp_path / "flat-landing")
+    out = str(tmp_path / "matches")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck1")
+    spark.read.parquet(f"{landing}/batch=1").coalesce(1).write.mode(
+        "append"
+    ).parquet(flat)
+    q = incremental_near_dedup(spark, flat, store, out, ck, cfg)
     q.awaitTermination(180)
-    q2 = incremental_near_dedup(spark, f"{landing}/batch=2", store, out, str(root / "ck2"), cfg)
+    spark.read.parquet(f"{landing}/batch=2").coalesce(1).write.mode(
+        "append"
+    ).parquet(flat)
+    q2 = incremental_near_dedup(spark, flat, store, out, ck, cfg)
     q2.awaitTermination(180)
-    m = spark.read.parquet(out)
+    m = read_store(spark, out)
     audio = {(r.clip_id, r.matched_clip_id) for r in m.filter("match_kind='audio'").collect()}
     missing = set(near_children) - audio
     assert not missing, f"missed cross-batch near dups: {missing}"
@@ -147,4 +173,112 @@ def test_incremental_near_dedup_cross_batch(spark, near_batches, cfg):
     sims = [r.sim for r in m.filter("match_kind='audio'").collect()]
     assert all(s >= 1.0 - cfg.hamming_max / cfg.simhash_bits - 1e-9 for s in sims)
     # stores accumulated both batches
-    assert spark.read.parquet(f"{store}/sigs").count() == 150
+    assert read_store(spark, f"{store}/sigs").count() == 150
+
+
+def test_store_write_is_idempotent_on_retry(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch_id must
+    overwrite its own partition, not append a duplicate (ADVICE round 1
+    — a retried micro-batch previously doubled the stores and every
+    future probe)."""
+    from file_dedup_rust_spark.streaming.incremental import read_store, store_write
+
+    store = str(tmp_path / "store")
+    df = spark.range(10).select(F.col("id").alias("clip_id"))
+    store_write(df, store, 0)
+    store_write(df, store, 0)  # simulated retry of the same micro-batch
+    assert read_store(spark, store).count() == 10
+    store_write(spark.range(5).select(F.col("id").alias("clip_id")), store, 1)
+    assert read_store(spark, store).count() == 15
+
+
+def test_compact_store_preserves_contents(spark, tmp_path):
+    """Folding committed batch partitions into the base snapshot must
+    not change what read_store returns, must be idempotent, and newer
+    partitions must keep accumulating on top of the base."""
+    import os
+
+    from file_dedup_rust_spark.streaming.incremental import (
+        compact_store,
+        read_store,
+        store_write,
+    )
+
+    store = str(tmp_path / "store")
+    for i in range(4):
+        store_write(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("clip_id")),
+            store, i,
+        )
+    before = {r.clip_id for r in read_store(spark, store).collect()}
+    compact_store(spark, store, 2)  # fold batches 0..2, keep 3 live
+    after = {r.clip_id for r in read_store(spark, store).collect()}
+    assert before == after == set(range(40))
+    # folded partitions are physically gone, batch 3 survives as inc
+    inc_parts = os.listdir(os.path.join(store, "inc"))
+    assert "batch_id=3" in inc_parts
+    assert not any(p == f"batch_id={i}" for i in range(3) for p in inc_parts)
+    # idempotent + a retried old write cannot resurrect folded rows
+    compact_store(spark, store, 2)
+    assert {r.clip_id for r in read_store(spark, store).collect()} == before
+    store_write(
+        spark.range(100, 105).select(F.col("id").alias("clip_id")), store, 4
+    )
+    assert read_store(spark, store).count() == 45
+
+
+def test_streaming_matches_batch_pipeline_parity(spark, cfg, tmp_path):
+    """Draining the incremental near-dedup over a corpus must produce
+    the same duplicate GROUPS as the batch pipeline's exact+audio edge
+    kinds on the same input (co-membership, the recall-gate quantity —
+    pair lists differ by construction: streaming probes every prior
+    copy, batch stars through representatives)."""
+    from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.functions.udfs import compute_signatures
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+    from file_dedup_rust_spark.plans.pipeline import build_edges
+    from file_dedup_rust_spark.streaming.incremental import (
+        incremental_near_dedup,
+        read_store,
+    )
+
+    n = 150
+    pdf = datagen.generate_clips_pandas(n, seed=44)
+    clips = spark.createDataFrame(pdf, schema=datagen.CLIP_SCHEMA)
+    landing = str(tmp_path / "landing")
+    # three drops -> at least three micro-batches through the store
+    third = n // 3
+    for i in range(3):
+        spark.createDataFrame(
+            pdf.iloc[i * third : (i + 1) * third if i < 2 else n],
+            schema=datagen.CLIP_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(landing)
+        q = incremental_near_dedup(
+            spark, landing, str(tmp_path / "store"), str(tmp_path / "out"),
+            str(tmp_path / "ck"), cfg,
+        )
+        q.awaitTermination(180)
+
+    stream_edges = read_store(spark, str(tmp_path / "out")).select(
+        F.col("clip_id").alias("a"), F.col("matched_clip_id").alias("b")
+    )
+    sigs = compute_signatures(clips, cfg)
+    batch_edges = (
+        build_edges(sigs, cfg)
+        .filter(F.col("kind").isin("exact", "audio"))
+        .select("a", "b")
+    )
+    verts = clips.select("clip_id")
+    s_lbl = {
+        r.clip_id: r.cluster_id
+        for r in connected_components(stream_edges, verts).collect()
+    }
+    b_lbl = {
+        r.clip_id: r.cluster_id
+        for r in connected_components(batch_edges, verts).collect()
+    }
+    assert len(s_lbl) == len(b_lbl) == n
+    # identical partitions (labels are min-id per component on both sides)
+    assert s_lbl == b_lbl

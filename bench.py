@@ -83,6 +83,20 @@ def main() -> int:
         Q.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.monotonic() - t0, 2)
 
+    # ---- forced-distributed CC (non-driver path gets bench coverage;
+    # driver_threshold=0 exercises pointer-jumping min-label rounds) ----
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    doc_edges = Q._doc_edges(spark, sf_dir).select("a", "b")
+    doc_verts = Q.corpus_exact(spark, sf_dir).select(
+        F.col("doc_id").alias("clip_id")
+    )
+    connected_components(
+        doc_edges, doc_verts, driver_threshold=0
+    ).write.mode("overwrite").format("noop").save()
+    timings["cc_distributed"] = round(time.monotonic() - t0, 2)
+
     total = round(sum(timings.values()), 2)
     print(json.dumps({
         "metric": "headline_total",

@@ -87,7 +87,8 @@ def _pack_blocks(e: DataFrame, n_blocks: int, id_col: str = "vec_id") -> DataFra
 def knn_topk_blocked(
     e: DataFrame,
     top_k: int = 10,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
+    block_rows: int = 8192,
     round_digits: int = 4,
 ) -> DataFrame:
     """Exact cosine top-k via distributed block matmul.
@@ -102,7 +103,17 @@ def knn_topk_blocked(
     each computing one (n/B x n/B) BLAS matmul and keeping top_k
     candidates per probe per corpus block; the global window rank
     merges partials.  Nothing is ever gathered to the driver.
+
+    Block sizing: ~`block_rows` vectors per block (one count action) —
+    big enough that each task is one real BLAS call instead of
+    overhead-dominated confetti (a fixed 16 blocks measured 8x slower
+    than a single 2000-row block at toy scale), small enough that a
+    block matrix (block_rows * d * 8 bytes) stays comfortably inside
+    an executor task's memory at any n.
     """
+    if n_blocks is None:
+        n = e.count()
+        n_blocks = max(1, math.ceil(n / block_rows))
     blocks = _pack_blocks(e, n_blocks)
     probe = blocks.select(
         F.col("ids").alias("p_ids"), F.col("mat").alias("p_mat"),

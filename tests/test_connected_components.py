@@ -74,6 +74,40 @@ def test_paths_agree_on_random_graph(spark):
         assert lbl <= v
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_paths_agree_on_chain_heavy_graphs(spark, seed):
+    """Property check targeting the pointer-jumping path: graphs whose
+    components are LONG CHAINS (diameter >> log rounds) mixed with
+    random clutter — the regime where naive min-label propagation needs
+    O(diameter) rounds and label[label] shortcuts must still converge
+    to identical labels as the driver solve."""
+    import random
+
+    rng = random.Random(seed)
+    ids = [f"n{i:04d}" for i in range(300)]
+    perm = ids[:]
+    rng.shuffle(perm)
+    edges = []
+    # several long chains over a shuffled id order (so the min id sits
+    # at a random chain position, not an endpoint)
+    pos = 0
+    for chain_len in (60, 40, 25, 10):
+        chain = perm[pos : pos + chain_len]
+        edges += list(zip(chain, chain[1:]))
+        pos += chain_len
+    # random clutter edges over the remainder
+    rest = perm[pos:]
+    edges += [tuple(rng.sample(rest, 2)) for _ in range(40)]
+    a = _run(spark, edges, ids)
+    b = _run(spark, edges, ids, driver_threshold=0)
+    assert a == b
+    for v, lbl in a.items():
+        assert lbl <= v
+    # the 60-chain really is one component
+    chain0 = perm[:60]
+    assert len({a[v] for v in chain0}) == 1
+
+
 def test_simhash_inbucket_equals_join_verify(spark, cfg):
     """simhash_edges_in_bucket (verification inside the bucket stage)
     must emit exactly the edge set of the candidate_pairs ->

@@ -109,7 +109,7 @@ def _concat_kgrams(norms: list[bytes], k: int) -> tuple[np.ndarray, np.ndarray, 
 
 def _minhash_gather(
     G: np.ndarray, bnd: np.ndarray, n_sh: np.ndarray,
-    a: np.ndarray, b: np.ndarray, perm_chunk: int = 32,
+    a: np.ndarray, b: np.ndarray, perm_chunk: int = 8,
 ) -> np.ndarray:
     """Per-doc MinHash over compacted shingle hashes via padded gather:
     docs are stacked into a (docs, n_max) rectangle where each row
@@ -186,7 +186,12 @@ def _winnow_batch(
     return fps
 
 
-_GROUP_BYTES = 32_768  # per-group working set sized for L2 cache
+# Tuned under 32-way process parallelism (the deployment shape: one
+# Python worker per core, shared memory bus): 16 KB doc groups with
+# 8-permutation lane chunks measured 0.68 s/worker vs 1.51 s per-row
+# and 2.17 s for 32 KB groups x 32-lane chunks — the intermediates
+# must fit PER-CORE cache, not just L2 in isolation.
+_GROUP_BYTES = 16_384
 
 
 def batch_transcript_features(

@@ -83,8 +83,14 @@ def main() -> int:
         Q.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.monotonic() - t0, 2)
 
+    total = round(sum(timings.values()), 2)
+
     # ---- forced-distributed CC (non-driver path gets bench coverage;
-    # driver_threshold=0 exercises pointer-jumping min-label rounds) ----
+    # driver_threshold=0 exercises pointer-jumping min-label rounds).
+    # Reported separately, NOT summed into headline_total: the headline
+    # is the same five workloads across rounds, and this entry
+    # deliberately re-runs cc_clusters' work on the slower-by-design
+    # distributed path. ----
     from pyspark.sql import functions as F
 
     t0 = time.monotonic()
@@ -95,14 +101,14 @@ def main() -> int:
     connected_components(
         doc_edges, doc_verts, driver_threshold=0
     ).write.mode("overwrite").format("noop").save()
-    timings["cc_distributed"] = round(time.monotonic() - t0, 2)
+    extras = {"cc_distributed": round(time.monotonic() - t0, 2)}
 
-    total = round(sum(timings.values()), 2)
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extras_not_in_total": extras,
         "sf": sf,
         "clips": n_assigned,
         "clips_per_sec": round(n_assigned / pipeline_s, 1),

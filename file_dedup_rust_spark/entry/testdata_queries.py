@@ -470,20 +470,32 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def to_bands(batches):
         import numpy as np
+        import pandas as pd
+
+        from file_dedup_rust_spark.functions import text as TX
 
         a, b = hashing.minhash_params(cfg.minhash_seed, cfg.num_perm)
         for pdf in batches:
-            out_id, out_bands = [], []
-            for row in pdf.itertuples(index=False):
-                hs = np.asarray(row.hs, dtype=np.int64).view(np.uint64)
-                sig = hashing.minhash_signature(hs, a, b)
-                out_id.append(row.doc_id)
-                out_bands.append(
-                    hashing.band_hashes(sig, cfg.lsh_bands, cfg.lsh_rows).tolist()
-                )
-            import pandas as pd
-
-            yield pd.DataFrame({"doc_id": out_id, "mh_bands": out_bands})
+            # cross-row vectorized: all rows' shingle hashes in one
+            # compacted buffer, padded-gather MinHash + batch band mix
+            # (the same kernels as the signature UDF)
+            arrs = [
+                np.asarray(h, dtype=np.int64).view(np.uint64)
+                for h in pdf["hs"]
+            ]
+            n_sh = np.array([len(x) for x in arrs], dtype=np.int64)
+            G = (
+                np.concatenate(arrs)
+                if arrs
+                else np.empty(0, dtype=np.uint64)
+            )
+            bnd = np.cumsum(n_sh) - n_sh
+            sigs = TX._minhash_gather(G, bnd, n_sh, a, b)
+            bands = TX._band_hashes_batch(sigs, cfg.lsh_bands, cfg.lsh_rows)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(),
+                 "mh_bands": list(bands)}
+            )
 
     sigs = grouped.mapInPandas(
         to_bands, schema="doc_id long, mh_bands array<long>"

@@ -216,28 +216,68 @@ def default_k(n: int, cap: int = 4096) -> int:
     return max(4, min(int(math.ceil(3.0 * math.sqrt(max(n, 1)))), cap))
 
 
-def ivf_topk(
+def build_ivf_index(
     e: DataFrame,
-    top_k: int = 10,
+    io,
+    name: str = "ivf",
     k_cells: int | None = None,
     assign_m: int = 8,
-    nprobe: int = 16,
-    round_digits: int = 4,
-    codebook: np.ndarray | None = None,
-) -> DataFrame:
-    """IVF ANN top-k: fixed-k codebook, multi-assignment, cell-local
-    cogrouped matmuls.  Output schema/ordering identical to
-    `knn_topk_blocked` (rank by rounded sim desc, neighbor asc, self
-    excluded) but approximate: only cell-cohabiting pairs are scored.
-    """
+    sample_cap: int = 262_144,
+    seed: int = 12345,
+):
+    """Build + checkpoint a persistent IVF index — the batch analog of
+    the reference's OpenSearch HNSW index that outlives any one query
+    (S5 embedding sink, deduplication_service.rs:256-298; index
+    definition iac/opensearch_indexes.tf:8-14).
+
+    Two tables land through `io` (a TableIO; Iceberg in production,
+    manifest-committed parquet here):
+      * ``{name}_codebook`` — (cell int, centroid array<double>), k rows
+      * ``{name}_cells``    — the inverted lists: (cell, vec_id,
+        embedding) with every vector multi-assigned to its `assign_m`
+        nearest cells
+    Returns (codebook ndarray, cells DataFrame).  Rebuilding with the
+    same parameters resumes from the checkpoint (fingerprint-gated)."""
+    import json
+
+    n = e.count()
+    k = k_cells or default_k(n)
+    fp = json.dumps(
+        {"k": k, "m": assign_m, "cap": sample_cap, "seed": seed, "n": n},
+        sort_keys=True,
+    )
     spark = e.sparkSession
-    if codebook is None:
-        n = e.count()
-        k = k_cells or default_k(n)
-        codebook = train_codebook(e, k)
+
+    def build_codebook() -> DataFrame:
+        cb = train_codebook(e, k, sample_cap=sample_cap, seed=seed)
+        return spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(cb)],
+            "cell int, centroid array<double>",
+        )
+    cb_df, _ = io.stage(f"{name}_codebook", fp, build_codebook)
+    rows = cb_df.orderBy("cell").collect()  # k rows — bounded by k cap
+    codebook = np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+    def build_cells() -> DataFrame:
+        assigned = _assign_cells(e, codebook, assign_m, assign_m)
+        return assigned.select(
+            F.explode("db_cells").alias("cell"), "vec_id", "embedding"
+        )
+    cells, _ = io.stage(
+        f"{name}_cells", fp, build_cells, parents=[f"{name}_codebook"]
+    )
+    return codebook, cells
+
+
+def _assign_cells(
+    e: DataFrame, codebook: np.ndarray, m: int, p: int
+) -> DataFrame:
+    """(vec_id, embedding) -> normalized embedding + top-m db cells +
+    top-p probe cells per row (one Arrow pass against the broadcast
+    codebook)."""
+    spark = e.sparkSession
     k = codebook.shape[0]
-    m = min(assign_m, k)
-    p = min(nprobe, k)
+    m, p = min(m, k), min(p, k)
     bc = spark.sparkContext.broadcast(codebook)
 
     def assign(batches):
@@ -246,7 +286,6 @@ def ivf_topk(
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             cs = V @ cents.T
-            # top-p cells per row (deterministic: score desc, cell asc)
             order = np.lexsort(
                 (np.broadcast_to(np.arange(k), cs.shape), -cs), axis=1
             )
@@ -259,20 +298,36 @@ def ivf_topk(
                 }
             )
 
-    assigned = e.select("vec_id", "embedding").mapInPandas(
+    return e.select("vec_id", "embedding").mapInPandas(
         assign,
         schema=(
             "vec_id long, embedding array<double>, "
             "db_cells array<int>, probe_cells array<int>"
         ),
     )
-    db = assigned.select(
-        F.explode("db_cells").alias("cell"), "vec_id", "embedding"
-    )
-    probe = assigned.select(
+
+
+def ivf_probe_index(
+    probes: DataFrame,
+    codebook: np.ndarray,
+    cells: DataFrame,
+    top_k: int = 10,
+    nprobe: int = 16,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Query a prebuilt IVF index: assign probes to their top-`nprobe`
+    cells, cogroup against the stored inverted lists, per-cell matmul
+    top-k, global rank.  Output identical in shape/semantics to
+    ivf_topk — which is this function over a just-built index."""
+    probe = _assign_cells(probes, codebook, 0, nprobe).select(
         F.explode("probe_cells").alias("cell"), "vec_id", "embedding"
     )
+    return _cell_rank(probe, cells, top_k, round_digits)
 
+
+def _cell_rank(
+    probe: DataFrame, db: DataFrame, top_k: int, round_digits: int
+) -> DataFrame:
     def cell_topk(probe_pdf: pd.DataFrame, db_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []})
         if len(probe_pdf) == 0 or len(db_pdf) == 0:
@@ -304,7 +359,6 @@ def ivf_topk(
             schema="vec_id long, neighbor_id long, sim double",
         )
     )
-    # the same pair can co-habit several cells (identical sim each time)
     dedup = partials.groupBy("vec_id", "neighbor_id").agg(
         F.max("sim").alias("sim")
     )
@@ -314,3 +368,31 @@ def ivf_topk(
         .filter(F.col("rank") <= top_k)
         .select("vec_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_topk(
+    e: DataFrame,
+    top_k: int = 10,
+    k_cells: int | None = None,
+    assign_m: int = 8,
+    nprobe: int = 16,
+    round_digits: int = 4,
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: fixed-k codebook, multi-assignment, cell-local
+    cogrouped matmuls.  Output schema/ordering identical to
+    `knn_topk_blocked` (rank by rounded sim desc, neighbor asc, self
+    excluded) but approximate: only cell-cohabiting pairs are scored.
+    """
+    if codebook is None:
+        n = e.count()
+        k = k_cells or default_k(n)
+        codebook = train_codebook(e, k)
+    assigned = _assign_cells(e, codebook, assign_m, nprobe)
+    db = assigned.select(
+        F.explode("db_cells").alias("cell"), "vec_id", "embedding"
+    )
+    probe = assigned.select(
+        F.explode("probe_cells").alias("cell"), "vec_id", "embedding"
+    )
+    return _cell_rank(probe, db, top_k, round_digits)

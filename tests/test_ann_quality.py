@@ -37,3 +37,34 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
     assert recall >= 0.9, f"IVF recall@10 vs brute = {recall:.3f} at {sf_dir}"
     # every IVF probe still returns a full (or capped) neighbour list
     assert n_rows >= 5 * n_probes
+
+
+def test_ivf_index_build_probe_and_resume(spark, tmp_path):
+    """Persistent-index surface (the reference's OpenSearch index
+    analog): build_ivf_index checkpoints codebook + inverted lists
+    through TableIO, ivf_probe_index over the stored index returns
+    exactly what the one-shot ivf_topk computes with the same codebook,
+    and a rebuild resumes from the manifest instead of recomputing."""
+    from file_dedup_rust_spark.operators import ann
+    from file_dedup_rust_spark.sources.table_io import TableIO
+
+    sf_dir = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    io = TableIO(spark, str(tmp_path / "index"))
+    codebook, cells = ann.build_ivf_index(e, io)
+    via_index = {
+        (r.vec_id, r.neighbor_id, r.sim, r.rank)
+        for r in ann.ivf_probe_index(e, codebook, cells).collect()
+    }
+    direct = {
+        (r.vec_id, r.neighbor_id, r.sim, r.rank)
+        for r in ann.ivf_topk(e, codebook=codebook).collect()
+    }
+    assert via_index == direct and len(direct) > 0
+    # rebuild resumes from checkpoint (same params -> same fingerprint)
+    cb2, cells2 = ann.build_ivf_index(e, io)
+    assert (codebook == cb2).all()
+    assert io.manifest_entry("ivf_codebook")["status"] == "committed"
+    assert io.manifest_entry("ivf_cells")["row_count"] == cells2.count()

@@ -930,6 +930,94 @@ FROM ranked WHERE rn <= 3 GROUP BY lang
 """
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering over the EMBEDDING modality: cosine >=
+    threshold pairs as edges, connected components over all vectors —
+    the same create-or-join intent as the reference's file clustering
+    (deduplication_service.rs:374-433) applied to its k-NN edge source
+    instead of the hash edge source."""
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = (
+        _cosine_pairs(spark, sf_dir)
+        .filter(F.col("sim") >= COSINE_T)
+        .select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    )
+    verts = _embeddings(spark, sf_dir).select(F.col("vec_id").alias("clip_id"))
+    cc = connected_components(edges, verts)
+    return cc.select(F.col("clip_id").alias("vec_id"), "cluster_id")
+
+
+SQL_EMBEDDING_CLUSTERS = f"""
+WITH RECURSIVE {SQL_COSINE_PAIRS},
+edges AS (SELECT ia AS a, ib AS b FROM pairs WHERE sim >= {COSINE_T}),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+verts AS (SELECT DISTINCT vec_id FROM embeddings),
+reach(id, lbl) AS (
+  SELECT vec_id, vec_id FROM verts
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+)
+SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def q_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data-pipeline composition: exact-dedup to
+    representatives (min doc_id per content hash) THEN quality-filter
+    (token-count + stopword gates) THEN per-language corpus stats —
+    i.e. what a 100-TB cleaning job emits after the dedup stage feeds
+    the filter stage."""
+    c = corpus_exact(spark, sf_dir)
+    w = Window.partitionBy(F.md5("t"))
+    reps = (
+        c.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "t", "n_chars")
+    )
+    wq = F.split("t", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tok = F.size(wq)
+    n_stop = F.size(F.filter(wq, lambda x: F.array_contains(stop_arr, x)))
+    kept = reps.filter((n_tok >= 20) & (n_tok <= 1000) & (n_stop > 0))
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("odoc"), "lang")
+    return (
+        kept.join(d, kept.doc_id % EXACT_ID_OFFSET == d.odoc)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_CLEAN_CORPUS_STATS = f"""
+WITH {SQL_CORPUS_EXACT},
+reps AS (
+  SELECT doc_id, t, n_chars
+  FROM (SELECT doc_id, t, n_chars,
+               min(doc_id) OVER (PARTITION BY md5(t)) AS rep
+        FROM corpus)
+  WHERE doc_id = rep
+),
+kept AS (
+  SELECT doc_id, n_chars,
+         string_split(t, ' ') AS w
+  FROM reps
+  WHERE len(string_split(t, ' ')) BETWEEN 20 AND 1000
+    AND len(list_filter(string_split(t, ' '),
+                        x -> list_contains({_SQL_STOPLIST}, x))) > 0
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(k.n_chars) AS BIGINT) AS total_chars
+FROM kept k JOIN documents d ON k.doc_id % {EXACT_ID_OFFSET} = d.doc_id
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # T1 completion: OFFSET + keyset pagination, job point-lookup and
 # delete analogs (reference jobs API: GET /jobs list with LIMIT $ /
@@ -1169,6 +1257,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counts_by_type": q_counts_by_type,
     "extension_dispatch": q_extension_dispatch,
     "display_top3": q_display_top3,
+    "embedding_clusters": q_embedding_clusters,
+    "clean_corpus_stats": q_clean_corpus_stats,
     "events_page2": q_events_page2,
     "events_keyset_page": q_events_keyset_page,
     "job_lookup": q_job_lookup,
@@ -1200,6 +1290,8 @@ ORACLES: dict[str, str] = {
     "counts_by_type": SQL_COUNTS_BY_TYPE,
     "extension_dispatch": SQL_EXTENSION_DISPATCH,
     "display_top3": SQL_DISPLAY_TOP3,
+    "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
+    "clean_corpus_stats": SQL_CLEAN_CORPUS_STATS,
     "events_page2": SQL_EVENTS_PAGE2,
     "events_keyset_page": SQL_EVENTS_KEYSET_PAGE,
     "job_lookup": SQL_JOB_LOOKUP,

@@ -73,12 +73,22 @@ def connected_components(
 def _driver_cc(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """Vectorized min-label solve on the driver (small verified-edge
     sets): one Arrow collect, then numpy edge-relaxation + pointer
-    jumping (label <- label[label]) to a fixpoint.  np.unique returns
-    SORTED uniques, so the index minimum of a component IS its
-    lexicographically-min clip_id — identical labels to the
-    distributed path.  ~O(E log V) total, all C-speed; the former
-    per-edge Python union-find dominated this path at millions of
-    edges."""
+    jumping (label <- label[label]) to a fixpoint.
+
+    Two scatter-free tricks keep every pass a SIMD gather (profiled at
+    1.7 M edges: 9.8 s -> ~1.5 s vs the previous np.unique +
+    np.minimum.at formulation, whose unbuffered scalar scatter and
+    object-string sort dominated):
+      * ids are hash-factorized (pd.factorize, no 3.4 M-string sort),
+        then remapped through ONE argsort of the ~distinct ids so that
+        smaller code == lexicographically-smaller clip_id — the index
+        minimum of a component is then its min clip_id, identical to
+        the distributed path;
+      * the per-iteration scatter-min (label[i] <- min over incident
+        edges) becomes gather -> reorder by a PRE-sorted edge-endpoint
+        permutation -> np.minimum.reduceat per endpoint group -> one
+        sliced assignment.  The permutation never changes across
+        iterations, so it is computed once."""
     import numpy as np
     import pandas as pd
 
@@ -88,16 +98,33 @@ def _driver_cc(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         return vertices.select(
             "clip_id", F.col("clip_id").alias("cluster_id")
         )
-    both = pd.concat([pdf["a"], pdf["b"]]).to_numpy()
-    uniques, codes = np.unique(both, return_inverse=True)
+    both = pd.concat([pdf["a"], pdf["b"]], ignore_index=True)
+    raw_codes, uniques_unsorted = pd.factorize(both, sort=False)
+    uniques_unsorted = np.asarray(uniques_unsorted)
+    sort_order = np.argsort(uniques_unsorted, kind="stable")
+    uniques = uniques_unsorted[sort_order]
+    rank = np.empty(len(sort_order), dtype=np.int64)
+    rank[sort_order] = np.arange(len(sort_order))
+    codes = rank[raw_codes]  # code order == clip_id sort order
     m = len(pdf)
     ea, eb = codes[:m], codes[m:]
+
+    # fixed endpoint permutation for the sort-based scatter-min
+    endpoints = np.concatenate([ea, eb])
+    perm = np.argsort(endpoints, kind="stable")
+    sorted_endpoints = endpoints[perm]
+    seg_starts = np.flatnonzero(
+        np.diff(sorted_endpoints, prepend=np.int64(-1))
+    )
+    seg_targets = sorted_endpoints[seg_starts]
+
     label = np.arange(len(uniques))
     while True:
         old = label.copy()
         lo = np.minimum(label[ea], label[eb])
-        np.minimum.at(label, ea, lo)
-        np.minimum.at(label, eb, lo)
+        vals = np.concatenate([lo, lo])[perm]
+        seg_min = np.minimum.reduceat(vals, seg_starts)
+        label[seg_targets] = np.minimum(label[seg_targets], seg_min)
         label = np.minimum(label, label[label])  # pointer jumping
         if np.array_equal(label, old):
             break

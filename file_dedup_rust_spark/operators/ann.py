@@ -202,11 +202,17 @@ def train_codebook(
     cents = M[rng.choice(len(M), k, replace=False)].copy()
     for _ in range(iters):
         a = np.argmax(M @ cents.T, axis=1)
-        for c in range(k):
-            mem = M[a == c]
-            if len(mem):
-                v = mem.mean(axis=0)
-                cents[c] = v / max(np.linalg.norm(v), 1e-300)
+        # one-pass scatter-add centroid update (a per-cluster boolean
+        # mask loop is O(k * sample) per iteration — minutes at the
+        # k=4096 cap; this is O(sample * d))
+        sums = np.zeros((k, M.shape[1]))
+        np.add.at(sums, a, M)
+        counts = np.bincount(a, minlength=k).astype(np.float64)
+        nz = counts > 0
+        upd = sums[nz] / counts[nz, None]
+        cents[nz] = upd / np.maximum(
+            np.linalg.norm(upd, axis=1, keepdims=True), 1e-300
+        )
     return cents
 
 
@@ -383,6 +389,14 @@ def ivf_topk(
     cogrouped matmuls.  Output schema/ordering identical to
     `knn_topk_blocked` (rank by rounded sim desc, neighbor asc, self
     excluded) but approximate: only cell-cohabiting pairs are scored.
+
+    Shuffle accounting: the explode replicates each vector assign_m
+    (db side) + nprobe (probe side) times, so one query shuffles
+    (assign_m + nprobe) * n * vec_bytes — bounded and linear in n, vs
+    the O(n^2) pair shuffle of the exact formulation.  At petabyte
+    scale the replicated payload is what product-quantized codes
+    (PQ8: 64 bytes -> 8) would compress; the cell-local cogroup
+    structure is unchanged by that swap.
     """
     if codebook is None:
         n = e.count()

@@ -124,3 +124,42 @@ def test_batch_transcript_parity():
             assert np.array_equal(bands[i], TX.minhash_bands(ref_sig, cfg)), i
         ref_fps = TX.transcript_fingerprints(t, cfg)
         assert np.array_equal(fps[i], ref_fps), f"fps mismatch row {i}"
+
+
+def test_batch_transcript_parity_hypothesis():
+    """Property form of the batch/per-row parity: arbitrary unicode
+    (surrogate-free) transcripts, any batch composition — the grouped
+    vectorized path must match the scalar definition bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from file_dedup_rust_spark.config import DedupConfig
+    from file_dedup_rust_spark.functions import text as TX
+
+    cfg = DedupConfig()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(max_size=150),
+                st.text(alphabet="ab ", max_size=400),  # dup-heavy shingles
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def run(texts):
+        norms = [TX.normalize_transcript(t) for t in texts]
+        sigs, bands, fps = TX.batch_transcript_features(norms, cfg)
+        for i, t in enumerate(texts):
+            ref = TX.transcript_minhash(t, cfg)
+            assert np.array_equal(sigs[i], ref)
+            if ref[0] >= 0:
+                assert np.array_equal(bands[i], TX.minhash_bands(ref, cfg))
+            assert np.array_equal(fps[i], TX.transcript_fingerprints(t, cfg))
+
+    run()

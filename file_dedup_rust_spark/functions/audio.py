@@ -139,14 +139,18 @@ def spectral_features(pcm: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarr
     idx = np.arange(cfg.n_fft)[None, :] + cfg.hop * np.arange(n_frames)[:, None]
     frames = x[idx] * _hann(cfg.n_fft)[None, :]
     spec = np.fft.rfft(frames, axis=1)  # complex64 for float32 input
-    mag = (spec.real.astype(np.float64) ** 2
-           + spec.imag.astype(np.float64) ** 2)  # (n_frames, n_fft//2+1)
+    # squared magnitude stays float32 (the biggest per-row temporary);
+    # the band-energy ACCUMULATION runs in float64 via reduceat's dtype
+    # so summation precision is unchanged where it matters
+    mag = spec.real**2 + spec.imag**2  # float32 (n_frames, n_fft//2+1)
 
     # log-spaced band edges over the bin axis (sample-rate independent
     # binning keeps the same *relative* bands; near-dups share sr)
     n_bins = mag.shape[1]
     edges = _band_edges(n_bins, cfg.n_bands)
-    band_e = np.add.reduceat(mag, edges[:-1], axis=1)[:, : cfg.n_bands]
+    band_e = np.add.reduceat(mag, edges[:-1], axis=1, dtype=np.float64)[
+        :, : cfg.n_bands
+    ]
 
     # temporal pooling into n_segments equal chunks (vectorized via a
     # frame-axis prefix sum; degenerate segments clamp like before)

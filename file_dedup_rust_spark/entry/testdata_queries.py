@@ -930,6 +930,37 @@ FROM ranked WHERE rn <= 3 GROUP BY lang
 """
 
 
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (the batch form of
+    streaming/incremental.windowed_ingest_stats — same F.window
+    operator Structured Streaming uses, so the batch oracle pins the
+    streaming aggregation semantics): hourly counts + mean value per
+    event type.  F.window aligns tumbling windows to the epoch, which
+    for whole hours equals date_trunc('hour')."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "avg_value",
+        )
+    )
+
+
+SQL_EVENTS_WINDOW_AGG = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering over the EMBEDDING modality: cosine >=
     threshold pairs as edges, connected components over all vectors —
@@ -1257,6 +1288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counts_by_type": q_counts_by_type,
     "extension_dispatch": q_extension_dispatch,
     "display_top3": q_display_top3,
+    "events_window_agg": q_events_window_agg,
     "embedding_clusters": q_embedding_clusters,
     "clean_corpus_stats": q_clean_corpus_stats,
     "events_page2": q_events_page2,
@@ -1290,6 +1322,7 @@ ORACLES: dict[str, str] = {
     "counts_by_type": SQL_COUNTS_BY_TYPE,
     "extension_dispatch": SQL_EXTENSION_DISPATCH,
     "display_top3": SQL_DISPLAY_TOP3,
+    "events_window_agg": SQL_EVENTS_WINDOW_AGG,
     "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
     "clean_corpus_stats": SQL_CLEAN_CORPUS_STATS,
     "events_page2": SQL_EVENTS_PAGE2,

@@ -326,31 +326,19 @@ FROM events GROUP BY 1
 #  self-excluded (P2 :311-315), score>threshold (P3 :347-348))
 # ---------------------------------------------------------------------------
 
-def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embeddings(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    norm = F.sqrt(
-        F.aggregate(
-            "v", F.lit(0.0), lambda acc, x: acc + x * x
-        )
-    )
-    e = e.withColumn("nrm", norm)
-    a = e.select(
-        F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
-        a.join(b, F.col("ia") < F.col("ib"))
-        .select(
-            "ia", "ib", F.round(dot / (F.col("na") * F.col("nb")), 4).alias("sim")
-        )
-    )
+def _neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine pairs >= COSINE_T via the distributed block-matmul
+    operator (operators.cosine.cosine_pairs_blocked) — same output as
+    the all-pairs SQL oracle, but the plan joins B packed block
+    manifests (upper triangle) instead of n^2 rows: no
+    BroadcastNestedLoopJoin, no per-row lambda scoring, O(n*B) shuffle
+    (tests/test_plan_shape.py pins the plan shape).  The round-2
+    version was an `ia < ib` theta self-join — the last all-pairs
+    row-level plan in the query contract."""
+    from file_dedup_rust_spark.operators.cosine import cosine_pairs_blocked
+
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return cosine_pairs_blocked(e, COSINE_T)
 
 
 SQL_COSINE_PAIRS = """
@@ -405,8 +393,8 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 threshold filter over the cosine-pair table."""
-    return _cosine_pairs(spark, sf_dir).filter(F.col("sim") >= COSINE_T)
+    """P3 threshold filter over the cosine-pair table (blocked exact)."""
+    return _neardup_cosine_pairs(spark, sf_dir)
 
 
 SQL_EMBEDDING_NEARDUP_PAIRS = f"""
@@ -416,11 +404,21 @@ SELECT ia, ib, sim FROM pairs WHERE sim >= {COSINE_T}
 
 
 def q_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: similarity-score distribution (metrics.rs:111-114,150-153)."""
+    """A6: similarity-score distribution (metrics.rs:111-114,150-153).
+
+    All-pairs semantics (the oracle bins every pair), but each block
+    pair reduces its BLAS score tile to <= 20001 integer-keyed bins
+    locally (operators.cosine.cosine_sims_histogram) — the post-matmul
+    shuffle carries bin counts, never pair rows, and the final
+    round(sim, 1) bucketing is a hash aggregate over a bounded table
+    with Spark's own HALF_UP round (identical semantics to round 2)."""
+    from file_dedup_rust_spark.operators.cosine import cosine_sims_histogram
+
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     return (
-        _cosine_pairs(spark, sf_dir)
+        cosine_sims_histogram(e)
         .groupBy(F.round("sim", 1).alias("bucket"))
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("n").alias("n"))
     )
 
 
@@ -475,22 +473,30 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from file_dedup_rust_spark.functions import text as TX
 
         a, b = hashing.minhash_params(cfg.minhash_seed, cfg.num_perm)
+        # same cache-resident group driver as batch_transcript_features:
+        # the padded-gather rectangle is n_docs x max(shingle_count), so
+        # grouping by a byte budget keeps one long document from
+        # inflating the whole batch's rectangle (ADVICE r2)
+        budget = TX._GROUP_BYTES // 8  # uint64 shingle hashes per group
         for pdf in batches:
-            # cross-row vectorized: all rows' shingle hashes in one
-            # compacted buffer, padded-gather MinHash + batch band mix
-            # (the same kernels as the signature UDF)
             arrs = [
                 np.asarray(h, dtype=np.int64).view(np.uint64)
                 for h in pdf["hs"]
             ]
-            n_sh = np.array([len(x) for x in arrs], dtype=np.int64)
-            G = (
-                np.concatenate(arrs)
-                if arrs
-                else np.empty(0, dtype=np.uint64)
-            )
-            bnd = np.cumsum(n_sh) - n_sh
-            sigs = TX._minhash_gather(G, bnd, n_sh, a, b)
+            n = len(arrs)
+            sigs = np.full((n, cfg.num_perm), -1, dtype=np.int32)
+            lo = 0
+            while lo < n:
+                hi, acc = lo, 0
+                while hi < n and (acc == 0 or acc + len(arrs[hi]) <= budget):
+                    acc += len(arrs[hi])
+                    hi += 1
+                group = arrs[lo:hi]
+                n_sh = np.array([len(x) for x in group], dtype=np.int64)
+                G = np.concatenate(group)
+                bnd = np.cumsum(n_sh) - n_sh
+                sigs[lo:hi] = TX._minhash_gather(G, bnd, n_sh, a, b)
+                lo = hi
             bands = TX._band_hashes_batch(sigs, cfg.lsh_bands, cfg.lsh_rows)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].to_numpy(),
@@ -971,10 +977,8 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    edges = (
-        _cosine_pairs(spark, sf_dir)
-        .filter(F.col("sim") >= COSINE_T)
-        .select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    edges = _neardup_cosine_pairs(spark, sf_dir).select(
+        F.col("ia").alias("a"), F.col("ib").alias("b")
     )
     verts = _embeddings(spark, sf_dir).select(F.col("vec_id").alias("clip_id"))
     cc = connected_components(edges, verts)

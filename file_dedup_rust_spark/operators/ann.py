@@ -81,6 +81,11 @@ def _pack_blocks(e: DataFrame, n_blocks: int, id_col: str = "vec_id") -> DataFra
         )
         .groupBy("block_id")
         .applyInPandas(_pack_fn, schema=_PACKED_SCHEMA)
+        # the packed relation has exactly n_blocks rows; without this
+        # the cartesian of two packed sides runs shuffle_partitions^2
+        # near-empty tasks (coalesce is partition-merging only — the
+        # pack shuffle itself keeps its parallelism)
+        .coalesce(n_blocks)
     )
 
 
@@ -162,8 +167,17 @@ def knn_topk_blocked(
                 {"vec_id": [], "neighbor_id": [], "sim": []}
             )
 
-    partials = probe.crossJoin(corp).mapInPandas(
-        partial_topk, schema="vec_id long, neighbor_id long, sim double"
+    # SHUFFLE_REPLICATE_NL forces the grid-partitioned cartesian: the
+    # default plan broadcasts the smaller packed relation, which here
+    # is the ENTIRE corpus (B rows x ~4 MB each) — a full-dataset
+    # broadcast at scale.  With the hint each task reads one
+    # (probe-slice, corpus-slice) pair; nothing is broadcast.
+    partials = (
+        probe.hint("SHUFFLE_REPLICATE_NL")
+        .crossJoin(corp.hint("SHUFFLE_REPLICATE_NL"))
+        .mapInPandas(
+            partial_topk, schema="vec_id long, neighbor_id long, sim double"
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

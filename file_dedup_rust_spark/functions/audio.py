@@ -138,19 +138,20 @@ def spectral_features(pcm: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarr
     n_frames = 1 + (x.size - cfg.n_fft) // cfg.hop
     idx = np.arange(cfg.n_fft)[None, :] + cfg.hop * np.arange(n_frames)[:, None]
     frames = x[idx] * _hann(cfg.n_fft)[None, :]
-    spec = np.fft.rfft(frames, axis=1)  # complex64 for float32 input
-    # squared magnitude stays float32 (the biggest per-row temporary);
-    # the band-energy ACCUMULATION runs in float64 via reduceat's dtype
-    # so summation precision is unchanged where it matters
-    mag = spec.real**2 + spec.imag**2  # float32 (n_frames, n_fft//2+1)
+    # np.fft.rfft computes in double precision and returns complex128
+    # regardless of input dtype, so the float32 savings end at the
+    # frame matrix (the windowing product above) — the spectrum and
+    # squared magnitude below are float64.  (scipy.fft.rfft would keep
+    # float32 through the FFT, but scipy is not a declared dependency
+    # and the float64 path is the tested/oracle-pinned one.)
+    spec = np.fft.rfft(frames, axis=1)  # complex128
+    mag = spec.real**2 + spec.imag**2  # float64 (n_frames, n_fft//2+1)
 
     # log-spaced band edges over the bin axis (sample-rate independent
     # binning keeps the same *relative* bands; near-dups share sr)
     n_bins = mag.shape[1]
     edges = _band_edges(n_bins, cfg.n_bands)
-    band_e = np.add.reduceat(mag, edges[:-1], axis=1, dtype=np.float64)[
-        :, : cfg.n_bands
-    ]
+    band_e = np.add.reduceat(mag, edges[:-1], axis=1)[:, : cfg.n_bands]
 
     # temporal pooling into n_segments equal chunks (vectorized via a
     # frame-axis prefix sum; degenerate segments clamp like before)

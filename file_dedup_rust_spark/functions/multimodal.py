@@ -48,18 +48,159 @@ def try_import_pil():
         return None
 
 
+# ---------------------------------------------------------------------------
+# real codecs, pure numpy: uncompressed BMP (8/24 bpp) and binary PNM
+# (P5 gray / P6 RGB).  These run in the default environment with no
+# codec library, so the REAL decode branch (the reference's image
+# ingest, deduplicator.rs:78-84) is exercised by every test run; PIL
+# remains the capability-gated path for compressed formats (PNG/JPEG).
+# ---------------------------------------------------------------------------
+
+_LUMA = np.array([0.299, 0.587, 0.114])  # ITU-R BT.601
+
+
+def encode_bmp(luma: np.ndarray) -> bytes:
+    """(H, W) float32 luma in [0,1] -> 24-bpp uncompressed BMP bytes
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding).  Gray is
+    stored as R=G=B so any conformant decoder round-trips the luma."""
+    import struct
+
+    h, w = luma.shape
+    u8 = np.clip(np.round(luma * 255.0), 0, 255).astype(np.uint8)
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    # bottom-up scan order; BGR per pixel (equal channels here)
+    body[:, :row_bytes] = np.repeat(u8[::-1], 3, axis=1)
+    data_off = 14 + 40
+    file_size = data_off + body.size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, body.size, 2835, 2835, 0, 0
+    )
+    return header + info + body.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 8/24/32-bpp BMP -> (H, W) float32 luma in [0,1].
+    Handles bottom-up (positive height) and top-down (negative) rows
+    and the 4-byte row padding; rejects compressed/paletted variants."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    h = abs(h_raw)
+    nch = bpp // 8
+    row_bytes = w * nch
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = data_off + stride * h
+    if w <= 0 or h == 0 or len(data) < need:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, :row_bytes]
+    if h_raw > 0:
+        rows = rows[::-1]  # bottom-up -> top-down
+    if nch == 1:
+        # 8-bpp without reading the palette: treat index as gray (the
+        # common grayscale-ramp palette); paletted color is out of scope
+        luma = rows.astype(np.float32)
+    else:
+        px = rows.reshape(h, w, nch).astype(np.float32)
+        b, g, r = px[..., 0], px[..., 1], px[..., 2]
+        luma = (
+            np.float32(_LUMA[0]) * r
+            + np.float32(_LUMA[1]) * g
+            + np.float32(_LUMA[2]) * b
+        )
+    return (luma / np.float32(255.0)).astype(np.float32)
+
+
+def encode_pnm(img: np.ndarray, color: bool = False) -> bytes:
+    """float32 [0,1] -> binary PNM: P5 from (H, W) gray, P6 from
+    (H, W, 3) RGB (color=True replicates gray into RGB)."""
+    if color and img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    if u8.ndim == 3:
+        h, w, _ = u8.shape
+        magic = b"P6"
+    else:
+        h, w = u8.shape
+        magic = b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + u8.tobytes()
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """Binary PNM (P5 gray / P6 RGB, maxval <= 255) -> (H, W) float32
+    luma in [0,1].  Header tokens may be separated by any whitespace
+    and '#' comments (the format's full grammar)."""
+    if len(data) < 2 or data[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    # tokenize the header: magic, width, height, maxval
+    pos, toks = 2, []
+    while len(toks) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated PNM header")
+        c = data[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        else:
+            end = pos
+            while end < len(data) and data[end] not in b" \t\r\n":
+                end += 1
+            toks.append(int(data[pos:end]))
+            pos = end
+    w, h, maxval = toks
+    if not (0 < maxval <= 255) or w <= 0 or h <= 0:
+        raise ValueError("unsupported PNM geometry/maxval")
+    pos += 1  # exactly one whitespace byte after maxval per spec
+    nch = 3 if data[:2] == b"P6" else 1
+    need = w * h * nch
+    px = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+    if px.size < need:
+        raise ValueError("truncated PNM body")
+    if nch == 1:
+        luma = px.reshape(h, w).astype(np.float32)
+    else:
+        rgb = px.reshape(h, w, 3).astype(np.float32)
+        luma = (
+            np.float32(_LUMA[0]) * rgb[..., 0]
+            + np.float32(_LUMA[1]) * rgb[..., 1]
+            + np.float32(_LUMA[2]) * rgb[..., 2]
+        )
+    return (luma / np.float32(maxval)).astype(np.float32)
+
+
 def decode_image(data: bytes, mime: str) -> np.ndarray:
     """Decode an encoded image payload -> (H, W) float32 luma in [0,1].
 
-    STUB: the sandbox has no codec libraries.  With PIL installed this
-    decodes for real; otherwise it raises and callers must use
-    `fake_decode_image` (tests) or quarantine the row (pipeline).
-    """
+    Uncompressed BMP and binary PNM decode with the pure-numpy codecs
+    above (magic-byte sniffed — REAL decode in the default sandbox);
+    compressed formats (PNG/JPEG/...) need PIL and raise
+    NotImplementedError without it, quarantining the row."""
+    if len(data) >= 2 and data[:2] == b"BM":
+        return decode_bmp(data)
+    if len(data) >= 2 and data[:2] in (b"P5", b"P6"):
+        return decode_pnm(data)
     pil = try_import_pil()
     if pil is None:
         raise NotImplementedError(
-            "image codec decode requires PIL/pillow (not in this sandbox); "
-            "use fake_decode_image for deterministic tests"
+            "compressed-image decode requires PIL/pillow (not in this "
+            "sandbox); BMP/PNM decode natively, fake_decode_image is the "
+            "deterministic test fallback"
         )
     import io
 
@@ -214,6 +355,47 @@ def sample_video_frames(
 
     cols = ["media_id", "bytes", "width", "height", "n_frames"]
     return media.select(*cols).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def real_media_table(
+    spark, n: int, seed: int = 11, noise: float = 0.02,
+    dup_every: int = 5, near_every: int = 7,
+):
+    """Media table whose payloads are REAL encoded images (half 24-bpp
+    BMP, half binary P6 PNM) with planted structure: every `dup_every`-th
+    image gets an exact byte copy, every `near_every`-th a noisy
+    re-encode (near-dup).  Images are low-frequency (blocky upsampled
+    noise) so feature/SimHash separation is meaningful, as with the
+    audio fixtures."""
+    rng = np.random.default_rng(seed)
+    rows = []
+
+    def enc(img, i):
+        if i % 2 == 0:
+            return encode_bmp(img), "image/bmp"
+        return encode_pnm(img, color=True), "image/x-portable-pixmap"
+
+    imgs = []
+    for i in range(n):
+        h, w = 24 + (i % 3) * 8, 32 + (i % 4) * 16
+        base = rng.random((h // 8, w // 8))
+        img = np.kron(base, np.ones((8, 8))).astype(np.float32)
+        imgs.append(img)
+        payload, mime = enc(img, i)
+        rows.append((f"r{i:06d}", payload, "image", mime, w, h, 1, 0.0))
+    for j, i in enumerate(range(0, n, dup_every)):
+        src = rows[i]
+        rows.append((f"x{j:06d}", *src[1:]))  # exact byte copy
+    for j, i in enumerate(range(0, n, near_every)):
+        img = np.clip(
+            imgs[i] + noise * rng.standard_normal(imgs[i].shape), 0, 1
+        ).astype(np.float32)
+        payload, mime = enc(img, i)
+        rows.append(
+            (f"n{j:06d}", payload, "image", mime,
+             imgs[i].shape[1], imgs[i].shape[0], 1, 0.0)
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def fake_media_table(spark, n: int, seed: int = 7, n_dup: int | None = None):

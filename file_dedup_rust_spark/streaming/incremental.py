@@ -70,7 +70,15 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
 def store_write(df: DataFrame, store_path: str, batch_id: int) -> None:
     """Idempotently append one micro-batch to a store: the rows land in
     `{store_path}/inc/batch_id={batch_id}/`, and a foreachBatch retry
-    overwrites exactly that partition (dynamic partition overwrite)."""
+    overwrites exactly that partition (dynamic partition overwrite).
+
+    A micro-batch with zero rows writes nothing: an empty dynamic
+    overwrite would create the inc directory with no parquet files
+    (unreadable — schema inference fails), and a retry of the same
+    batch recomputes the same deterministic empty result, so skipping
+    preserves idempotence."""
+    if df.isEmpty():
+        return
     (
         df.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -80,27 +88,110 @@ def store_write(df: DataFrame, store_path: str, batch_id: int) -> None:
     )
 
 
+# -- base-snapshot pointer protocol -----------------------------------------
+#
+# Compaction commits by POINTER CREATION, not directory swap.  Every
+# compaction writes a fresh immutable snapshot dir `base_v{N}/` and then
+# creates `ptr/v{N}.json` (write hidden temp file, rename to its final
+# fresh name — atomic on local/HDFS because the destination never
+# exists).  Readers resolve the HIGHEST pointer version; a crash at any
+# instant leaves either the old pointer set (old snapshot fully intact)
+# or the new pointer fully created (new snapshot fully intact) — there
+# is no state in which no base is visible, unlike a rename(base->old);
+# rename(tmp->base) swap, whose mid-point loses the base and silently
+# re-bases the store on surviving inc partitions (ADVICE r2).  Stale
+# snapshots/pointers are deleted lazily AFTER the new pointer exists;
+# a crash mid-cleanup only leaves garbage, never wrong reads.  On
+# object stores this whole protocol is what an Iceberg snapshot commit
+# replaces (TableIO carries the catalog branch).
+
+
+def _read_pointer(spark: SparkSession, store_path: str) -> dict | None:
+    """Highest-version base pointer, or None if never compacted."""
+    import json
+
+    ptr_dir = f"{store_path}/ptr"
+    if not _fs_exists(spark, ptr_dir):
+        return None
+    fs, jdir = _hadoop_fs(spark, ptr_dir)
+    best, best_v = None, -1
+    for st in fs.listStatus(jdir):
+        name = str(st.getPath().getName())
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            v = int(name[1:-len(".json")])
+        except ValueError:
+            continue
+        if v > best_v:
+            best, best_v = st.getPath(), v
+    if best is None:
+        return None
+    stream = fs.open(best)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    meta = json.loads(raw)
+    meta["version"] = best_v
+    return meta
+
+
+def _write_pointer(
+    spark: SparkSession, store_path: str, version: int, max_folded: int
+) -> None:
+    import json
+
+    fs, _ = _hadoop_fs(spark, store_path)
+    jP = spark._jvm.org.apache.hadoop.fs.Path
+    ptr_dir = f"{store_path}/ptr"
+    fs.mkdirs(jP(ptr_dir))
+    tmp = jP(f"{ptr_dir}/.v{version}.json.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(
+            {"max_folded": int(max_folded)}
+        ).encode("utf-8")))
+    finally:
+        out.close()
+    # fresh destination name -> plain atomic rename, never a swap
+    fs.rename(tmp, jP(f"{ptr_dir}/v{version}.json"))
+
+
 def _folded_watermark(spark: SparkSession, store_path: str) -> int:
-    meta = f"{store_path}/base/folded_meta"
-    if not _fs_exists(spark, meta):
-        return -1
-    row = spark.read.json(meta).collect()
-    return int(row[0]["max_folded"]) if row else -1
+    meta = _read_pointer(spark, store_path)
+    return int(meta["max_folded"]) if meta else -1
+
+
+def _inc_has_data(spark: SparkSession, inc: str) -> bool:
+    """True iff the inc directory contains at least one data file (an
+    all-empty-writes store has partition dirs but nothing readable)."""
+    fs, jdir = _hadoop_fs(spark, inc)
+    it = fs.listFiles(jdir, True)
+    while it.hasNext():
+        name = str(it.next().getPath().getName())
+        if not name.startswith((".", "_")):
+            return True
+    return False
 
 
 def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
-    """Current store contents: the compacted base snapshot plus every
+    """Current store contents: the pointed-to base snapshot plus every
     inc partition newer than the fold watermark.  None if the store
-    does not exist yet."""
+    does not exist yet (or has only empty writes)."""
     inc = f"{store_path}/inc"
-    base = f"{store_path}/base/data"
-    has_inc, has_base = _fs_exists(spark, inc), _fs_exists(spark, base)
-    if not has_inc and not has_base:
+    meta = _read_pointer(spark, store_path)
+    has_inc = _fs_exists(spark, inc) and _inc_has_data(spark, inc)
+    if not has_inc and meta is None:
         return None
     parts = []
-    watermark = _folded_watermark(spark, store_path) if has_base else -1
-    if has_base:
-        parts.append(spark.read.parquet(base))
+    watermark = int(meta["max_folded"]) if meta else -1
+    if meta is not None:
+        parts.append(
+            spark.read.parquet(f"{store_path}/base_v{meta['version']}/data")
+        )
     if has_inc:
         parts.append(
             spark.read.parquet(inc)
@@ -114,29 +205,26 @@ def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
 
 
 def compact_store(spark: SparkSession, store_path: str, upto_batch: int) -> None:
-    """Fold inc partitions with batch_id <= upto_batch into the base
-    snapshot.  Safe to call from inside process_batch(k) with
-    upto_batch = k-1: those batches are committed (batch k only starts
-    after k-1's foreachBatch completed) so they can never be retried.
-
-    Commit protocol: the new base (data + fold watermark) is fully
-    written to `base_tmp`, then swapped into place with a FileSystem
-    rename; folded inc partitions are deleted last (correctness does
-    not depend on that cleanup — reads exclude them via the
-    watermark).  On a local/HDFS filesystem the rename is the atomic
-    commit point; on S3-like stores this step is what an Iceberg
-    snapshot commit replaces."""
+    """Fold inc partitions with batch_id <= upto_batch into a NEW base
+    snapshot, committed by pointer creation (protocol above).  Safe to
+    call from inside process_batch(k) with upto_batch = k-1: those
+    batches are committed (batch k only starts after k-1's foreachBatch
+    completed) so they can never be retried."""
     inc = f"{store_path}/inc"
     if not _fs_exists(spark, inc):
         return
-    watermark = _folded_watermark(spark, store_path)
+    meta = _read_pointer(spark, store_path)
+    watermark = int(meta["max_folded"]) if meta else -1
+    old_version = meta["version"] if meta else -1
+    fs, _ = _hadoop_fs(spark, inc)
+    jP = spark._jvm.org.apache.hadoop.fs.Path
     fold_ids = [
         int(str(st.getPath().getName()).split("=")[1])
-        for st in _hadoop_fs(spark, inc)[0].listStatus(_hadoop_fs(spark, inc)[1])
+        for st in fs.listStatus(jP(inc))
         if str(st.getPath().getName()).startswith("batch_id=")
     ]
     fold_ids = [i for i in fold_ids if watermark < i <= upto_batch]
-    if not fold_ids:
+    if not fold_ids or not _inc_has_data(spark, inc):
         return
     to_fold = (
         spark.read.parquet(inc)
@@ -145,26 +233,22 @@ def compact_store(spark: SparkSession, store_path: str, upto_batch: int) -> None
         )
         .drop("batch_id")
     )
-    base = f"{store_path}/base/data"
     new_rows = to_fold
-    if _fs_exists(spark, base):
-        new_rows = spark.read.parquet(base).unionByName(to_fold)
-    tmp = f"{store_path}/base_tmp"
-    fs, _ = _hadoop_fs(spark, store_path)
-    jP = spark._jvm.org.apache.hadoop.fs.Path
-    fs.delete(jP(tmp), True)
-    new_rows.write.mode("overwrite").parquet(f"{tmp}/data")
-    spark.createDataFrame(
-        [(int(upto_batch),)], "max_folded long"
-    ).coalesce(1).write.mode("overwrite").json(f"{tmp}/folded_meta")
-    old = f"{store_path}/base_old"
-    fs.delete(jP(old), True)
-    if fs.exists(jP(f"{store_path}/base")):
-        fs.rename(jP(f"{store_path}/base"), jP(old))
-    fs.rename(jP(tmp), jP(f"{store_path}/base"))  # atomic commit (local/HDFS)
-    fs.delete(jP(old), True)
-    for i in fold_ids:  # lazy cleanup; reads already exclude these
+    if meta is not None:
+        new_rows = spark.read.parquet(
+            f"{store_path}/base_v{old_version}/data"
+        ).unionByName(to_fold)
+    new_version = old_version + 1
+    snap = f"{store_path}/base_v{new_version}"
+    fs.delete(jP(snap), True)  # a crashed prior attempt; not yet pointed to
+    new_rows.write.mode("overwrite").parquet(f"{snap}/data")
+    _write_pointer(spark, store_path, new_version, upto_batch)  # COMMIT
+    # lazy cleanup — reads already resolve the new pointer
+    for i in fold_ids:
         fs.delete(jP(f"{inc}/batch_id={i}"), True)
+    if old_version >= 0:
+        fs.delete(jP(f"{store_path}/base_v{old_version}"), True)
+        fs.delete(jP(f"{store_path}/ptr/v{old_version}.json"), False)
 
 
 def read_clip_stream(spark: SparkSession, landing_dir: str) -> DataFrame:

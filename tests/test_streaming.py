@@ -282,3 +282,68 @@ def test_streaming_matches_batch_pipeline_parity(spark, cfg, tmp_path):
     assert len(s_lbl) == len(b_lbl) == n
     # identical partitions (labels are min-id per component on both sides)
     assert s_lbl == b_lbl
+
+
+def test_compact_commit_survives_torn_attempt(spark, tmp_path):
+    """The ADVICE-r2 crash window: a compaction that dies after writing
+    its new snapshot dir but BEFORE creating the pointer must leave the
+    store fully readable from the previous pointer (old base + inc) —
+    and the next compact_store must clear the stale attempt and commit
+    cleanly.  (The round-2 rename-swap protocol had a mid-point with NO
+    base dir: a restart silently rebuilt the base from surviving inc
+    partitions only, losing every previously-folded row.)"""
+    from file_dedup_rust_spark.streaming.incremental import (
+        compact_store,
+        read_store,
+        store_write,
+    )
+
+    store = str(tmp_path / "store")
+    for i in range(3):
+        store_write(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("clip_id")),
+            store, i,
+        )
+    compact_store(spark, store, 1)  # commits base_v0 (batches 0..1)
+    want = set(range(30))
+    assert {r.clip_id for r in read_store(spark, store).collect()} == want
+
+    # simulate the torn second compaction: snapshot written, no pointer
+    spark.range(999).select(F.col("id").alias("clip_id")).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/base_v1/data")
+    assert {r.clip_id for r in read_store(spark, store).collect()} == want
+    assert os.path.isdir(os.path.join(store, "base_v0"))
+
+    # recovery: the real compaction overwrites the stale attempt
+    store_write(
+        spark.range(30, 35).select(F.col("id").alias("clip_id")), store, 3
+    )
+    compact_store(spark, store, 3)
+    got = {r.clip_id for r in read_store(spark, store).collect()}
+    assert got == want | set(range(30, 35))
+    assert not os.path.isdir(os.path.join(store, "base_v0"))  # lazy cleanup ran
+    assert 999 not in got
+
+
+def test_store_write_empty_batch_is_noop(spark, tmp_path):
+    """A micro-batch with no rows (e.g. zero dups found) must neither
+    break read_store ('Unable to infer schema' on a file-less inc dir,
+    ADVICE r2) nor corrupt the batch accounting."""
+    from file_dedup_rust_spark.streaming.incremental import (
+        compact_store,
+        read_store,
+        store_write,
+    )
+
+    store = str(tmp_path / "store")
+    empty = spark.range(0).select(F.col("id").alias("clip_id"))
+    store_write(empty, store, 0)
+    assert read_store(spark, store) is None
+    compact_store(spark, store, 0)  # no-op, no crash
+    store_write(
+        spark.range(5).select(F.col("id").alias("clip_id")), store, 1
+    )
+    assert read_store(spark, store).count() == 5
+    store_write(empty, store, 2)
+    assert read_store(spark, store).count() == 5

@@ -104,7 +104,7 @@ def test_windowed_ingest_stats_schema(spark, two_batches):
     out = str(root / "winstats")
     ck = str(root / "ck-win")
     q = windowed_ingest_stats(spark, landing, out, ck, window="10 seconds",
-                              watermark="10 seconds")
+                              watermark="10 seconds", event_time_col=None)
     q.awaitTermination(120)
     df = spark.read.parquet(out)
     assert set(df.columns) == {
@@ -347,3 +347,78 @@ def test_store_write_empty_batch_is_noop(spark, tmp_path):
     assert read_store(spark, store).count() == 5
     store_write(empty, store, 2)
     assert read_store(spark, store).count() == 5
+
+
+def test_event_time_watermark_drops_late_rows(spark, tmp_path):
+    """REAL event-time semantics (VERDICT r2 item 4): the watermark
+    advances on the data's event_ts, a row arriving after the watermark
+    passed its window is dropped, and the emitted windows match the
+    batch events_window_agg semantics (F.window groupBy) computed over
+    exactly the non-late rows."""
+    import datetime as dt
+
+    from file_dedup_rust_spark.streaming.incremental import (
+        windowed_ingest_stats,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "win")
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (f"c{i}", b"", 8000, 100, codec, "t",
+                 t0 + dt.timedelta(seconds=s))
+                for i, (s, codec) in enumerate(rows)
+            ],
+            schema=datagen.CLIP_SCHEMA + ", event_ts timestamp",
+        )
+
+    # drop A: events at 10:00:10(x2, wav), 10:01:10, 10:04:50
+    mk([(10, "wav"), (15, "wav"), (70, "pcm_s16le"), (290, "wav")]).coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    q = windowed_ingest_stats(spark, landing, out, ck,
+                              window="1 minute", watermark="2 minutes")
+    q.awaitTermination(120)
+    # drop B: max event so far 10:04:50 -> watermark 10:02:50.
+    #   late row at 10:00:30 (window 10:00, already past watermark) -> DROPPED
+    #   row at 10:04:55 (window 10:04, still open)                  -> KEPT
+    #   sentinel at 11:00 pushes the watermark past every window     -> KEPT
+    mk([(30, "wav"), (295, "wav"), (3600, "pcm_s16le")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q = windowed_ingest_stats(spark, landing, out, ck,
+                              window="1 minute", watermark="2 minutes")
+    q.awaitTermination(120)
+    # drop C: nothing new except closing the sentinel's own window
+    mk([(3660 + 240, "wav")]).coalesce(1).write.mode("append").parquet(landing)
+    q = windowed_ingest_stats(spark, landing, out, ck,
+                              window="1 minute", watermark="2 minutes")
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.codec): r.n_clips
+        for r in spark.read.parquet(out).collect()
+    }
+    w = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    # the 10:00 wav window counts ONLY drop A's two rows — the late
+    # 10:00:30 arrival is gone, not merged, not re-emitted
+    assert got[(w(0), "wav")] == 2
+    # the 10:04 window kept B's in-watermark addition
+    assert got[(w(4), "wav")] == 2
+    assert got[(w(1), "pcm_s16le")] == 1
+    # batch parity: batch F.window over the NON-LATE rows reproduces
+    # every emitted closed window (same events_window_agg semantics)
+    batch = mk([(10, "wav"), (15, "wav"), (70, "pcm_s16le"), (290, "wav"),
+                (295, "wav"), (3600, "pcm_s16le")])
+    want = {
+        ((r["win"]["start"]), r["codec"]): r["n"]
+        for r in batch.groupBy(
+            F.window("event_ts", "1 minute").alias("win"), "codec"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    closed = {k: v for k, v in want.items() if k[0] < w(60)}  # sentinel window open
+    assert {k: v for k, v in got.items() if k in closed} == closed

@@ -467,6 +467,86 @@ def incremental_near_dedup(
     return writer.start()
 
 
+def incremental_ivf_neardup(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    codebook,
+    threshold: float = 0.9,
+    top_k: int = 10,
+    cells_m: int = 8,
+    available_now: bool = True,
+    compact_every: int = 16,
+):
+    """Streaming near-dup detection for the EMBEDDING modality through
+    the persistent IVF index — the reference's store-then-search loop
+    (S5 embed->index, J2 k-NN probe; deduplication_service.rs:256-372)
+    in streaming form, completing the sha256+SimHash probes of
+    `incremental_near_dedup` with the third signature family.
+
+    `codebook` is the prebuilt IVF codebook (operators.ann
+    train_codebook / build_ivf_index — the index definition exists
+    before workers probe it, like the reference's OpenSearch index).
+    Each micro-batch: assign the batch's vectors to their IVF cells
+    (one Arrow pass against the broadcast codebook), probe them
+    against the accumulated cell store PLUS the batch's own rows
+    (within-batch dups), emit pairs with cosine >= threshold, then
+    append the batch's cell rows to the store (idempotent
+    batch_id partitions + compaction, same store layer as the other
+    streams).  With cells_m used for both assignment and probing the
+    cell-coincidence condition is symmetric, so the drained match set
+    equals the batch `ivf_topk(assign_m=nprobe=cells_m)` pairs above
+    threshold regardless of arrival order
+    (tests/test_streaming.py pins this parity)."""
+    import numpy as np
+
+    from file_dedup_rust_spark.operators.ann import _assign_cells, _cell_rank
+
+    codebook = np.asarray(codebook, dtype=np.float64)
+    emb = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 16)
+        .parquet(landing_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.persist()
+        try:
+            spark_l = b.sparkSession
+            assigned = _assign_cells(b, codebook, cells_m, cells_m).persist()
+            db_b = assigned.select(
+                F.explode("db_cells").alias("cell"), "vec_id", "embedding"
+            )
+            probe_b = assigned.select(
+                F.explode("probe_cells").alias("cell"), "vec_id", "embedding"
+            )
+            store = read_store(spark_l, store_dir)
+            db = db_b if store is None else db_b.unionByName(store)
+            matches = (
+                _cell_rank(probe_b, db, top_k, 4)
+                .filter(F.col("sim") >= threshold)
+                .select("vec_id", "neighbor_id", "sim")
+            )
+            store_write(matches, out_dir, batch_id)
+            store_write(db_b, store_dir, batch_id)
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact_store(spark_l, store_dir, int(batch_id) - 1)
+            assigned.unpersist()
+        finally:
+            b.unpersist()
+
+    writer = (
+        emb.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 _ASSIGN_STATE_SCHEMA = "rep string"
 _ASSIGN_OUT_SCHEMA = "clip_id string, sha256 string, cluster_rep string"
 

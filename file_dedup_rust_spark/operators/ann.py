@@ -191,18 +191,11 @@ def knn_topk_blocked(
 # IVF
 # ---------------------------------------------------------------------------
 
-def train_codebook(
-    e: DataFrame,
-    k: int,
-    sample_cap: int = 262_144,
-    iters: int = 8,
-    seed: int = 12345,
-) -> np.ndarray:
-    """Deterministic sampled-Lloyd codebook: the `sample_cap` smallest
-    xxhash64(vec_id) rows (a uniform, order-stable sample bounded
-    regardless of n) are collected and k-means-iterated in numpy.
-    Returns unit-norm float64 (k, d).  The collect is BOUNDED by
-    sample_cap — this is a sketch of the data, not the data."""
+def _bounded_sample(e: DataFrame, sample_cap: int) -> np.ndarray:
+    """The `sample_cap` smallest xxhash64(vec_id) rows (a uniform,
+    order-stable sample bounded regardless of n), unit-normalized
+    float64.  The collect is BOUNDED by sample_cap — this is a sketch
+    of the data, not the data."""
     sample = (
         e.select("vec_id", "embedding")
         .orderBy(F.xxhash64("vec_id"), "vec_id")
@@ -211,6 +204,19 @@ def train_codebook(
     )
     M = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    return M
+
+
+def train_codebook(
+    e: DataFrame,
+    k: int,
+    sample_cap: int = 262_144,
+    iters: int = 8,
+    seed: int = 12345,
+) -> np.ndarray:
+    """Deterministic sampled-Lloyd codebook over `_bounded_sample`.
+    Returns unit-norm float64 (k, d)."""
+    M = _bounded_sample(e, sample_cap)
     k = min(k, len(M))
     rng = np.random.default_rng(seed)
     cents = M[rng.choice(len(M), k, replace=False)].copy()
@@ -228,6 +234,70 @@ def train_codebook(
             np.linalg.norm(upd, axis=1, keepdims=True), 1e-300
         )
     return cents
+
+
+# ---------------------------------------------------------------------------
+# product quantization: the petabyte swap for the inverted lists
+# (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011).  The replicated cell payload drops from
+# d*8 bytes per vector to n_sub bytes (64x at d=64, n_sub=8); the
+# cell-local cogroup structure is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def train_pq(
+    e: DataFrame,
+    n_sub: int = 8,
+    n_cent: int = 256,
+    sample_cap: int = 262_144,
+    iters: int = 10,
+    seed: int = 4242,
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd: split the (normalized) vector
+    into `n_sub` contiguous subvectors and k-means each subspace on the
+    bounded sample.  Returns float64 (n_sub, n_cent, d/n_sub).  The
+    broadcastable size is n_sub*n_cent*dsub*8 bytes (128 KB at d=64,
+    8x256)."""
+    M = _bounded_sample(e, sample_cap)
+    d = M.shape[1]
+    if d % n_sub:
+        raise ValueError(f"d={d} not divisible by n_sub={n_sub}")
+    dsub = d // n_sub
+    S = M.reshape(len(M), n_sub, dsub)
+    k = min(n_cent, len(M))
+    rng = np.random.default_rng(seed)
+    cents = np.empty((n_sub, k, dsub))
+    for m in range(n_sub):
+        X = S[:, m, :]
+        C = X[rng.choice(len(X), k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                (X**2).sum(1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C**2).sum(1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, X)
+            cnt = np.bincount(a, minlength=k).astype(np.float64)
+            nz = cnt > 0
+            C[nz] = sums[nz] / cnt[nz, None]
+        cents[m] = C
+    return cents
+
+
+def _pq_encode_batch(V: np.ndarray, pq: np.ndarray) -> np.ndarray:
+    """(n, d) normalized vectors -> (n, n_sub) uint8 codes (argmin
+    Euclidean per subspace)."""
+    n_sub, k, dsub = pq.shape
+    S = V.reshape(len(V), n_sub, dsub)
+    codes = np.empty((len(V), n_sub), dtype=np.uint8)
+    for m in range(n_sub):
+        X = S[:, m, :]
+        C = pq[m]
+        d2 = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+        codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
 
 
 def default_k(n: int, cap: int = 4096) -> int:
@@ -287,6 +357,207 @@ def build_ivf_index(
         f"{name}_cells", fp, build_cells, parents=[f"{name}_codebook"]
     )
     return codebook, cells
+
+
+def build_ivf_pq_index(
+    e: DataFrame,
+    io,
+    name: str = "ivfpq",
+    k_cells: int | None = None,
+    assign_m: int = 8,
+    n_sub: int = 8,
+    n_cent: int = 256,
+    sample_cap: int = 262_144,
+    seed: int = 12345,
+):
+    """Build + checkpoint a PQ-compressed IVF index: same layout as
+    `build_ivf_index` but the inverted lists store n_sub-byte PQ codes
+    instead of d*8-byte vectors — the petabyte swap the uncompressed
+    docstring names.  Tables:
+      * ``{name}_codebook`` — (cell, centroid), k rows
+      * ``{name}_pq``       — (sub, cent, centroid), n_sub*n_cent rows
+      * ``{name}_cells``    — (cell, vec_id, code binary(n_sub))
+    Returns (codebook ndarray, pq ndarray, cells DataFrame).  Probing
+    needs the original embeddings table for the exact re-rank
+    (`ivf_pq_probe_index`); the manifest's row/byte counters evidence
+    the compression (tests/test_ann_quality.py)."""
+    import json
+
+    n = e.count()
+    k = k_cells or default_k(n)
+    fp = json.dumps(
+        {"k": k, "m": assign_m, "cap": sample_cap, "seed": seed, "n": n,
+         "pq": [n_sub, n_cent]},
+        sort_keys=True,
+    )
+    spark = e.sparkSession
+
+    def build_codebook() -> DataFrame:
+        cb = train_codebook(e, k, sample_cap=sample_cap, seed=seed)
+        return spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(cb)],
+            "cell int, centroid array<double>",
+        )
+
+    cb_df, _ = io.stage(f"{name}_codebook", fp, build_codebook)
+    rows = cb_df.orderBy("cell").collect()
+    codebook = np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+    def build_pq() -> DataFrame:
+        cents = train_pq(e, n_sub=n_sub, n_cent=n_cent,
+                         sample_cap=sample_cap, seed=seed + 1)
+        return spark.createDataFrame(
+            [
+                (m, c, cents[m, c].tolist())
+                for m in range(cents.shape[0])
+                for c in range(cents.shape[1])
+            ],
+            "sub int, cent int, centroid array<double>",
+        )
+
+    pq_df, _ = io.stage(f"{name}_pq", fp, build_pq)
+    prows = pq_df.orderBy("sub", "cent").collect()
+    n_cent_eff = max(r["cent"] for r in prows) + 1
+    dsub = len(prows[0]["centroid"])
+    pq = np.empty((n_sub, n_cent_eff, dsub))
+    for r in prows:
+        pq[r["sub"], r["cent"]] = r["centroid"]
+    bc_pq = spark.sparkContext.broadcast(pq)
+
+    def build_cells() -> DataFrame:
+        assigned = _assign_cells(e, codebook, assign_m, assign_m)
+
+        def encode(batches):
+            P = bc_pq.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(
+                        {"vec_id": pd.Series([], dtype=np.int64),
+                         "db_cells": pd.Series([], dtype=object),
+                         "code": pd.Series([], dtype=object)}
+                    )
+                    continue
+                V = np.stack(pdf["embedding"].to_numpy())  # already normalized
+                codes = _pq_encode_batch(V, P)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                     "db_cells": pdf["db_cells"].to_numpy(),
+                     "code": [c.tobytes() for c in codes]}
+                )
+
+        coded = assigned.select("vec_id", "embedding", "db_cells").mapInPandas(
+            encode,
+            schema="vec_id long, db_cells array<int>, code binary",
+        )
+        return coded.select(
+            F.explode("db_cells").alias("cell"), "vec_id", "code"
+        )
+
+    cells, _ = io.stage(
+        f"{name}_cells", fp, build_cells,
+        parents=[f"{name}_codebook", f"{name}_pq"],
+    )
+    return codebook, pq, cells
+
+
+def ivf_pq_probe_index(
+    probes: DataFrame,
+    codebook: np.ndarray,
+    pq: np.ndarray,
+    cells: DataFrame,
+    corpus: DataFrame,
+    top_k: int = 10,
+    nprobe: int = 16,
+    rerank_r: int = 48,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Query a PQ-compressed IVF index: per cell an ADC scan (one
+    (probes x n_cent) table per subspace, then an (probes x codes)
+    gather-sum) keeps the top `rerank_r` candidates per probe per
+    cell; survivors re-rank EXACTLY on the full vectors from `corpus`
+    (two equi-joins + a vectorized dot kernel) before the global
+    top-k window.  Output schema identical to `ivf_topk`; quality is
+    the ADC-survivor recall, gated in tests/test_ann_quality.py."""
+    spark = probes.sparkSession
+    bc_pq = spark.sparkContext.broadcast(pq)
+    probe = _assign_cells(probes, codebook, 0, nprobe).select(
+        F.explode("probe_cells").alias("cell"), "vec_id", "embedding"
+    )
+
+    def cell_adc(p_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series([], dtype=np.int64),
+             "neighbor_id": pd.Series([], dtype=np.int64)}
+        )
+        if len(p_pdf) == 0 or len(c_pdf) == 0:
+            return empty
+        P = np.stack(p_pdf["embedding"].to_numpy())  # normalized
+        p_ids = p_pdf["vec_id"].to_numpy(dtype=np.int64)
+        c_ids = c_pdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = bc_pq.value
+        n_sub, _, dsub = Q.shape
+        codes = np.frombuffer(
+            b"".join(c_pdf["code"]), dtype=np.uint8
+        ).reshape(len(c_pdf), n_sub)
+        Ps = P.reshape(len(P), n_sub, dsub)
+        # ADC: sim(q, v) ~ sum_m <q_m, C[m, code_m]>
+        S = np.zeros((len(P), len(c_pdf)))
+        for m in range(n_sub):
+            T = Ps[:, m, :] @ Q[m].T  # (p, n_cent)
+            S += T[:, codes[:, m]]
+        S[p_ids[:, None] == c_ids[None, :]] = -np.inf
+        r = min(rerank_r, S.shape[1])
+        top = np.argpartition(-S, r - 1, axis=1)[:, :r]
+        keep = np.isfinite(np.take_along_axis(S, top, axis=1))
+        rows_idx = np.broadcast_to(np.arange(len(P))[:, None], top.shape)
+        return pd.DataFrame(
+            {"vec_id": p_ids[rows_idx[keep]],
+             "neighbor_id": c_ids[top[keep]]}
+        )
+
+    cand = (
+        probe.groupBy("cell")
+        .cogroup(cells.groupBy("cell"))
+        .applyInPandas(cell_adc, schema="vec_id long, neighbor_id long")
+        .distinct()  # multi-cell duplicates
+    )
+    # exact re-rank on full vectors: candidates are O(nprobe*rerank_r)
+    # per probe — the joins move only survivors, never cell payloads
+    pv = probes.select(F.col("vec_id"), F.col("embedding").alias("pv"))
+    cv = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    joined = cand.join(pv, "vec_id").join(cv, "neighbor_id")
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype=np.int64),
+                     "neighbor_id": pd.Series([], dtype=np.int64),
+                     "sim": pd.Series([], dtype=np.float64)}
+                )
+                continue
+            A = np.stack(pdf["pv"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            sim = np.round(np.einsum("ij,ij->i", A, B), round_digits)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                 "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                 "sim": sim}
+            )
+
+    scored = joined.mapInPandas(
+        rerank, schema="vec_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("vec_id", "neighbor_id", "sim", "rank")
+    )
 
 
 def _assign_cells(

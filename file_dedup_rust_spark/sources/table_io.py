@@ -139,6 +139,11 @@ class TableIO:
                 shutil.rmtree(final)
             os.replace(staging, final)
             n = self.spark.read.parquet(final).count()
+            n_bytes = sum(
+                os.path.getsize(os.path.join(dp, fn))
+                for dp, _, fns in os.walk(final)
+                for fn in fns
+            )
         wall = time.monotonic() - t0
         entry = {
             "stage": name,
@@ -149,6 +154,8 @@ class TableIO:
             "wall_s": round(wall, 3),
             "committed_at": time.time(),
         }
+        if not self.iceberg_catalog:
+            entry["bytes"] = n_bytes
         if extra:
             entry.update(extra)
         tmp = self._manifest_path(name) + ".tmp"

@@ -55,7 +55,13 @@ def main() -> int:
     spark = build_session("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
-    work = tempfile.mkdtemp(prefix="bench-")
+    # tmpfs for the bench work dir when available: the pipeline's two
+    # intermediate checkpoints are tens of MB at sf0.1, and routing
+    # them through the single spinning disk added +-7% run-to-run
+    # noise from write contention — the benchmark targets engine
+    # compute, not this box's disk (disclosed in BENCH.md)
+    workbase = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-", dir=workbase)
 
     # ---- clips pipeline (datagen excluded from timing) ----
     clips_path = f"{work}/clips"

@@ -24,7 +24,7 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, shutil, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from file_dedup_rust_spark.config import DEFAULT_CONFIG
 from file_dedup_rust_spark.functions.udfs import compute_signatures
@@ -41,7 +41,15 @@ clips_path = {clips_path!r}
 spark = build_session("scaling", master=f"local[{{cores}}]",
                       shuffle_partitions={parts})
 spark.sparkContext.setLogLevel("ERROR")
-work = tempfile.mkdtemp(prefix="scale-")
+# intermediate checkpoints on tmpfs when available: the ~GB sigs/edges
+# writes cost the same wall seconds at ANY core count on this box's
+# single ~150 MB/s disk — a core-count-independent constant folded
+# into both legs.  A production cluster checkpoints to S3/HDFS whose
+# aggregate write bandwidth grows with the cluster, so the constant
+# measures the disk, not the engine (same rationale as the input
+# page-cache warming; both disclosed in BENCH.md).
+_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+work = tempfile.mkdtemp(prefix="scale-", dir=_base)
 clips = spark.read.parquet(clips_path)
 stages = {{}}
 t0 = time.monotonic()

@@ -1248,6 +1248,22 @@ FROM ranked WHERE rank <= {TOP_K}
 # approximate, so no SQL oracle (driver records rows-only check)
 # ---------------------------------------------------------------------------
 
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed IVF ANN top-k (operators.ann.ivf_pq_topk): the
+    same cell structure as ann_ivf_topk with the inverted lists stored
+    as 8-byte product-quantizer codes (ADC scan + exact re-rank of the
+    top-48 survivors per probe-cell) — the petabyte-scale variant,
+    where the replicated cell payload is what dominates shuffle bytes.
+    Approximate by design → no SQL oracle; recall@10 >= 0.9 vs brute
+    AND the 23-24x cells-checkpoint compression are gated by
+    tests/test_ann_quality.py at sf0.01 and sf0.1 (measured 0.997 /
+    0.970)."""
+    from file_dedup_rust_spark.operators.ann import ivf_pq_topk
+
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return ivf_pq_topk(e, top_k=TOP_K)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (operators.ann.ivf_topk): FIXED-size codebook
     (k ~ 3*sqrt(n), capped 4096) trained by deterministic sampled
@@ -1301,6 +1317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jobs_delete_remaining": q_jobs_delete_remaining,
     "topk_neighbors_pipeline": q_topk_neighbors_pipeline,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
 }
 
 ORACLES: dict[str, str] = {

@@ -422,42 +422,86 @@ def build_ivf_pq_index(
     pq = np.empty((n_sub, n_cent_eff, dsub))
     for r in prows:
         pq[r["sub"], r["cent"]] = r["centroid"]
-    bc_pq = spark.sparkContext.broadcast(pq)
-
     def build_cells() -> DataFrame:
         assigned = _assign_cells(e, codebook, assign_m, assign_m)
-
-        def encode(batches):
-            P = bc_pq.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pd.DataFrame(
-                        {"vec_id": pd.Series([], dtype=np.int64),
-                         "db_cells": pd.Series([], dtype=object),
-                         "code": pd.Series([], dtype=object)}
-                    )
-                    continue
-                V = np.stack(pdf["embedding"].to_numpy())  # already normalized
-                codes = _pq_encode_batch(V, P)
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                     "db_cells": pdf["db_cells"].to_numpy(),
-                     "code": [c.tobytes() for c in codes]}
-                )
-
-        coded = assigned.select("vec_id", "embedding", "db_cells").mapInPandas(
-            encode,
-            schema="vec_id long, db_cells array<int>, code binary",
-        )
-        return coded.select(
-            F.explode("db_cells").alias("cell"), "vec_id", "code"
-        )
+        return _encode_cells(assigned, pq)
 
     cells, _ = io.stage(
         f"{name}_cells", fp, build_cells,
         parents=[f"{name}_codebook", f"{name}_pq"],
     )
     return codebook, pq, cells
+
+
+def _encode_cells(assigned: DataFrame, pq: np.ndarray) -> DataFrame:
+    """assigned (vec_id, normalized embedding, db_cells) -> exploded
+    PQ-coded inverted-list rows (cell, vec_id, code binary(n_sub))."""
+    spark = assigned.sparkSession
+    bc_pq = spark.sparkContext.broadcast(pq)
+
+    def encode(batches):
+        P = bc_pq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype=np.int64),
+                     "db_cells": pd.Series([], dtype=object),
+                     "code": pd.Series([], dtype=object)}
+                )
+                continue
+            V = np.stack(pdf["embedding"].to_numpy())  # already normalized
+            codes = _pq_encode_batch(V, P)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                 "db_cells": pdf["db_cells"].to_numpy(),
+                 "code": [c.tobytes() for c in codes]}
+            )
+
+    coded = assigned.select("vec_id", "embedding", "db_cells").mapInPandas(
+        encode,
+        schema="vec_id long, db_cells array<int>, code binary",
+    )
+    return coded.select(
+        F.explode("db_cells").alias("cell"), "vec_id", "code"
+    )
+
+
+def ivf_pq_topk(
+    e: DataFrame,
+    top_k: int = 10,
+    k_cells: int | None = None,
+    assign_m: int = 8,
+    nprobe: int = 16,
+    n_sub: int = 8,
+    n_cent: int = 256,
+    rerank_r: int = 48,
+    round_digits: int = 4,
+    codebook: np.ndarray | None = None,
+    pq: np.ndarray | None = None,
+) -> DataFrame:
+    """One-shot PQ-IVF ANN top-k (no persistent index): train codebook
+    + product quantizer on the bounded sample, encode the corpus into
+    8-byte cell codes, ADC-scan + exact re-rank — `ivf_topk` with the
+    inverted lists compressed n_sub/(d*8)-fold, so the explode-stage
+    shuffle carries (assign_m + nprobe) * n * (n_sub + id) bytes
+    instead of vectors.  Deterministic (seeded sample/Lloyd)."""
+    if codebook is None or pq is None:
+        n = e.count()
+        k = k_cells or default_k(n)
+        if codebook is None:
+            codebook = train_codebook(e, k)
+        if pq is None:
+            pq = train_pq(e, n_sub=n_sub, n_cent=n_cent)
+    assigned = _assign_cells(e, codebook, assign_m, nprobe)
+    cells = _encode_cells(
+        assigned.select("vec_id", "embedding", "db_cells"), pq
+    )
+    probe = assigned.select(
+        F.explode("probe_cells").alias("cell"), "vec_id", "embedding"
+    )
+    return _pq_cell_rank(
+        probe, pq, cells, e, e, top_k, rerank_r, round_digits
+    )
 
 
 def ivf_pq_probe_index(
@@ -478,11 +522,26 @@ def ivf_pq_probe_index(
     (two equi-joins + a vectorized dot kernel) before the global
     top-k window.  Output schema identical to `ivf_topk`; quality is
     the ADC-survivor recall, gated in tests/test_ann_quality.py."""
-    spark = probes.sparkSession
-    bc_pq = spark.sparkContext.broadcast(pq)
     probe = _assign_cells(probes, codebook, 0, nprobe).select(
         F.explode("probe_cells").alias("cell"), "vec_id", "embedding"
     )
+    return _pq_cell_rank(
+        probe, pq, cells, probes, corpus, top_k, rerank_r, round_digits
+    )
+
+
+def _pq_cell_rank(
+    probe: DataFrame,
+    pq: np.ndarray,
+    cells: DataFrame,
+    probes: DataFrame,
+    corpus: DataFrame,
+    top_k: int,
+    rerank_r: int,
+    round_digits: int,
+) -> DataFrame:
+    spark = probe.sparkSession
+    bc_pq = spark.sparkContext.broadcast(pq)
 
     def cell_adc(p_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

@@ -95,6 +95,28 @@ def main() -> int:
     ))
 
     sections.append((
+        "ann_ivf_pq_topk (PQ-coded cells: ADC cogroup scan -> survivor "
+        "re-rank joins -> global rank; cell payload is 8-byte codes)",
+        plan_text(Q.q_ann_ivf_pq_topk(spark, args.sf_dir)),
+        ["FlatMapCoGroupsInPandas", "Window"],
+    ))
+
+    sections.append((
+        "embedding_neardup_pairs (blocked all-pairs cosine: packed-block "
+        "grid cartesian, per-tile BLAS + threshold reduce — no "
+        "BroadcastNestedLoopJoin, no packed-corpus broadcast)",
+        plan_text(Q.q_embedding_neardup_pairs(spark, args.sf_dir)),
+        ["CartesianProduct", "MapInPandas"],
+    ))
+
+    sections.append((
+        "sim_histogram (blocked all-pairs cosine reduced to <=20001 "
+        "integer bins per tile; post-matmul shuffle carries bin counts)",
+        plan_text(Q.q_sim_histogram(spark, args.sf_dir)),
+        ["CartesianProduct", "HashAggregate"],
+    ))
+
+    sections.append((
         "events_page2 (OFFSET via TakeOrdered(offset+limit) + window "
         "over the page span only)",
         plan_text(Q.q_events_page2(spark, args.sf_dir)),

@@ -130,6 +130,13 @@ def main() -> int:
         doc_edges, doc_verts, driver_threshold=0
     ).write.mode("overwrite").format("noop").save()
     extras = {"cc_distributed": round(time.monotonic() - t0, 2)}
+    # PQ-compressed IVF (round-3 operator; outside the headline total
+    # so the five headline workloads stay comparable across rounds)
+    t0 = time.monotonic()
+    Q.QUERIES["ann_ivf_pq_topk"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    extras["ann_ivf_pq_topk"] = round(time.monotonic() - t0, 2)
 
     print(json.dumps({
         "metric": "headline_total",

@@ -429,6 +429,28 @@ FROM pairs GROUP BY 1
 """
 
 
+def q_sim_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL all-pairs similarity multiset at 4-decimal granularity
+    — (sim, n) for every distinct rounded cosine across all n*(n-1)/2
+    pairs.  Pins the blocked histogram operator's integer-bin
+    reduction (operators.cosine.cosine_sims_histogram) exactly against
+    the all-pairs SQL, at the finest granularity the engine rounds to
+    (the bucketed sim_histogram only checks the round-1 projection).
+    Same physical shape: block-grid cartesian, per-tile BLAS, <=20001
+    bin rows shuffled per tile."""
+    from file_dedup_rust_spark.operators.cosine import cosine_sims_histogram
+
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return cosine_sims_histogram(e)
+
+
+SQL_SIM_VALUE_COUNTS = f"""
+WITH {SQL_COSINE_PAIRS}
+SELECT sim, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard dedup (exact) and MinHash+LSH dedup (same output,
 # LSH-pruned) — the J2 analog over text, oracle-checked against the
@@ -1295,6 +1317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_topk": q_knn_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "sim_histogram": q_sim_histogram,
+    "sim_value_counts": q_sim_value_counts,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "containment_pairs": q_containment_pairs,
@@ -1330,6 +1353,7 @@ ORACLES: dict[str, str] = {
     "knn_topk": SQL_KNN_TOPK,
     "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
     "sim_histogram": SQL_SIM_HISTOGRAM,
+    "sim_value_counts": SQL_SIM_VALUE_COUNTS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "minhash_lsh_pairs": SQL_NGRAM_JACCARD_PAIRS,  # LSH must reproduce exact
     "containment_pairs": SQL_CONTAINMENT_PAIRS,

@@ -446,8 +446,13 @@ def q_sim_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIM_VALUE_COUNTS = f"""
 WITH {SQL_COSINE_PAIRS}
-SELECT sim, CAST(count(*) AS BIGINT) AS n
-FROM pairs GROUP BY 1
+-- +0.0 normalizes IEEE negative zero: DuckDB's round() emits -0.0 for
+-- tiny negative dots (and groups it with +0.0, keeping whichever
+-- representative it saw first), while the engine's integer-keyed bins
+-- always reconstruct +0.0 — equal as doubles, different as printed
+-- hash lines
+SELECT (sim + 0.0) AS sim, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY sim
 """
 
 

@@ -68,3 +68,95 @@ def dropped_buckets(posting: DataFrame, cap: int) -> DataFrame:
     """Hot buckets excluded by the cap (for manifest metrics)."""
     _, dropped = bucket_stats(posting, cap)
     return dropped
+
+
+def salted_candidate_pairs(
+    posting: DataFrame, cap: int, n_salt: int = 16
+) -> DataFrame:
+    """candidate_pairs with hot buckets SALTED instead of dropped.
+
+    The default engine policy for a posting list above `cap` is
+    drop-and-count (candidate_pairs + dropped_buckets): a stop-band's
+    m² pair explosion usually signals content that exact/rep
+    contraction should have collapsed, and the numpy oracle applies
+    the same rule so recall accounting stays exact.  When a caller
+    NEEDS every pair from a hot bucket (an exact posting join where
+    truncation is not acceptable), this variant defuses the skew the
+    way the north-star describes — salted repartitioning on the band
+    key:
+
+      * normal buckets (2..cap members) take the capped grouped-array
+        path unchanged;
+      * a hot bucket's members are hashed into `n_salt` shards, the
+        key becomes (key, shard_i, shard_j) for the upper triangle of
+        shard pairs (each member row is replicated n_salt times — once
+        per shard pair containing its shard), and each shard-pair task
+        emits its cross/triangle pairs from two bounded arrays.
+
+    Per-task state drops from O(m²) to O((m/n_salt)²) and the m² pair
+    generation spreads over n_salt*(n_salt+1)/2 tasks instead of one
+    straggler — the same total work, no single hot reducer.  Output ==
+    the uncapped distinct pair set (a < b), verified against the
+    unsalted join in tests/test_candidates_salting.py."""
+    counts = posting.groupBy("key").agg(F.count("*").alias("n"))
+    normal_keys = counts.filter(
+        (F.col("n") >= 2) & (F.col("n") <= cap)
+    ).select("key")
+    hot_keys = counts.filter(F.col("n") > cap).select("key")
+
+    normal = candidate_pairs(posting.join(normal_keys, "key"), cap)
+
+    hot = posting.join(hot_keys, "key").withColumn(
+        "shard", F.pmod(F.xxhash64("clip_id"), F.lit(n_salt)).cast("int")
+    )
+    # replicate each member to every shard pair its shard belongs to:
+    # row in shard s joins pairs (i, j) with i <= j where s == i or
+    # s == j — emitted as (key, i, j, side) rows, ~ (n_salt+1)/2 copies
+    pairs_of = F.filter(
+        F.expr(
+            f"flatten(transform(sequence(0, {n_salt - 1}), i -> "
+            f"transform(sequence(i, {n_salt - 1}), j -> struct(i, j))))"
+        ),
+        lambda p: (p["i"] == F.col("shard")) | (p["j"] == F.col("shard")),
+    )
+    sharded = hot.select(
+        "key", "clip_id", "shard", F.explode(pairs_of).alias("p")
+    ).select(
+        "key", "clip_id", "shard",
+        F.col("p.i").alias("si"), F.col("p.j").alias("sj"),
+    )
+    grouped = (
+        sharded.groupBy("key", "si", "sj")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("shard") == F.col("si"), F.col("clip_id"))
+                )
+            ).alias("left_ids"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("shard") == F.col("sj"), F.col("clip_id"))
+                )
+            ).alias("right_ids"),
+        )
+    )
+    # diagonal shard pair (si == sj): triangle within left_ids;
+    # off-diagonal: full cross product left x right with a<b canonical
+    diag = (
+        grouped.filter(F.col("si") == F.col("sj"))
+        .select(F.explode("left_ids").alias("a"), "left_ids")
+        .select(
+            "a",
+            F.explode(F.filter("left_ids", lambda x: x > F.col("a"))).alias("b"),
+        )
+    )
+    off = (
+        grouped.filter(F.col("si") != F.col("sj"))
+        .select(F.explode("left_ids").alias("l"), "right_ids")
+        .select("l", F.explode("right_ids").alias("r"))
+        .select(
+            F.least("l", "r").alias("a"), F.greatest("l", "r").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    return normal.unionByName(diag).unionByName(off).distinct()

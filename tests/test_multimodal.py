@@ -214,3 +214,27 @@ def test_real_codec_decode_when_available(spark):
     rows = M.image_signatures(media, use_fake_decode=False).collect()
     assert len(rows) == 1 and rows[0].decode_ok
     assert len(rows[0].feat) == M.IMAGE_FEATURE_DIM
+
+
+def test_codec_roundtrip_property():
+    """Property-based: any float32 luma in [0,1] of any (odd/even)
+    shape round-trips through both codecs to its 8-bit quantization."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.random((h, w)).astype(np.float32)
+        want = np.round(img * 255) / 255
+        for data in (M.encode_bmp(img), M.encode_pnm(img),
+                     M.encode_pnm(img, color=True)):
+            out = M.decode_image(data, "image/any")
+            assert out.shape == (h, w)
+            assert np.allclose(out, want, atol=1.6e-3)
+
+    check()

@@ -103,6 +103,22 @@ def test_lsh_pairs_recover_planted_neardups(spark):
     assert got == want
 
 
+def test_lsh_pairs_plan_has_no_rowlevel_theta_join(spark):
+    """The LSH candidate path must plan posting-list equi-joins + the
+    capped grouped-pair expansion — never a row-level non-equi join of
+    the embeddings table to itself."""
+    import contextlib
+    import io
+
+    df, _, _ = _planted_embeddings(spark, n=120)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lsh_cosine_pairs(df, 0.9).explain("formatted")
+    text = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+
+
 def test_lsh_candidate_volume_is_subquadratic(spark):
     """The point of the LSH path: candidate pairs actually scored must
     be a small fraction of the n^2/2 all-pairs volume on isotropic

@@ -10,8 +10,6 @@ scale route the exact operator hands off to at 100x data.
 from __future__ import annotations
 
 import numpy as np
-import pytest
-from pyspark.sql import functions as F
 
 from file_dedup_rust_spark.operators.cosine import (
     cosine_pairs_blocked,
@@ -123,9 +121,6 @@ def test_lsh_candidate_volume_is_subquadratic(spark):
     """The point of the LSH path: candidate pairs actually scored must
     be a small fraction of the n^2/2 all-pairs volume on isotropic
     background data (random pairs collide per band w.p. 2^-8)."""
-    from file_dedup_rust_spark.operators.candidates import candidate_pairs
-    from file_dedup_rust_spark.operators import cosine as CO
-
     df, _, rows = _planted_embeddings(spark)
     n = df.count()
     all_pairs = n * (n - 1) // 2

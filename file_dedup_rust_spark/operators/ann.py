@@ -486,9 +486,16 @@ def ivf_pq_topk(
     """One-shot PQ-IVF ANN top-k (no persistent index): train codebook
     + product quantizer on the bounded sample, encode the corpus into
     8-byte cell codes, ADC-scan + exact re-rank — `ivf_topk` with the
-    inverted lists compressed n_sub/(d*8)-fold, so the explode-stage
-    shuffle carries (assign_m + nprobe) * n * (n_sub + id) bytes
-    instead of vectors.  Deterministic (seeded sample/Lloyd)."""
+    inverted lists compressed n_sub/(d*8)-fold.  Like `ivf_topk`, the
+    self-query case fuses the db and probe explodes into one
+    posexploded relation (assign+encode run in a single narrow Arrow
+    chain — one scan of `e`, one shuffle); each replicated row carries
+    embedding + code, the db role reading the code, the probe role the
+    embedding.  Deterministic (seeded sample/Lloyd).
+
+    The index-backed split (`build_ivf_pq_index` + `ivf_pq_probe_index`)
+    is where PQ's byte win shows at scale: there the stored/replicated
+    cell payload is codes only."""
     if codebook is None or pq is None:
         n = e.count()
         k = k_cells or default_k(n)
@@ -496,16 +503,57 @@ def ivf_pq_topk(
             codebook = train_codebook(e, k)
         if pq is None:
             pq = train_pq(e, n_sub=n_sub, n_cent=n_cent)
-    assigned = _assign_cells(e, codebook, assign_m, nprobe)
-    cells = _encode_cells(
-        assigned.select("vec_id", "embedding", "db_cells"), pq
+    spark = e.sparkSession
+    p2 = max(assign_m, nprobe)
+    assigned = _assign_cells(e, codebook, assign_m, p2)
+    bc_pq = spark.sparkContext.broadcast(pq)
+
+    def encode(batches):
+        P = bc_pq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype=np.int64),
+                     "embedding": pd.Series([], dtype=object),
+                     "probe_cells": pd.Series([], dtype=object),
+                     "code": pd.Series([], dtype=object)}
+                )
+                continue
+            V = np.stack(pdf["embedding"].to_numpy())  # already normalized
+            codes = _pq_encode_batch(V, P)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                 "embedding": pdf["embedding"].to_numpy(),
+                 "probe_cells": pdf["probe_cells"].to_numpy(),
+                 "code": [c.tobytes() for c in codes]}
+            )
+
+    coded = assigned.select(
+        "vec_id", "embedding", "probe_cells"
+    ).mapInPandas(
+        encode,
+        schema=(
+            "vec_id long, embedding array<double>, "
+            "probe_cells array<int>, code binary"
+        ),
     )
-    probe = assigned.select(
-        F.explode("probe_cells").alias("cell"), "vec_id", "embedding"
+    exploded = coded.select(
+        "vec_id", "embedding", "code",
+        F.posexplode("probe_cells").alias("pos", "cell"),
     )
-    return _pq_cell_rank(
-        probe, pq, cells, e, e, top_k, rerank_r, round_digits
+
+    def fused_cell_adc(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _adc_frames(
+            pdf[pdf["pos"] < nprobe], pdf[pdf["pos"] < assign_m],
+            bc_pq.value, rerank_r,
+        )
+
+    cand = (
+        exploded.groupBy("cell")
+        .applyInPandas(fused_cell_adc, schema="vec_id long, neighbor_id long")
+        .distinct()  # multi-cell duplicates
     )
+    return _exact_rerank(cand, e, e, top_k, round_digits)
 
 
 def ivf_pq_probe_index(
@@ -534,6 +582,44 @@ def ivf_pq_probe_index(
     )
 
 
+_ADC_EMPTY = {
+    "vec_id": pd.Series([], dtype=np.int64),
+    "neighbor_id": pd.Series([], dtype=np.int64),
+}
+
+
+def _adc_frames(
+    p_pdf: pd.DataFrame, c_pdf: pd.DataFrame, Q: np.ndarray, rerank_r: int
+) -> pd.DataFrame:
+    """ADC-scan one cell: probe embeddings (p_pdf, normalized) against
+    PQ codes (c_pdf["code"]), keep top-rerank_r candidates per probe.
+    Shared by the cogrouped index-probe path and the fused one-shot."""
+    if len(p_pdf) == 0 or len(c_pdf) == 0:
+        return pd.DataFrame(_ADC_EMPTY)
+    P = np.stack(p_pdf["embedding"].to_numpy())  # already normalized
+    p_ids = p_pdf["vec_id"].to_numpy(dtype=np.int64)
+    c_ids = c_pdf["vec_id"].to_numpy(dtype=np.int64)
+    n_sub, _, dsub = Q.shape
+    codes = np.frombuffer(
+        b"".join(c_pdf["code"]), dtype=np.uint8
+    ).reshape(len(c_pdf), n_sub)
+    Ps = P.reshape(len(P), n_sub, dsub)
+    # ADC: sim(q, v) ~ sum_m <q_m, C[m, code_m]>
+    S = np.zeros((len(P), len(c_pdf)))
+    for m in range(n_sub):
+        T = Ps[:, m, :] @ Q[m].T  # (p, n_cent)
+        S += T[:, codes[:, m]]
+    S[p_ids[:, None] == c_ids[None, :]] = -np.inf
+    r = min(rerank_r, S.shape[1])
+    top = np.argpartition(-S, r - 1, axis=1)[:, :r]
+    keep = np.isfinite(np.take_along_axis(S, top, axis=1))
+    rows_idx = np.broadcast_to(np.arange(len(P))[:, None], top.shape)
+    return pd.DataFrame(
+        {"vec_id": p_ids[rows_idx[keep]],
+         "neighbor_id": c_ids[top[keep]]}
+    )
+
+
 def _pq_cell_rank(
     probe: DataFrame,
     pq: np.ndarray,
@@ -548,35 +634,7 @@ def _pq_cell_rank(
     bc_pq = spark.sparkContext.broadcast(pq)
 
     def cell_adc(p_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"vec_id": pd.Series([], dtype=np.int64),
-             "neighbor_id": pd.Series([], dtype=np.int64)}
-        )
-        if len(p_pdf) == 0 or len(c_pdf) == 0:
-            return empty
-        P = np.stack(p_pdf["embedding"].to_numpy())  # normalized
-        p_ids = p_pdf["vec_id"].to_numpy(dtype=np.int64)
-        c_ids = c_pdf["vec_id"].to_numpy(dtype=np.int64)
-        Q = bc_pq.value
-        n_sub, _, dsub = Q.shape
-        codes = np.frombuffer(
-            b"".join(c_pdf["code"]), dtype=np.uint8
-        ).reshape(len(c_pdf), n_sub)
-        Ps = P.reshape(len(P), n_sub, dsub)
-        # ADC: sim(q, v) ~ sum_m <q_m, C[m, code_m]>
-        S = np.zeros((len(P), len(c_pdf)))
-        for m in range(n_sub):
-            T = Ps[:, m, :] @ Q[m].T  # (p, n_cent)
-            S += T[:, codes[:, m]]
-        S[p_ids[:, None] == c_ids[None, :]] = -np.inf
-        r = min(rerank_r, S.shape[1])
-        top = np.argpartition(-S, r - 1, axis=1)[:, :r]
-        keep = np.isfinite(np.take_along_axis(S, top, axis=1))
-        rows_idx = np.broadcast_to(np.arange(len(P))[:, None], top.shape)
-        return pd.DataFrame(
-            {"vec_id": p_ids[rows_idx[keep]],
-             "neighbor_id": c_ids[top[keep]]}
-        )
+        return _adc_frames(p_pdf, c_pdf, bc_pq.value, rerank_r)
 
     cand = (
         probe.groupBy("cell")
@@ -584,6 +642,16 @@ def _pq_cell_rank(
         .applyInPandas(cell_adc, schema="vec_id long, neighbor_id long")
         .distinct()  # multi-cell duplicates
     )
+    return _exact_rerank(cand, probes, corpus, top_k, round_digits)
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    probes: DataFrame,
+    corpus: DataFrame,
+    top_k: int,
+    round_digits: int,
+) -> DataFrame:
     # exact re-rank on full vectors: candidates are O(nprobe*rerank_r)
     # per probe — the joins move only survivors, never cell payloads
     pv = probes.select(F.col("vec_id"), F.col("embedding").alias("pv"))
@@ -679,40 +747,39 @@ def ivf_probe_index(
     return _cell_rank(probe, cells, top_k, round_digits)
 
 
-def _cell_rank(
-    probe: DataFrame, db: DataFrame, top_k: int, round_digits: int
-) -> DataFrame:
-    def cell_topk(probe_pdf: pd.DataFrame, db_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []})
-        if len(probe_pdf) == 0 or len(db_pdf) == 0:
-            return empty
-        p_ids = probe_pdf["vec_id"].to_numpy(dtype=np.int64)
-        P = np.stack(probe_pdf["embedding"].to_numpy())
-        c_ids = db_pdf["vec_id"].to_numpy(dtype=np.int64)
-        C = np.stack(db_pdf["embedding"].to_numpy())
-        S = np.round(P @ C.T, round_digits)
-        S[p_ids[:, None] == c_ids[None, :]] = -np.inf
-        kk = min(top_k, S.shape[1])
-        order = np.lexsort((np.broadcast_to(c_ids, S.shape), -S), axis=1)[:, :kk]
-        sims = np.take_along_axis(S, order, axis=1)
-        keep = np.isfinite(sims)
-        rows_idx = np.broadcast_to(np.arange(S.shape[0])[:, None], order.shape)
-        return pd.DataFrame(
-            {
-                "vec_id": p_ids[rows_idx[keep]],
-                "neighbor_id": c_ids[order[keep]],
-                "sim": sims[keep],
-            }
-        )
-
-    partials = (
-        probe.groupBy("cell")
-        .cogroup(db.groupBy("cell"))
-        .applyInPandas(
-            lambda l, r: cell_topk(l, r),
-            schema="vec_id long, neighbor_id long, sim double",
-        )
+def _cell_topk_frames(
+    probe_pdf: pd.DataFrame, db_pdf: pd.DataFrame, top_k: int,
+    round_digits: int,
+) -> pd.DataFrame:
+    """One cell's exact matmul + per-probe partial top-k (self
+    excluded).  Shared by the cogrouped probe-index path and the
+    fused one-shot."""
+    empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []})
+    if len(probe_pdf) == 0 or len(db_pdf) == 0:
+        return empty
+    p_ids = probe_pdf["vec_id"].to_numpy(dtype=np.int64)
+    P = np.stack(probe_pdf["embedding"].to_numpy())
+    c_ids = db_pdf["vec_id"].to_numpy(dtype=np.int64)
+    C = np.stack(db_pdf["embedding"].to_numpy())
+    S = np.round(P @ C.T, round_digits)
+    S[p_ids[:, None] == c_ids[None, :]] = -np.inf
+    kk = min(top_k, S.shape[1])
+    order = np.lexsort((np.broadcast_to(c_ids, S.shape), -S), axis=1)[:, :kk]
+    sims = np.take_along_axis(S, order, axis=1)
+    keep = np.isfinite(sims)
+    rows_idx = np.broadcast_to(np.arange(S.shape[0])[:, None], order.shape)
+    return pd.DataFrame(
+        {
+            "vec_id": p_ids[rows_idx[keep]],
+            "neighbor_id": c_ids[order[keep]],
+            "sim": sims[keep],
+        }
     )
+
+
+def _topk_tail(partials: DataFrame, top_k: int) -> DataFrame:
+    """Merge per-cell partial top-k rows: max-sim dedup (a pair can
+    cohabit several cells) + global per-probe window rank."""
     dedup = partials.groupBy("vec_id", "neighbor_id").agg(
         F.max("sim").alias("sim")
     )
@@ -722,6 +789,20 @@ def _cell_rank(
         .filter(F.col("rank") <= top_k)
         .select("vec_id", "neighbor_id", "sim", "rank")
     )
+
+
+def _cell_rank(
+    probe: DataFrame, db: DataFrame, top_k: int, round_digits: int
+) -> DataFrame:
+    partials = (
+        probe.groupBy("cell")
+        .cogroup(db.groupBy("cell"))
+        .applyInPandas(
+            lambda l, r: _cell_topk_frames(l, r, top_k, round_digits),
+            schema="vec_id long, neighbor_id long, sim double",
+        )
+    )
+    return _topk_tail(partials, top_k)
 
 
 def ivf_topk(
@@ -738,23 +819,35 @@ def ivf_topk(
     `knn_topk_blocked` (rank by rounded sim desc, neighbor asc, self
     excluded) but approximate: only cell-cohabiting pairs are scored.
 
-    Shuffle accounting: the explode replicates each vector assign_m
-    (db side) + nprobe (probe side) times, so one query shuffles
-    (assign_m + nprobe) * n * vec_bytes — bounded and linear in n, vs
-    the O(n^2) pair shuffle of the exact formulation.  At petabyte
-    scale the replicated payload is what product-quantized codes
-    (PQ8: 64 bytes -> 8) would compress; the cell-local cogroup
-    structure is unchanged by that swap.
+    Shuffle accounting: the self-query case fuses db and probe sides
+    into ONE posexploded relation — db cells are the first assign_m of
+    a vector's preference order, probe cells the first nprobe, so one
+    explode of max(assign_m, nprobe) copies with the position attached
+    carries both roles.  One query shuffles max(m, p) * n * vec_bytes
+    (16n at the defaults, down from the 24n of the two-branch plan —
+    which also recomputed the assignment Arrow pass and the scan of
+    `e` once per branch).  At petabyte scale the replicated payload is
+    what product-quantized codes (PQ8: 64 bytes -> 8) compress — see
+    `ivf_pq_topk`; the cell-local structure is unchanged by that swap.
     """
     if codebook is None:
         n = e.count()
         k = k_cells or default_k(n)
         codebook = train_codebook(e, k)
-    assigned = _assign_cells(e, codebook, assign_m, nprobe)
-    db = assigned.select(
-        F.explode("db_cells").alias("cell"), "vec_id", "embedding"
+    p2 = max(assign_m, nprobe)
+    assigned = _assign_cells(e, codebook, assign_m, p2)
+    exploded = assigned.select(
+        "vec_id", "embedding",
+        F.posexplode("probe_cells").alias("pos", "cell"),
     )
-    probe = assigned.select(
-        F.explode("probe_cells").alias("cell"), "vec_id", "embedding"
+
+    def fused_cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _cell_topk_frames(
+            pdf[pdf["pos"] < nprobe], pdf[pdf["pos"] < assign_m],
+            top_k, round_digits,
+        )
+
+    partials = exploded.groupBy("cell").applyInPandas(
+        fused_cell_topk, schema="vec_id long, neighbor_id long, sim double"
     )
-    return _cell_rank(probe, db, top_k, round_digits)
+    return _topk_tail(partials, top_k)

@@ -457,6 +457,99 @@ FROM pairs GROUP BY sim
 
 
 # ---------------------------------------------------------------------------
+# sub-quadratic cosine near-dup: hyperplane-LSH candidates + exact
+# re-rank, oracle-checked on a derived corpus with PLANTED correlated
+# copies.  The raw testdata embeddings are isotropic (max pairwise
+# cosine ~0.51), so no threshold is both LSH-reachable and non-empty
+# there; like corpus_exact for documents, the corpus below plants a
+# deterministic SQL-expressible perturbation — every EMB_COPY_MOD-th
+# vector gains a copy v' with v'_i = 0.95*v_i + 0.05*v_{(i+1) mod d},
+# which sits at cosine ~0.9986 against its original (0.95/sqrt(0.95^2
+# + 0.05^2) up to the isotropic cross term) while every other pair
+# stays <= ~0.6.  At sim 0.9986 the banding miss probability of the
+# default 96x12 LSH is ~1e-60: the approximate operator provably
+# reproduces the exact all-pairs SQL at LSH_COSINE_T.
+# ---------------------------------------------------------------------------
+
+EMB_COPY_MOD = 4
+EMB_ID_OFFSET = 1_000_000
+LSH_COSINE_T = 0.9
+
+
+def emb_corpus_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings (as double) ∪ rotated-mix copies of every 4th vector
+    (id + 1e6).  All arithmetic is double on both engines (same two
+    literals, same multiply-add order), so the planted vectors are
+    bit-identical to the oracle's."""
+    base = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS double))").alias(
+            "embedding"
+        ),
+    )
+    mix = F.expr(
+        "transform(embedding, (x, i) -> CAST(0.95 AS double) * x"
+        " + CAST(0.05 AS double)"
+        " * element_at(embedding, ((i + 1) % size(embedding)) + 1))"
+    )
+    copies = base.filter(F.col("vec_id") % EMB_COPY_MOD == 0).select(
+        (F.col("vec_id") + EMB_ID_OFFSET).alias("vec_id"),
+        mix.alias("embedding"),
+    )
+    return base.unionByName(copies)
+
+
+def q_lsh_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's n^(1+rho) near-dup scale path, oracle-checked: the
+    reference answers "find similar files" with an OpenSearch HNSW
+    probe per file (deduplication_service.rs:300-372,
+    iac/opensearch_indexes.tf:8-14); this engine answers it with
+    signed-random-projection banding -> capped/salted posting join ->
+    exact re-rank of candidates only (operators.cosine.lsh_cosine_pairs).
+    The planted corpus puts every true pair at cosine ~0.9986 where
+    the 96x12 banding miss probability is ~1e-60, so the approximate
+    path must equal the exact all-pairs SQL at t=0.9 — rows, schema,
+    and 4-decimal sims (tests/test_plan_shape.py pins the posting-join
+    plan: no cartesian, no BNLJ, no broadcast of the corpus)."""
+    from file_dedup_rust_spark.operators.cosine import lsh_cosine_pairs
+
+    e = emb_corpus_planted(spark, sf_dir)
+    return lsh_cosine_pairs(e, LSH_COSINE_T)
+
+
+SQL_LSH_COSINE_NEARDUP_PAIRS = f"""
+WITH base AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x,
+         len(embedding) AS d
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+pert AS (
+  SELECT a.vec_id + {EMB_ID_OFFSET} AS vec_id, a.i,
+         0.95 * a.x + 0.05 * b.x AS x
+  FROM base a JOIN base b
+    ON b.vec_id = a.vec_id AND b.i = (a.i % a.d) + 1
+  WHERE a.vec_id % {EMB_COPY_MOD} = 0
+),
+elems AS (
+  SELECT vec_id, i, x FROM base
+  UNION ALL
+  SELECT vec_id, i, x FROM pert
+),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elems GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dot
+  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ia, ib, round(dot / (sa.n * sb.n), 4) AS sim
+  FROM dots JOIN nrm sa ON sa.vec_id = ia JOIN nrm sb ON sb.vec_id = ib
+)
+SELECT ia, ib, sim FROM pairs WHERE sim >= {LSH_COSINE_T}
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard dedup (exact) and MinHash+LSH dedup (same output,
 # LSH-pruned) — the J2 analog over text, oracle-checked against the
 # exact O(collisions) SQL
@@ -1344,6 +1437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "job_lookup": q_job_lookup,
     "jobs_delete_remaining": q_jobs_delete_remaining,
     "topk_neighbors_pipeline": q_topk_neighbors_pipeline,
+    "lsh_cosine_neardup_pairs": q_lsh_cosine_neardup_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
 }
@@ -1380,5 +1474,6 @@ ORACLES: dict[str, str] = {
     "job_lookup": SQL_JOB_LOOKUP,
     "jobs_delete_remaining": SQL_JOBS_DELETE_REMAINING,
     "topk_neighbors_pipeline": SQL_TOPK_NEIGHBORS_PIPELINE,
+    "lsh_cosine_neardup_pairs": SQL_LSH_COSINE_NEARDUP_PAIRS,
     # ann_ivf_topk: approximate by design — rows-only check
 }

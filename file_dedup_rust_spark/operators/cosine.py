@@ -188,6 +188,7 @@ def lsh_cosine_pairs(
     seed: int = 977,
     round_digits: int = 4,
     band_cap: int = 20_000,
+    salt_hot: bool = True,
 ) -> DataFrame:
     """Near-dup cosine pairs via hyperplane LSH: candidates from
     signed-random-projection band collisions, exact cosine re-rank on
@@ -202,15 +203,29 @@ def lsh_cosine_pairs(
     for the thresholds real near-dup corpora use; the exact blocked
     operator remains the oracle surface.
 
+    Hot bands: dedup-typical corpora concentrate near-dup clusters on
+    IDENTICAL band keys, so a posting list above `band_cap` is exactly
+    where the true pairs live.  With `salt_hot` (the default) over-cap
+    bands are salted across the shard-pair triangle
+    (operators.candidates.salted_candidate_pairs) — candidate output
+    equals the uncapped join and the miss probability above holds
+    unconditionally, with no single hot reducer.  With
+    `salt_hot=False` over-cap bands are dropped-and-counted instead
+    (candidate_pairs policy); then the miss probability claim holds
+    only below the cap, and callers should surface
+    `operators.candidates.dropped_buckets` in their metrics.
+
     Physical shape mirrors the MinHash text path: one Arrow pass
     computes all band keys per vector, explode -> capped posting-list
     self-join (operators.candidates.candidate_pairs) -> exact re-rank
     of the O(candidates) survivors via a cogrouped matmul against the
     vectors, never an all-pairs join.
     """
-    from file_dedup_rust_spark.operators.candidates import candidate_pairs
+    from file_dedup_rust_spark.operators.candidates import (
+        candidate_pairs,
+        salted_candidate_pairs,
+    )
 
-    spark = e.sparkSession
     n_planes = bands * rows_per_band
 
     def band_keys(batches):
@@ -248,7 +263,8 @@ def lsh_cosine_pairs(
     posting = keys.select(
         F.explode("keys").alias("key"), F.col("vec_id").alias("clip_id")
     )
-    cand = candidate_pairs(posting, band_cap).select(
+    pair_fn = salted_candidate_pairs if salt_hot else candidate_pairs
+    cand = pair_fn(posting, band_cap).select(
         F.col("a").alias("ia"), F.col("b").alias("ib")
     )
     # exact re-rank: ship each candidate's two vectors through one

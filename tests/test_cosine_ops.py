@@ -128,3 +128,52 @@ def test_lsh_candidate_volume_is_subquadratic(spark):
     scored = lsh_cosine_pairs(df, -1.1)  # threshold below -1 keeps all
     n_cand = scored.count()
     assert n_cand < 0.1 * all_pairs, (n_cand, all_pairs)
+
+
+def test_lsh_hot_band_salting_keeps_cluster_pairs(spark):
+    """ADVICE r3: a near-dup CLUSTER shares identical band keys, so a
+    posting list above band_cap is exactly where true pairs live.  A
+    planted 12-member clone cluster with band_cap=5 must still yield
+    all C(12,2) pairs under the default salt_hot routing, while the
+    drop-and-count policy (salt_hot=False) loses the whole cluster."""
+    rng = np.random.default_rng(11)
+    d = 64
+    base = rng.standard_normal(d)
+    base /= np.linalg.norm(base)
+    rows = [(i, base.tolist()) for i in range(12)]  # identical clones
+    for i in range(12, 60):  # isotropic background
+        v = rng.standard_normal(d)
+        v /= np.linalg.norm(v)
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    salted = lsh_cosine_pairs(df, 0.9, band_cap=5)
+    got = {(r.ia, r.ib) for r in salted.collect()}
+    want = {(a, b) for a in range(12) for b in range(a + 1, 12)}
+    assert got == want
+
+    dropped = lsh_cosine_pairs(df, 0.9, band_cap=5, salt_hot=False)
+    assert dropped.count() == 0  # every band of the cluster is over-cap
+
+
+def test_lsh_driver_query_plan_is_posting_join(spark):
+    """The oracle-checked driver query (lsh_cosine_neardup_pairs) must
+    keep the posting-join shape end-to-end over the planted corpus:
+    no cartesian, no BNLJ, no broadcast of an embeddings-derived
+    relation (broadcasts of slim key/count tables are fine — assert
+    none carries an embedding column)."""
+    import contextlib
+    import io
+
+    from file_dedup_rust_spark.entry import testdata_queries as Q
+
+    df = Q.q_lsh_cosine_neardup_pairs(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    for ln in text.splitlines():
+        if "BroadcastExchange" in ln or "broadcast" in ln.lower():
+            assert "embedding" not in ln, ln

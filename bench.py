@@ -76,7 +76,12 @@ def main() -> int:
     # family once at sf0.001 + a 512-clip signature pass to pay JVM
     # codegen, Python-worker spawn, and Arrow path initialization
     # outside the timed section ----
-    for root in (sf_dir, "/root/testdata/sf0.001", work):
+    # warm-up queries run at the smallest available fixture; fall back
+    # to sf_dir itself when the sf0.001 fixture is absent (ADVICE r3 —
+    # the warm-up must not assume this box's fixture layout)
+    small_dir = "/root/testdata/sf0.001"
+    warm_dir = small_dir if os.path.isdir(small_dir) else sf_dir
+    for root in {sf_dir, warm_dir, work}:
         for dirpath, _, files in os.walk(root):
             for fn in files:
                 if fn.endswith(".parquet"):
@@ -87,7 +92,7 @@ def main() -> int:
         clips.limit(512), DEFAULT_CONFIG
     ).write.mode("overwrite").format("noop").save()
     for name in ["minhash_lsh_pairs", "knn_topk", "ann_ivf_topk", "cc_clusters"]:
-        Q.QUERIES[name](spark, "/root/testdata/sf0.001").write.mode(
+        Q.QUERIES[name](spark, warm_dir).write.mode(
             "overwrite"
         ).format("noop").save()
 

@@ -484,3 +484,74 @@ def test_streaming_ivf_probe_matches_batch_ivf(spark, tmp_path):
     assert streamed == batch
     # the cell store accumulated every vector, cells_m rows each
     assert read_store(spark, store).count() == len(rows) * 8
+
+
+def test_streaming_posting_probe_caps_hot_keys(spark, cfg, tmp_path):
+    """VERDICT r3: the probe against the accumulated posting store must
+    apply the batch engine's band-cap defense — a hot key (a 31-member
+    exact-copy cluster shares every band key) is excluded from the
+    corpus join and recorded in the posting_dropped manifest, while
+    matches on keys at or below the cap are unchanged."""
+    import dataclasses
+
+    import pandas as pd
+
+    from file_dedup_rust_spark.streaming.incremental import (
+        incremental_near_dedup,
+        read_store,
+    )
+
+    small = dataclasses.replace(cfg, band_cap=10)
+    pdf = datagen.generate_clips_pandas(80, seed=45)
+    plan = datagen.build_plan(80, seed=45)
+    base_id = {int(r.idx): r.clip_id for r in plan.itertuples() if r.role == "base"}
+    pairs = [
+        (r.clip_id, base_id[int(r.source)])
+        for r in plan.itertuples() if r.role == "audio_near"
+    ]
+    assert len(pairs) >= 2
+    hot_child, hot_base = pairs[0]
+    normal_pairs = [p for p in pairs if p[1] != hot_base and p[0] != hot_child]
+    assert normal_pairs
+    # batch 1: corpus (no near children) + 30 byte-identical copies of
+    # hot_base -> every one of hot_base's band keys has 31 members
+    hot_rows = pdf[pdf.clip_id == hot_base]
+    copies = pd.concat(
+        [hot_rows.assign(clip_id=f"hotcopy-{i:03d}") for i in range(30)]
+    )
+    children_ids = {c for c, _ in pairs}
+    b1 = pd.concat([pdf[~pdf.clip_id.isin(children_ids)], copies])
+    b2 = pdf[pdf.clip_id.isin(children_ids)]
+
+    flat = str(tmp_path / "landing")
+    out = str(tmp_path / "matches")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(b1, schema=datagen.CLIP_SCHEMA).coalesce(2).write.mode(
+        "append"
+    ).parquet(flat)
+    q = incremental_near_dedup(spark, flat, store, out, ck, small)
+    assert q.awaitTermination(180)
+    spark.createDataFrame(b2, schema=datagen.CLIP_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(flat)
+    q2 = incremental_near_dedup(spark, flat, store, out, ck, small)
+    assert q2.awaitTermination(180)
+
+    # the manifest names the hot keys with their true store-side counts
+    dropped = read_store(spark, f"{store}/posting_dropped")
+    assert dropped is not None and dropped.count() > 0
+    assert dropped.agg(F.min("n")).first()[0] > small.band_cap
+
+    m = read_store(spark, out)
+    corpus_audio = {
+        (r.clip_id, r.matched_clip_id)
+        for r in m.filter("match_kind='audio' AND match_scope='corpus'").collect()
+    }
+    # below-cap keys: every near child of a non-hot base still matches
+    for child, base in normal_pairs:
+        assert (child, base) in corpus_audio, (child, base)
+    # the hot cluster's keys were all over cap: its probe work (31
+    # store members x every probing child) never ran, and the drop is
+    # visible in the manifest instead of silent
+    assert not any(c == hot_child for c, _ in corpus_audio)

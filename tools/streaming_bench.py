@@ -67,13 +67,15 @@ def main() -> int:
             spark, landing, f"{work}/store", f"{work}/out",
             f"{work}/ck", cfg,
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
+        assert finished, "stream did not drain within 600s — throughput number would be bogus"
         t_total += time.monotonic() - t0
     clips.unpersist()
 
     matches = read_store(spark, f"{work}/out")
     n_matches = matches.count() if matches is not None else 0
-    n_sigs = read_store(spark, f"{work}/store/sigs").count()
+    sigs_store = read_store(spark, f"{work}/store/sigs")
+    n_sigs = sigs_store.count() if sigs_store is not None else 0
     print(json.dumps({
         "metric": "streaming_clips_per_sec",
         "value": round(n / t_total, 1),

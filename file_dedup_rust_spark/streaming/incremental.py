@@ -355,27 +355,35 @@ def incremental_near_dedup(
     signature in the index (S5), then similarity-search the index (J2)
     — batched per micro-batch instead of per file.
 
-    Two accumulating stores (both batch_id-partitioned + compacted,
+    Three accumulating stores (all batch_id-partitioned + compacted,
     see the store-layer docstring above):
-      * ``{store_dir}/sigs``    — one row per clip (sha256, simhash)
-      * ``{store_dir}/posting`` — the LSH index: exploded
+      * ``{store_dir}/sigs``       — one row per clip (sha256, simhash,
+        minhash, t_norm, t_len) — the verification side-table
+      * ``{store_dir}/posting``    — the audio LSH index: exploded
         (key, clip_id, simhash) band-posting rows (the OpenSearch-index
         analog, deduplication_service.rs:256-298)
+      * ``{store_dir}/mh_posting`` — the transcript MinHash LSH index:
+        slim (key, clip_id) band rows; the 1 KB MinHash signature does
+        NOT ride the posting rows (x32 band amplification) — verify
+        joins it from the sigs store, the batch path's shape
+        (plans/pipeline.py verify_minhash)
 
-    Each micro-batch probes its sha256 against the sig store and its
-    band keys against the posting store (plus within-batch probes),
-    verifies candidates with the Hamming threshold inline, writes
-    match rows idempotently to ``out_dir``, then appends the batch to
-    both stores.  Emits (clip_id, matched_clip_id, match_kind in
-    {exact, audio}, sim, match_scope in {batch, corpus}).
+    Each micro-batch probes all FIVE streaming edge kinds against the
+    stores plus itself — exact sha256 (J1), exact transcript (t_norm),
+    MinHash-verified transcript near-dups, and SimHash audio near-dups
+    (J2) — matching the batch pipeline's edge families except
+    containment (batch-only).  Match rows write idempotently to
+    ``out_dir``; then the batch appends to all stores.  Emits
+    (clip_id, matched_clip_id, match_kind in {exact, transcript,
+    audio}, sim, match_scope in {batch, corpus}).
 
-    Hot-key defense (VERDICT r3): the probe against the ACCUMULATED
+    Hot-key defense (VERDICT r3): every probe against an ACCUMULATED
     posting store is capped the same way the batch path caps its
     posting join (operators.candidates.bucket_stats) — store keys with
     more than ``cfg.band_cap`` members are excluded from the join via
     the slim per-key counts (map-side combine; a hot key never
     materializes its members into one task) and recorded as
-    (key, n) rows in ``{store_dir}/posting_dropped`` so nothing is
+    (key, n) rows in ``{store_dir}/{index}_dropped`` so nothing is
     silently truncated.  Without this, a stop-band key with m store
     members does m * p pair work in a single task at EVERY batch, the
     skew straggler the batch engine defuses.  Matches on keys at or
@@ -384,10 +392,13 @@ def incremental_near_dedup(
     cfg = cfg or DedupConfig()
     clips = read_clip_stream(spark, landing_dir)
     sigs = compute_signatures(clips, cfg).select(
-        "clip_id", "sha256", "simhash", "sim_keys", "decode_ok"
+        "clip_id", "sha256", "simhash", "sim_keys", "decode_ok",
+        "minhash", "mh_bands", "t_norm", "t_len",
     )
     d_max = cfg.hamming_max
     bits = float(cfg.simhash_bits)
+    n_perm = float(cfg.num_perm)
+    jaccard_t = cfg.jaccard_threshold
 
     def hamming_matches(probe, index):
         d = F.bit_count(F.col("p.simhash").bitwiseXOR(F.col("i.simhash")))
@@ -405,30 +416,79 @@ def incremental_near_dedup(
             .distinct()
         )
 
+    def verify_mh(cand: DataFrame, probe_sigs: DataFrame,
+                  index_sigs: DataFrame) -> DataFrame:
+        """(clip_id, matched_clip_id) candidates -> verified transcript
+        matches: attach each side's MinHash from its signature table
+        (batch side / sigs store), keep lane agreement >= threshold —
+        the batch path's verify_minhash shape, never shipping the 1 KB
+        signature through the posting explode."""
+        pa = probe_sigs.select("clip_id", F.col("minhash").alias("mh_a"))
+        pb = index_sigs.select(
+            F.col("clip_id").alias("matched_clip_id"),
+            F.col("minhash").alias("mh_b"),
+        )
+        agree = F.size(
+            F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
+                     lambda v: v)
+        )
+        return (
+            cand.join(pa, "clip_id").join(pb, "matched_clip_id")
+            # empty-transcript signatures are all -1 sentinels
+            .filter(
+                (F.element_at("mh_a", 1) >= 0) & (F.element_at("mh_b", 1) >= 0)
+            )
+            .withColumn("sim", agree / F.lit(n_perm))
+            .filter(F.col("sim") >= F.lit(jaccard_t))
+            .select(
+                "clip_id", "matched_clip_id",
+                F.lit("transcript").alias("match_kind"), "sim",
+            )
+        )
+
+    def star_intra(rows: DataFrame, group_col: str, kind: str) -> DataFrame:
+        """Within-batch exact dups: star to the batch-min clip_id per
+        identical group value."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col)
+        return (
+            rows.withColumn("rep", F.min("clip_id").over(w))
+            .filter(F.col("clip_id") != F.col("rep"))
+            .select(
+                "clip_id",
+                F.col("rep").alias("matched_clip_id"),
+                F.lit(kind).alias("match_kind"),
+                F.lit(1.0).alias("sim"),
+                F.lit("batch").alias("match_scope"),
+            )
+        )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.persist()
-        hot = None
+        hots: list[DataFrame] = []
         try:
             spark_l = b.sparkSession
             posting_b = b.filter("decode_ok").select(
                 F.explode("sim_keys").alias("key"), "clip_id", "simhash"
             )
-            # ---- exact (J1): within batch + against the store ----
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("sha256")
-            exact_intra = (
-                b.withColumn("rep", F.min("clip_id").over(w))
-                .filter(F.col("clip_id") != F.col("rep"))
-                .select(
-                    "clip_id",
-                    F.col("rep").alias("matched_clip_id"),
-                    F.lit("exact").alias("match_kind"),
-                    F.lit(1.0).alias("sim"),
-                    F.lit("batch").alias("match_scope"),
-                )
+            text_b = b.filter(F.col("t_len") > 0)
+            posting_mh_b = text_b.select(
+                F.explode("mh_bands").alias("key"), "clip_id"
             )
-            # ---- near (J2): batch self-probe, one direction ----
+
+            def capped(index: DataFrame, name: str) -> DataFrame:
+                """Hot-key defense on an accumulated posting store:
+                exclude over-cap keys, record them in the manifest."""
+                counts = index.groupBy("key").agg(F.count("*").alias("n"))
+                hot = counts.filter(F.col("n") > cfg.band_cap).persist()
+                hots.append(hot)
+                store_write(hot, f"{store_dir}/{name}_dropped", batch_id)
+                return index.join(hot.select("key"), "key", "left_anti")
+
+            # ---- within-batch probes ----
+            exact_intra = star_intra(b, "sha256", "exact")
+            ttext_intra = star_intra(text_b, "t_norm", "transcript")
             near_intra = (
                 hamming_matches(
                     posting_b, posting_b.select("key", "clip_id", "simhash")
@@ -436,7 +496,26 @@ def incremental_near_dedup(
                 .filter(F.col("clip_id") > F.col("matched_clip_id"))
                 .withColumn("match_scope", F.lit("batch"))
             )
-            matches = exact_intra.unionByName(near_intra)
+            mh_cand_intra = (
+                posting_mh_b.alias("p")
+                .join(posting_mh_b.alias("i"), "key")
+                .filter(F.col("p.clip_id") > F.col("i.clip_id"))
+                .select(
+                    F.col("p.clip_id").alias("clip_id"),
+                    F.col("i.clip_id").alias("matched_clip_id"),
+                )
+                .distinct()
+            )
+            mh_intra = verify_mh(mh_cand_intra, text_b, b).withColumn(
+                "match_scope", F.lit("batch")
+            )
+            matches = (
+                exact_intra.unionByName(ttext_intra)
+                .unionByName(near_intra)
+                .unionByName(mh_intra)
+            )
+
+            # ---- probes against the accumulated stores ----
             corpus = read_store(spark_l, f"{store_dir}/sigs")
             if corpus is not None:
                 exact_cross = (
@@ -453,29 +532,61 @@ def incremental_near_dedup(
                         F.lit("corpus").alias("match_scope"),
                     )
                 )
+                ttext_cross = (
+                    text_b.join(
+                        corpus.filter(F.col("t_len") > 0).select(
+                            F.col("clip_id").alias("matched_clip_id"), "t_norm"
+                        ),
+                        "t_norm",
+                    )
+                    .select(
+                        "clip_id", "matched_clip_id",
+                        F.lit("transcript").alias("match_kind"),
+                        F.lit(1.0).alias("sim"),
+                        F.lit("corpus").alias("match_scope"),
+                    )
+                )
+                matches = matches.unionByName(exact_cross).unionByName(
+                    ttext_cross
+                )
                 index = read_store(spark_l, f"{store_dir}/posting")
-                counts = index.groupBy("key").agg(F.count("*").alias("n"))
-                hot = counts.filter(F.col("n") > cfg.band_cap).persist()
-                store_write(
-                    hot, f"{store_dir}/posting_dropped", batch_id
-                )
-                index_ok = index.join(hot.select("key"), "key", "left_anti")
-                near_cross = hamming_matches(posting_b, index_ok).withColumn(
-                    "match_scope", F.lit("corpus")
-                )
-                matches = matches.unionByName(exact_cross).unionByName(near_cross)
+                if index is not None:
+                    near_cross = hamming_matches(
+                        posting_b, capped(index, "posting")
+                    ).withColumn("match_scope", F.lit("corpus"))
+                    matches = matches.unionByName(near_cross)
+                mh_index = read_store(spark_l, f"{store_dir}/mh_posting")
+                if mh_index is not None:
+                    mh_cand_cross = (
+                        posting_mh_b.alias("p")
+                        .join(capped(mh_index, "mh_posting").alias("i"), "key")
+                        .filter(F.col("p.clip_id") != F.col("i.clip_id"))
+                        .select(
+                            F.col("p.clip_id").alias("clip_id"),
+                            F.col("i.clip_id").alias("matched_clip_id"),
+                        )
+                        .distinct()
+                    )
+                    mh_cross = verify_mh(
+                        mh_cand_cross, text_b, corpus
+                    ).withColumn("match_scope", F.lit("corpus"))
+                    matches = matches.unionByName(mh_cross)
             store_write(matches, out_dir, batch_id)
             store_write(
-                b.select("clip_id", "sha256", "simhash"), f"{store_dir}/sigs",
-                batch_id,
+                b.select(
+                    "clip_id", "sha256", "simhash", "minhash", "t_norm",
+                    "t_len",
+                ),
+                f"{store_dir}/sigs", batch_id,
             )
             store_write(posting_b, f"{store_dir}/posting", batch_id)
+            store_write(posting_mh_b, f"{store_dir}/mh_posting", batch_id)
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-                compact_store(spark_l, f"{store_dir}/sigs", int(batch_id) - 1)
-                compact_store(spark_l, f"{store_dir}/posting", int(batch_id) - 1)
+                for sub in ("sigs", "posting", "mh_posting"):
+                    compact_store(spark_l, f"{store_dir}/{sub}", int(batch_id) - 1)
         finally:
-            if hot is not None:
-                hot.unpersist()
+            for h in hots:
+                h.unpersist()
             b.unpersist()
 
     writer = (

@@ -229,10 +229,14 @@ def test_compact_store_preserves_contents(spark, tmp_path):
 
 def test_streaming_matches_batch_pipeline_parity(spark, cfg, tmp_path):
     """Draining the incremental near-dedup over a corpus must produce
-    the same duplicate GROUPS as the batch pipeline's exact+audio edge
-    kinds on the same input (co-membership, the recall-gate quantity —
-    pair lists differ by construction: streaming probes every prior
-    copy, batch stars through representatives)."""
+    the same duplicate GROUPS as the batch pipeline's exact +
+    transcript + audio edge kinds on the same input (co-membership,
+    the recall-gate quantity — pair lists differ by construction:
+    streaming probes every prior copy, batch stars through
+    representatives; batch MinHash pairs join text reps, streaming
+    pairs join copies of the same t_norm, which the exact-transcript
+    stars fold into identical components).  Containment stays
+    batch-only (VERDICT r3 scope)."""
     from file_dedup_rust_spark import datagen
     from file_dedup_rust_spark.functions.udfs import compute_signatures
     from file_dedup_rust_spark.operators.connected_components import (
@@ -261,27 +265,34 @@ def test_streaming_matches_batch_pipeline_parity(spark, cfg, tmp_path):
         )
         q.awaitTermination(180)
 
-    stream_edges = read_store(spark, str(tmp_path / "out")).select(
-        F.col("clip_id").alias("a"), F.col("matched_clip_id").alias("b")
-    )
+    out = read_store(spark, str(tmp_path / "out"))
     sigs = compute_signatures(clips, cfg)
-    batch_edges = (
-        build_edges(sigs, cfg)
-        .filter(F.col("kind").isin("exact", "audio"))
-        .select("a", "b")
-    )
+    batch = build_edges(sigs, cfg)
     verts = clips.select("clip_id")
-    s_lbl = {
-        r.clip_id: r.cluster_id
-        for r in connected_components(stream_edges, verts).collect()
-    }
-    b_lbl = {
-        r.clip_id: r.cluster_id
-        for r in connected_components(batch_edges, verts).collect()
-    }
-    assert len(s_lbl) == len(b_lbl) == n
-    # identical partitions (labels are min-id per component on both sides)
-    assert s_lbl == b_lbl
+    # parity per modality subset AND over the full streaming surface
+    for kinds in (["exact", "audio"], ["exact", "transcript", "audio"]):
+        stream_edges = out.filter(F.col("match_kind").isin(*kinds)).select(
+            F.col("clip_id").alias("a"), F.col("matched_clip_id").alias("b")
+        )
+        batch_edges = batch.filter(F.col("kind").isin(*kinds)).select("a", "b")
+        s_lbl = {
+            r.clip_id: r.cluster_id
+            for r in connected_components(stream_edges, verts).collect()
+        }
+        b_lbl = {
+            r.clip_id: r.cluster_id
+            for r in connected_components(batch_edges, verts).collect()
+        }
+        assert len(s_lbl) == len(b_lbl) == n
+        # identical partitions (labels are min-id per component both sides)
+        assert s_lbl == b_lbl, kinds
+    # the MinHash near path actually fired (datagen plants
+    # transcript_near children): some verified sim < 1 match exists,
+    # i.e. the transcript parity above is not carried by exact t_norm
+    # stars alone
+    assert (
+        out.filter("match_kind = 'transcript' AND sim < 1.0").count() > 0
+    )
 
 
 def test_compact_commit_survives_torn_attempt(spark, tmp_path):

@@ -367,3 +367,41 @@ def planted_truth(n: int, seed: int = 42) -> pd.DataFrame:
             pairs.add((hot_ids[i], hot_ids[j], "hot"))
     out = pd.DataFrame(sorted(pairs), columns=["a", "b", "kind"])
     return out
+
+
+def clustered_embeddings_pandas(
+    n: int, d: int = 64, n_clusters: int = 64, sigma: float = 0.1,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Mixture-of-Gaussians unit embeddings — the 'clusterable real
+    embeddings' regime of the IVF tuning note (operators/ann.py
+    module docstring), in contrast to the isotropic testdata
+    embeddings (max pairwise cosine ~0.5, the ANN worst case).
+
+    n_clusters unit centers drawn isotropically; point i belongs to
+    cluster i % n_clusters with embedding = normalize(center +
+    sigma * noise).  With sigma=0.1 and d=64, in-cluster cosine sits
+    ~1/(1 + sigma^2 d) ~ 0.6 while cross-cluster stays ~0 — true
+    top-k neighbours are overwhelmingly in-cluster, so an IVF probe
+    that finds the right cells needs far fewer of them.  Deterministic
+    (seeded numpy)."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_clusters, d))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    labels = np.arange(n, dtype=np.int64) % n_clusters
+    V = C[labels] + sigma * rng.standard_normal((n, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    return pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": list(V),
+         "label": labels.astype(np.int32)}
+    )
+
+
+def clustered_embeddings(spark, n: int, d: int = 64, n_clusters: int = 64,
+                         sigma: float = 0.1, seed: int = 7):
+    pdf = clustered_embeddings_pandas(n, d, n_clusters, sigma, seed)
+    pdf = pdf.assign(embedding=[list(map(float, v)) for v in pdf.embedding])
+    return spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<double>, label int"
+    )

@@ -103,3 +103,44 @@ def test_ivf_pq_recall_and_compression(spark, sf_dir, tmp_path):
     approx = {(r["vec_id"], r["neighbor_id"]) for r in got.collect()}
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.9, f"PQ recall@10 = {recall:.3f} at {sf_dir}"
+
+
+def test_ivf_clustered_embeddings_hold_recall_at_low_nprobe(spark):
+    """The tuning-note claim (operators/ann.py module docstring),
+    measured: on clusterable embeddings (datagen.clustered_embeddings,
+    the regime real model embeddings live in) IVF holds recall with an
+    8x smaller probe budget than the isotropic worst case needs.
+    Measured at n=8000/d=64/64 clusters: recall@10 = 1.000 at
+    assign_m=4/nprobe=4 and 0.946 at 2/2, vs 0.453 and 0.229 on
+    isotropic vectors at the same settings (full table in BENCH.md).
+    Gate below the measured values with margin."""
+    from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.operators.ann import (
+        default_k,
+        ivf_topk,
+        knn_topk_blocked,
+        train_codebook,
+    )
+
+    n = 8000
+    e = datagen.clustered_embeddings(spark, n).select(
+        "vec_id", "embedding"
+    ).persist()
+    try:
+        brute = {
+            (r.vec_id, r.neighbor_id)
+            for r in knn_topk_blocked(e, top_k=10).collect()
+        }
+        assert brute
+        cb = train_codebook(e, default_k(n))
+        for (m, p, floor) in [(4, 4, 0.97), (2, 2, 0.9)]:
+            ivf = {
+                (r.vec_id, r.neighbor_id)
+                for r in ivf_topk(
+                    e, top_k=10, assign_m=m, nprobe=p, codebook=cb
+                ).collect()
+            }
+            recall = len(brute & ivf) / len(brute)
+            assert recall >= floor, (m, p, recall)
+    finally:
+        e.unpersist()

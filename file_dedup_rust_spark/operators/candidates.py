@@ -36,7 +36,9 @@ def bucket_stats(posting: DataFrame, cap: int):
     return ok, dropped
 
 
-def candidate_pairs(posting: DataFrame, cap: int) -> DataFrame:
+def candidate_pairs(
+    posting: DataFrame, cap: int, prefiltered: bool = False
+) -> DataFrame:
     """(key, clip_id) -> distinct unordered pairs (a < b).
 
     Plan shape: filter to useful keys (>=2, <=cap members) using the
@@ -48,9 +50,18 @@ def candidate_pairs(posting: DataFrame, cap: int) -> DataFrame:
     predicate P2 (deduplication_service.rs:214).  One exchange on key
     + the distinct exchange — the former self-join needed the same
     pair-expansion volume plus an extra scan of the posting table.
+
+    `prefiltered=True` skips the bucket_stats pass for callers that
+    already pruned the posting to in-cap keys (salted_candidate_pairs
+    computes the per-key counts once for its normal/hot split — a
+    second count over the posting would be a redundant full
+    aggregation at scale).
     """
-    ok, _ = bucket_stats(posting, cap)
-    p = posting.join(ok, "key")  # prune singleton + hot buckets first
+    if prefiltered:
+        p = posting
+    else:
+        ok, _ = bucket_stats(posting, cap)
+        p = posting.join(ok, "key")  # prune singleton + hot buckets first
     grouped = p.groupBy("key").agg(
         F.sort_array(F.collect_list("clip_id")).alias("ids")
     )
@@ -104,7 +115,9 @@ def salted_candidate_pairs(
     ).select("key")
     hot_keys = counts.filter(F.col("n") > cap).select("key")
 
-    normal = candidate_pairs(posting.join(normal_keys, "key"), cap)
+    normal = candidate_pairs(
+        posting.join(normal_keys, "key"), cap, prefiltered=True
+    )
 
     hot = posting.join(hot_keys, "key").withColumn(
         "shard", F.pmod(F.xxhash64("clip_id"), F.lit(n_salt)).cast("int")

@@ -88,17 +88,30 @@ def main() -> int:
     ))
 
     sections.append((
-        "ann_ivf_topk (fixed-k codebook assignment + cogrouped per-cell "
-        "matmul + global rank)",
+        "ann_ivf_topk (fused one-shot, round 4: ONE posexploded "
+        "relation carries both roles — pos<assign_m is the cell's "
+        "inverted list, pos<nprobe probes it — so one grouped-map per "
+        "cell replaces the two-branch cogroup that recomputed the "
+        "assignment per side; then global rank)",
         plan_text(Q.q_ann_ivf_topk(spark, args.sf_dir)),
-        ["FlatMapCoGroupsInPandas", "HashAggregate", "Window"],
+        ["FlatMapGroupsInPandas", "HashAggregate", "Window", "posexplode"],
     ))
 
     sections.append((
-        "ann_ivf_pq_topk (PQ-coded cells: ADC cogroup scan -> survivor "
-        "re-rank joins -> global rank; cell payload is 8-byte codes)",
+        "ann_ivf_pq_topk (fused one-shot: assign+PQ-encode in one "
+        "narrow Arrow chain, posexploded once; per-cell grouped-map "
+        "ADC scan -> survivor re-rank joins -> global rank; cell "
+        "payload is 8-byte codes)",
         plan_text(Q.q_ann_ivf_pq_topk(spark, args.sf_dir)),
-        ["FlatMapCoGroupsInPandas", "Window"],
+        ["FlatMapGroupsInPandas", "Window", "posexplode"],
+    ))
+
+    sections.append((
+        "lsh_cosine_neardup_pairs (hyperplane-LSH band keys -> "
+        "salted/capped posting join -> exact re-rank of candidates "
+        "only; no cartesian, no BNLJ, no corpus broadcast)",
+        plan_text(Q.q_lsh_cosine_neardup_pairs(spark, args.sf_dir)),
+        ["MapInPandas", "HashAggregate"],
     ))
 
     sections.append((

@@ -239,26 +239,41 @@ def containment_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         .select("pat_id", "pat", "cont_id", "cont")
     )
 
-    # two physical strategies, same semantics, split by container size:
-    #   * short containers (the bulk of a transcript corpus) — verify
-    #     with the built-in `contains` inside whole-stage codegen; no
-    #     Python, no Arrow transfer (measured ~300 core-seconds ->
-    #     ~nothing on the 80k-clip corpus)
-    #   * huge containers probed by many patterns — ONE numpy suffix
-    #     array per container via grouped-map, O(m log n) per probe
+    verified = verify_oriented_pairs(oriented, cfg)
+    return verified.select(
+        F.least("pat_id", "cont_id").alias("a"),
+        F.greatest("pat_id", "cont_id").alias("b"),
+        F.lit("containment").alias("kind"),
+        "sim",
+    )
+
+
+ORIENTED_SCHEMA = "pat_id string, cont_id string, sim double"
+
+
+def verify_oriented_pairs(oriented: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Oriented candidates (pat_id, pat, cont_id, cont) -> verified
+    (pat_id, cont_id, sim) rows where `pat` is a verbatim substring of
+    `cont` (sim = len ratio, pattern/container octets).  Callers
+    pre-filter lp < lc and the min-length rule; shared by the batch
+    `containment_edges` and the streaming containment probe.
+
+    Two physical strategies, same semantics, split by container size:
+      * short containers (the bulk of a transcript corpus) — verify
+        with the built-in `contains` inside whole-stage codegen; no
+        Python, no Arrow transfer (measured ~300 core-seconds ->
+        ~nothing on the 80k-clip corpus)
+      * huge containers probed by many patterns — ONE numpy suffix
+        array per container via grouped-map, O(m log n) per probe
+    """
     ratio = (
         F.octet_length("pat").cast("double") / F.octet_length("cont")
     ).alias("sim")
-    pair_cols = [
-        F.least("pat_id", "cont_id").alias("a"),
-        F.greatest("pat_id", "cont_id").alias("b"),
-        ratio,
-    ]
     is_short = F.octet_length("cont") < cfg.sa_container_bytes
     e_jvm = (
         oriented.filter(is_short)
         .filter(F.contains(F.col("cont"), F.col("pat")))
-        .select(*pair_cols)
+        .select("pat_id", "cont_id", ratio)
     )
 
     def per_container(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -268,17 +283,17 @@ def containment_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             sa_min_chars=0, sa_min_pats=0,  # grouped path always uses the SA
         )
         if not hits:
-            return pd.DataFrame({"a": [], "b": [], "sim": []})
-        rows = [
-            (min(pid, cont_id), max(pid, cont_id), ratio) for pid, ratio in hits
-        ]
-        a, b, sim = zip(*sorted(rows))
-        return pd.DataFrame({"a": list(a), "b": list(b), "sim": list(sim)})
+            return pd.DataFrame({"pat_id": [], "cont_id": [], "sim": []})
+        pat_ids, sims = zip(*sorted(hits))
+        return pd.DataFrame({
+            "pat_id": list(pat_ids),
+            "cont_id": [cont_id] * len(pat_ids),
+            "sim": list(sims),
+        })
 
     e_sa = (
         oriented.filter(~is_short)
         .groupBy("cont_id")
-        .applyInPandas(per_container, schema=PAIR_SCHEMA)
+        .applyInPandas(per_container, schema=ORIENTED_SCHEMA)
     )
-    edges = e_jvm.unionByName(e_sa)
-    return edges.select("a", "b", F.lit("containment").alias("kind"), "sim")
+    return e_jvm.unionByName(e_sa)

@@ -36,6 +36,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from file_dedup_rust_spark.config import DedupConfig
 from file_dedup_rust_spark.datagen import CLIP_SCHEMA
 from file_dedup_rust_spark.functions.udfs import compute_signatures
+from file_dedup_rust_spark.operators.containment import (
+    containment_edges,
+    verify_oriented_pairs,
+)
 
 # ---------------------------------------------------------------------------
 # accumulating store: idempotent batch-partition appends + compaction
@@ -355,7 +359,7 @@ def incremental_near_dedup(
     signature in the index (S5), then similarity-search the index (J2)
     — batched per micro-batch instead of per file.
 
-    Three accumulating stores (all batch_id-partitioned + compacted,
+    Five accumulating stores (all batch_id-partitioned + compacted,
     see the store-layer docstring above):
       * ``{store_dir}/sigs``       — one row per clip (sha256, simhash,
         minhash, t_norm, t_len) — the verification side-table
@@ -367,15 +371,29 @@ def incremental_near_dedup(
         NOT ride the posting rows (x32 band amplification) — verify
         joins it from the sigs store, the batch path's shape
         (plans/pipeline.py verify_minhash)
+      * ``{store_dir}/fp_posting`` — the winnowing-fingerprint index:
+        (key, clip_id) rows, EVERY fingerprint per stored clip — the
+        container side of the substring-containment probe
+      * ``{store_dir}/fp_pat``     — ONE designated fingerprint per
+        stored pattern-eligible clip (its rarest within-arrival-batch
+        fp).  Winnowing self-consistency makes a single-fp probe a
+        COMPLETE candidate generator in either direction: a true
+        container shares ALL of the pattern's fingerprints, so it
+        shares the designated one (operators/containment.py min-df
+        note) — the store never needs re-keying as df drifts.
 
-    Each micro-batch probes all FIVE streaming edge kinds against the
+    Each micro-batch probes all FIVE batch edge families against the
     stores plus itself — exact sha256 (J1), exact transcript (t_norm),
-    MinHash-verified transcript near-dups, and SimHash audio near-dups
-    (J2) — matching the batch pipeline's edge families except
-    containment (batch-only).  Match rows write idempotently to
+    MinHash-verified transcript near-dups, SimHash audio near-dups
+    (J2), and substring containment (both arrival orders: the batch
+    pattern's rarest surviving store-fp probes ``fp_posting``, and
+    ``fp_pat``'s designated keys probe the batch's fingerprints) —
+    full modality parity with the batch pipeline
+    (plans/pipeline.py build_edges).  Match rows write idempotently to
     ``out_dir``; then the batch appends to all stores.  Emits
     (clip_id, matched_clip_id, match_kind in {exact, transcript,
-    audio}, sim, match_scope in {batch, corpus}).
+    audio, containment}, sim, match_scope in {batch, corpus});
+    ``clip_id`` is always the arriving clip on cross-corpus rows.
 
     Hot-key defense (VERDICT r3): every probe against an ACCUMULATED
     posting store is capped the same way the batch path caps its
@@ -393,7 +411,7 @@ def incremental_near_dedup(
     clips = read_clip_stream(spark, landing_dir)
     sigs = compute_signatures(clips, cfg).select(
         "clip_id", "sha256", "simhash", "sim_keys", "decode_ok",
-        "minhash", "mh_bands", "t_norm", "t_len",
+        "minhash", "mh_bands", "fps", "t_norm", "t_len",
     )
     d_max = cfg.hamming_max
     bits = float(cfg.simhash_bits)
@@ -476,6 +494,9 @@ def incremental_near_dedup(
             posting_mh_b = text_b.select(
                 F.explode("mh_bands").alias("key"), "clip_id"
             )
+            posting_fp_b = text_b.select(
+                F.explode("fps").alias("key"), "clip_id"
+            )
 
             def capped(index: DataFrame, name: str) -> DataFrame:
                 """Hot-key defense on an accumulated posting store:
@@ -509,10 +530,20 @@ def incremental_near_dedup(
             mh_intra = verify_mh(mh_cand_intra, text_b, b).withColumn(
                 "match_scope", F.lit("batch")
             )
+            # within-batch containment IS the batch operator on the
+            # micro-batch (same caps, min-df pruning, verify split)
+            cont_intra = containment_edges(b, cfg).select(
+                F.col("a").alias("clip_id"),
+                F.col("b").alias("matched_clip_id"),
+                F.lit("containment").alias("match_kind"),
+                "sim",
+                F.lit("batch").alias("match_scope"),
+            )
             matches = (
                 exact_intra.unionByName(ttext_intra)
                 .unionByName(near_intra)
                 .unionByName(mh_intra)
+                .unionByName(cont_intra)
             )
 
             # ---- probes against the accumulated stores ----
@@ -571,6 +602,113 @@ def incremental_near_dedup(
                         mh_cand_cross, text_b, corpus
                     ).withColumn("match_scope", F.lit("corpus"))
                     matches = matches.unionByName(mh_cross)
+                # ---- containment, both arrival orders ----
+                pat_b = text_b.select(
+                    F.col("clip_id").alias("pat_id"),
+                    F.col("t_norm").alias("pat"),
+                    F.col("t_len").alias("lp"),
+                ).filter(F.col("lp") >= cfg.min_containment_len)
+                cont_b = text_b.select(
+                    F.col("clip_id").alias("cont_id"),
+                    F.col("t_norm").alias("cont"),
+                    F.col("t_len").alias("lc"),
+                )
+                pat_store = corpus.filter(F.col("t_len") > 0).select(
+                    F.col("clip_id").alias("pat_id"),
+                    F.col("t_norm").alias("pat"),
+                    F.col("t_len").alias("lp"),
+                )
+                cont_store = corpus.filter(F.col("t_len") > 0).select(
+                    F.col("clip_id").alias("cont_id"),
+                    F.col("t_norm").alias("cont"),
+                    F.col("t_len").alias("lc"),
+                )
+                fp_index = read_store(spark_l, f"{store_dir}/fp_posting")
+                if fp_index is not None:
+                    # batch pattern -> store container: probe the
+                    # pattern's rarest SURVIVING store fingerprint
+                    # (min-df against the accumulated index, the batch
+                    # operator's pruning; hot keys excluded + counted)
+                    fp_counts = fp_index.groupBy("key").agg(
+                        F.count("*").alias("n")
+                    )
+                    fp_hot = fp_counts.filter(
+                        F.col("n") > cfg.band_cap
+                    ).persist()
+                    hots.append(fp_hot)
+                    store_write(
+                        fp_hot, f"{store_dir}/fp_posting_dropped", batch_id
+                    )
+                    patmin = (
+                        posting_fp_b.join(
+                            fp_counts.join(
+                                fp_hot.select("key"), "key", "left_anti"
+                            ),
+                            "key",
+                        )
+                        .groupBy("clip_id")
+                        .agg(F.min(F.struct("n", "key")).alias("mk"))
+                        .select(
+                            F.col("clip_id").alias("pat_id"),
+                            F.col("mk.key").alias("key"),
+                        )
+                    )
+                    oriented_a = (
+                        patmin.join(pat_b, "pat_id")
+                        .join(
+                            fp_index.join(
+                                fp_hot.select("key"), "key", "left_anti"
+                            ).select(
+                                "key", F.col("clip_id").alias("cont_id")
+                            ),
+                            "key",
+                        )
+                        .join(cont_store, "cont_id")
+                        .filter(F.col("lp") < F.col("lc"))
+                        .select("pat_id", "pat", "cont_id", "cont")
+                    )
+                    cont_cross_a = verify_oriented_pairs(
+                        oriented_a, cfg
+                    ).select(
+                        F.col("pat_id").alias("clip_id"),
+                        F.col("cont_id").alias("matched_clip_id"),
+                        F.lit("containment").alias("match_kind"),
+                        "sim",
+                        F.lit("corpus").alias("match_scope"),
+                    )
+                    matches = matches.unionByName(cont_cross_a)
+                fp_pat = read_store(spark_l, f"{store_dir}/fp_pat")
+                if fp_pat is not None:
+                    # store pattern -> batch container: each stored
+                    # clip's one designated fingerprint probes the
+                    # batch's full fingerprint set (complete — a true
+                    # container carries every pattern fp)
+                    cand = (
+                        capped(fp_pat, "fp_pat")
+                        .select("key", F.col("clip_id").alias("pat_id"))
+                        .join(
+                            posting_fp_b.select(
+                                "key", F.col("clip_id").alias("cont_id")
+                            ),
+                            "key",
+                        )
+                    )
+                    oriented_b = (
+                        cand.join(pat_store, "pat_id")
+                        .join(cont_b, "cont_id")
+                        .filter(F.col("lp") < F.col("lc"))
+                        .select("pat_id", "pat", "cont_id", "cont")
+                    )
+                    cont_cross_b = verify_oriented_pairs(
+                        oriented_b, cfg
+                    ).select(
+                        F.col("cont_id").alias("clip_id"),
+                        F.col("pat_id").alias("matched_clip_id"),
+                        F.lit("containment").alias("match_kind"),
+                        "sim",
+                        F.lit("corpus").alias("match_scope"),
+                    )
+                    matches = matches.unionByName(cont_cross_b)
             store_write(matches, out_dir, batch_id)
             store_write(
                 b.select(
@@ -581,8 +719,27 @@ def incremental_near_dedup(
             )
             store_write(posting_b, f"{store_dir}/posting", batch_id)
             store_write(posting_mh_b, f"{store_dir}/mh_posting", batch_id)
+            store_write(posting_fp_b, f"{store_dir}/fp_posting", batch_id)
+            # one designated (rarest within-batch, ties on key) fp per
+            # pattern-eligible clip — the slim probe side of the
+            # store-pattern-in-future-container direction
+            bc = posting_fp_b.groupBy("key").agg(F.count("*").alias("n"))
+            patmin_b = (
+                posting_fp_b.join(
+                    text_b.filter(
+                        F.col("t_len") >= cfg.min_containment_len
+                    ).select("clip_id"),
+                    "clip_id",
+                )
+                .join(bc, "key")
+                .groupBy("clip_id")
+                .agg(F.min(F.struct("n", "key")).alias("mk"))
+                .select(F.col("mk.key").alias("key"), "clip_id")
+            )
+            store_write(patmin_b, f"{store_dir}/fp_pat", batch_id)
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-                for sub in ("sigs", "posting", "mh_posting"):
+                for sub in ("sigs", "posting", "mh_posting", "fp_posting",
+                            "fp_pat"):
                     compact_store(spark_l, f"{store_dir}/{sub}", int(batch_id) - 1)
         finally:
             for h in hots:

@@ -682,10 +682,12 @@ SQL_CORPUS_NEAR = f"""
 corpus AS (
   SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
   UNION ALL
+  -- floor() before the CAST: DuckDB CAST rounds 1.8 -> 2 where
+  -- Spark's double->int cast truncates (see SQL_TIER_DEDUP_SUMMARY)
   SELECT doc_id + {TRUNC_ID_OFFSET},
          array_to_string(
            (string_split(lower(coalesce(text, '')), ' '))[
-             1 : greatest(CAST(len(string_split(lower(coalesce(text, '')), ' ')) * 3 / 5 AS INT), 1)
+             1 : greatest(CAST(floor(len(string_split(lower(coalesce(text, '')), ' ')) * 3 / 5) AS INT), 1)
            ], ' ')
   FROM documents WHERE doc_id % {TRUNC_COPY_MOD} = 0
 )
@@ -727,6 +729,173 @@ FROM inter
 JOIN sz sa ON sa.doc_id = ia
 JOIN sz sb ON sb.doc_id = ib
 WHERE c * 1.0 / least(sa.n, sb.n) >= {CONTAIN_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tiered dedup summary: marginal duplicate yield per tier of the
+# exact -> near -> containment ladder (the engine's tier structure as
+# one analytics surface; the reference runs the same ladder per file —
+# sha256 lookup then k-NN probe, deduplication_service.rs:209-372)
+# ---------------------------------------------------------------------------
+
+def corpus_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (corpus_exact derivation) ∪ 60%-prefix
+    truncations (corpus_near derivation) — one corpus that exercises
+    every tier of the dedup ladder."""
+    d = docs_corpus(spark, sf_dir)
+    copies = d.filter(F.col("doc_id") % EXACT_COPY_MOD == 0).select(
+        (F.col("doc_id") + EXACT_ID_OFFSET).alias("doc_id"), "t"
+    )
+    trunc = (
+        d.filter(F.col("doc_id") % TRUNC_COPY_MOD == 0)
+        .select(
+            (F.col("doc_id") + TRUNC_ID_OFFSET).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    F.split("t", " "),
+                    1,
+                    F.greatest(
+                        (F.size(F.split("t", " ")) * 3 / 5).cast("int"), F.lit(1)
+                    ),
+                ),
+                " ",
+            ).alias("t"),
+        )
+    )
+    return d.unionByName(copies).unionByName(trunc)
+
+
+def q_tier_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tier marginal dedup yield: a doc counts at the CHEAPEST tier
+    that links it to a smaller-id partner (tier 1 exact text hash,
+    tier 2 word-3-gram Jaccard >= 0.8, tier 3 shingle containment >=
+    0.9), with the characters that tier removes from the corpus.
+
+    Scale shape: tier 1 is one window over the hash; tiers 2/3 run on
+    exact-rep texts only (rep contraction — an m-copy group never
+    enters the shingle join m times; output is provably unchanged
+    because copies share their rep's shingle set and always carry the
+    larger id) and share ONE posting-join intersection pass.  The
+    exact-Jaccard/containment scoring is the oracle surface; at 100 TB
+    the candidate generators are minhash_lsh_pairs and the min-df
+    containment operator (operators/candidates.py, containment.py)."""
+    c = corpus_tiered(spark, sf_dir)
+    w = Window.partitionBy(F.md5("t"))
+    lbl = c.withColumn("rep", F.min("doc_id").over(w))
+    t1 = lbl.filter(F.col("doc_id") != F.col("rep")).select("doc_id")
+    reps = lbl.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "t")
+
+    sh = shingles(reps)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("ia"), "g")
+        .join(sh.select(F.col("doc_id").alias("ib"), "g"), "g")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        inter.join(sizes.select(F.col("doc_id").alias("ia"),
+                                F.col("n").alias("na")), "ia")
+        .join(sizes.select(F.col("doc_id").alias("ib"),
+                           F.col("n").alias("nb")), "ib")
+        .select(
+            "ib",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4)
+            .alias("jac"),
+            F.round(F.col("c") / F.least("na", "nb"), 4).alias("containment"),
+        )
+    )
+    t2 = scored.filter(F.col("jac") >= JACCARD_T).select(
+        F.col("ib").alias("doc_id")
+    ).distinct()
+    t3 = scored.filter(F.col("containment") >= CONTAIN_T).select(
+        F.col("ib").alias("doc_id")
+    ).distinct()
+    flags = (
+        t1.withColumn("tier", F.lit(1))
+        .unionByName(t2.withColumn("tier", F.lit(2)))
+        .unionByName(t3.withColumn("tier", F.lit(3)))
+    )
+    assigned = flags.groupBy("doc_id").agg(F.min("tier").alias("tier"))
+    chars = c.select("doc_id", F.length("t").alias("ch"))
+    return (
+        assigned.join(chars, "doc_id")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("docs_removed"),
+            F.sum("ch").alias("chars_removed"),
+        )
+        .select(
+            "tier",
+            F.when(F.col("tier") == 1, "exact")
+            .when(F.col("tier") == 2, "near_jaccard")
+            .otherwise("containment")
+            .alias("tier_name"),
+            "docs_removed",
+            "chars_removed",
+        )
+        .orderBy("tier")
+    )
+
+
+SQL_TIER_DEDUP_SUMMARY = f"""
+WITH corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_ID_OFFSET}, lower(coalesce(text, ''))
+  FROM documents WHERE doc_id % {EXACT_COPY_MOD} = 0
+  UNION ALL
+  -- floor(), not a bare CAST: DuckDB CAST(1.8 AS INT) rounds to 2
+  -- where Spark's double->int cast truncates to 1 (the containment
+  -- RATIO is insensitive to an off-by-one-word truncation because the
+  -- prefix's shingles stay a subset either way, but chars_removed is
+  -- not)
+  SELECT doc_id + {TRUNC_ID_OFFSET},
+         array_to_string(
+           (string_split(lower(coalesce(text, '')), ' '))[
+             1 : greatest(CAST(floor(len(string_split(lower(coalesce(text, '')), ' ')) * 3 / 5) AS INT), 1)
+           ], ' ')
+  FROM documents WHERE doc_id % {TRUNC_COPY_MOD} = 0
+),
+lbl AS (
+  SELECT doc_id, t, min(doc_id) OVER (PARTITION BY md5(t)) AS rep FROM corpus
+),
+t1 AS (SELECT doc_id FROM lbl WHERE doc_id != rep),
+reps AS (SELECT doc_id, t FROM lbl WHERE doc_id = rep),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM reps),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+scored AS (
+  SELECT ib, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jac,
+         round(c * 1.0 / least(sa.n, sb.n), 4) AS containment
+  FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+),
+t2 AS (SELECT DISTINCT ib AS doc_id FROM scored WHERE jac >= {JACCARD_T}),
+t3 AS (SELECT DISTINCT ib AS doc_id FROM scored WHERE containment >= {CONTAIN_T}),
+flags AS (
+  SELECT doc_id, 1 AS tier FROM t1
+  UNION ALL SELECT doc_id, 2 FROM t2
+  UNION ALL SELECT doc_id, 3 FROM t3
+),
+assigned AS (SELECT doc_id, min(tier) AS tier FROM flags GROUP BY doc_id),
+chars AS (SELECT doc_id, length(t) AS ch FROM corpus)
+SELECT tier,
+       CASE tier WHEN 1 THEN 'exact' WHEN 2 THEN 'near_jaccard'
+            ELSE 'containment' END AS tier_name,
+       count(*) AS docs_removed,
+       CAST(sum(ch) AS BIGINT) AS chars_removed
+FROM assigned JOIN chars USING (doc_id)
+GROUP BY tier
+ORDER BY tier
 """
 
 
@@ -1414,6 +1583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "containment_pairs": q_containment_pairs,
+    "tier_dedup_summary": q_tier_dedup_summary,
     "cc_clusters": q_cc_clusters,
     "cluster_summary": q_cluster_summary,
     "lang_id": q_lang_id,
@@ -1451,6 +1621,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "minhash_lsh_pairs": SQL_NGRAM_JACCARD_PAIRS,  # LSH must reproduce exact
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "tier_dedup_summary": SQL_TIER_DEDUP_SUMMARY,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_summary": SQL_CLUSTER_SUMMARY,
     "lang_id": SQL_LANG_ID,

@@ -1565,6 +1565,247 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, top_k=TOP_K)
 
 
+N_SEMDEDUP_SEEDS = 8   # deterministic stand-in for k-means|| centroids
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: one
+    nearest-seed assignment pass (seeds = the N_SEMDEDUP_SEEDS
+    smallest vec_ids, the oracle-reproducible stand-in for k-means||
+    centroids), then a per-cluster prune of every vector whose cosine
+    to a smaller-id cluster member reaches COSINE_T.
+
+    Scale shape (operators/semdedup.py): assignment is one
+    mapInPandas BLAS pass against a broadcast seed matrix (no
+    shuffle); the prune is one repartition-by-cluster +
+    applyInPandas gram-matrix per cluster — n^2 work scoped to
+    ~(n/k)^2 per task, the semantic tier a training-data pipeline
+    runs after the exact/LSH ladder."""
+    from file_dedup_rust_spark.operators.semdedup import semdedup_prune
+
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return semdedup_prune(e, N_SEMDEDUP_SEEDS, COSINE_T)
+
+
+SQL_SEMDEDUP_PRUNE = f"""
+WITH {SQL_COSINE_PAIRS},
+seedv AS (SELECT vec_id AS sid FROM embeddings ORDER BY vec_id LIMIT {N_SEMDEDUP_SEEDS}),
+sdot AS (
+  SELECT e.vec_id AS vid, se.vec_id AS sid, sum(e.x * se.x) AS dot
+  FROM elems e JOIN elems se ON se.i = e.i
+  WHERE se.vec_id IN (SELECT sid FROM seedv)
+  GROUP BY 1, 2
+),
+ssim AS (
+  SELECT vid, sid, round(dot / (na.n * nb.n), 4) AS sim
+  FROM sdot JOIN nrm na ON na.vec_id = vid JOIN nrm nb ON nb.vec_id = sid
+),
+assign AS (
+  SELECT vid AS vec_id, sid AS cluster_id FROM (
+    SELECT vid, sid,
+           row_number() OVER (PARTITION BY vid
+                              ORDER BY sim DESC, sid ASC) AS rn
+    FROM ssim) WHERE rn = 1
+),
+mx AS (
+  SELECT bb.vec_id AS vec_id, max(p.sim) AS m
+  FROM pairs p
+  JOIN assign aa ON aa.vec_id = p.ia
+  JOIN assign bb ON bb.vec_id = p.ib AND bb.cluster_id = aa.cluster_id
+  GROUP BY 1
+)
+SELECT a.vec_id, a.cluster_id,
+       coalesce(m.m, -1.0) AS max_sim_prev,
+       CAST(coalesce(m.m, -1.0) >= {COSINE_T} AS INT) AS pruned
+FROM assign a LEFT JOIN mx m ON m.vec_id = a.vec_id
+"""
+
+
+# --- incremental batch tier: dedup a NEW batch against an existing corpus ---
+
+EDIT_ID_OFFSET = 3_000_000
+SCRAM_ID_OFFSET = 4_000_000
+EDIT_COPY_MOD = 7      # every 7th doc (==3) gets a ~3%-word-edit copy
+SCRAM_COPY_MOD = 11    # every 11th doc (==5) gets a reversed (unique) copy
+
+_TRUNC_PREFIX = F.array_join(
+    F.slice(
+        F.split("t", " "),
+        1,
+        F.greatest((F.size(F.split("t", " ")) * 3 / 5).cast("int"), F.lit(1)),
+    ),
+    " ",
+)
+
+
+def _new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Today's arrivals, derived deterministically from documents:
+    byte-identical copies, 60%-prefix truncations, ~3%-word edits
+    (every 30th word swapped), and reversed-word-order uniques."""
+    d = docs_corpus(spark, sf_dir)
+    copies = d.filter(F.col("doc_id") % EXACT_COPY_MOD == 0).select(
+        (F.col("doc_id") + EXACT_ID_OFFSET).alias("doc_id"), "t"
+    )
+    truncs = d.filter(F.col("doc_id") % TRUNC_COPY_MOD == 0).select(
+        (F.col("doc_id") + TRUNC_ID_OFFSET).alias("doc_id"),
+        _TRUNC_PREFIX.alias("t"),
+    )
+    edits = d.filter(F.col("doc_id") % EDIT_COPY_MOD == 3).select(
+        (F.col("doc_id") + EDIT_ID_OFFSET).alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, size(split(t, ' '))),"
+            " i -> IF((i-1) % 30 = 0, 'zzz',"
+            " element_at(split(t, ' '), i))), ' ')"
+        ).alias("t"),
+    )
+    scrams = d.filter(F.col("doc_id") % SCRAM_COPY_MOD == 5).select(
+        (F.col("doc_id") + SCRAM_ID_OFFSET).alias("doc_id"),
+        F.array_join(F.reverse(F.split("t", " ")), " ").alias("t"),
+    )
+    return (
+        copies.unionByName(truncs).unionByName(edits).unionByName(scrams)
+    )
+
+
+def q_dedup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch dedup: classify each NEW doc against the
+    EXISTING corpus only (never corpus x corpus — the asymmetry is the
+    whole point of an incremental tier) at the exact / near-jaccard /
+    containment ladder, 'unique' otherwise.
+
+    Scale shape: the exact tier is an equi-join where the new batch is
+    the small side (broadcast at 100 TB; content-hash the key first);
+    the shingle tiers join base postings against NEW keys only, so
+    Catalyst's inner posting join prunes every base shingle the batch
+    never mentions — base-side work is proportional to the batch, not
+    the corpus.  In production the base posting/size tables come from
+    the persisted signature checkpoint (sources/table_io.py), not a
+    recompute; the streaming twin of this query is the fingerprint-
+    store probe in streaming/incremental.py."""
+    base = docs_corpus(spark, sf_dir)
+    new = _new_batch(spark, sf_dir)
+    base_t = base.select("t").distinct()
+    exact = new.join(base_t, "t", "left_semi").select("doc_id")
+    rest = new.join(base_t, "t", "left_anti")
+
+    sh_new = shingles(rest)
+    sh_base = shingles(base)
+    sz_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sz_base = sh_base.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh_new.select(F.col("doc_id").alias("nid"), "g")
+        .join(sh_base.select(F.col("doc_id").alias("bid"), "g"), "g")
+        .groupBy("nid", "bid")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        inter.join(
+            sz_new.select(F.col("doc_id").alias("nid"), F.col("n").alias("nn")),
+            "nid",
+        )
+        .join(
+            sz_base.select(F.col("doc_id").alias("bid"), F.col("n").alias("nb")),
+            "bid",
+        )
+        .select(
+            "nid",
+            F.round(F.col("c") / (F.col("nn") + F.col("nb") - F.col("c")), 4)
+            .alias("jac"),
+            F.round(F.col("c") / F.least("nn", "nb"), 4).alias("cont"),
+        )
+    )
+    best = scored.groupBy("nid").agg(
+        F.max("jac").alias("bj"), F.max("cont").alias("bc")
+    )
+    classified = (
+        rest.select("doc_id")
+        .join(best.withColumnRenamed("nid", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("bj") >= JACCARD_T, F.lit("near"))
+            .when(F.col("bc") >= CONTAIN_T, F.lit("contained"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.when(F.col("bj") >= JACCARD_T, F.col("bj"))
+            .when(F.col("bc") >= CONTAIN_T, F.col("bc"))
+            .otherwise(F.lit(-1.0))
+            .alias("best_score"),
+        )
+    )
+    return exact.select(
+        "doc_id",
+        F.lit("exact").alias("verdict"),
+        F.lit(1.0).alias("best_score"),
+    ).unionByName(classified)
+
+
+SQL_DEDUP_NEW_VS_CORPUS = f"""
+WITH base AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+newb AS (
+  SELECT doc_id + {EXACT_ID_OFFSET} AS doc_id, t
+  FROM base WHERE doc_id % {EXACT_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {TRUNC_ID_OFFSET},
+         array_to_string(
+           w[1 : greatest(CAST(floor(len(w) * 3 / 5) AS INT), 1)], ' ')
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM base)
+  WHERE doc_id % {TRUNC_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {EDIT_ID_OFFSET},
+         array_to_string(
+           list_transform(generate_series(1, len(w)),
+             i -> CASE WHEN (i-1) % 30 = 0 THEN 'zzz' ELSE w[i] END), ' ')
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM base)
+  WHERE doc_id % {EDIT_COPY_MOD} = 3
+  UNION ALL
+  SELECT doc_id + {SCRAM_ID_OFFSET},
+         array_to_string(list_reverse(string_split(t, ' ')), ' ')
+  FROM base WHERE doc_id % {SCRAM_COPY_MOD} = 5
+),
+exact AS (
+  SELECT DISTINCT n.doc_id FROM newb n JOIN base b ON b.t = n.t
+),
+rest AS (
+  SELECT * FROM newb WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+),
+shn AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM rest),
+       unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+),
+shb AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM base),
+       unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+),
+szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY 1),
+szb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY 1),
+inter AS (
+  SELECT n.doc_id AS nid, b.doc_id AS bid, count(*) AS c
+  FROM shn n JOIN shb b ON b.g = n.g GROUP BY 1, 2
+),
+scored AS (
+  SELECT nid,
+         round(c * 1.0 / (sn.n + sb.n - c), 4) AS jac,
+         round(c * 1.0 / least(sn.n, sb.n), 4) AS cont
+  FROM inter JOIN szn sn ON sn.doc_id = nid JOIN szb sb ON sb.doc_id = bid
+),
+best AS (SELECT nid, max(jac) AS bj, max(cont) AS bc FROM scored GROUP BY 1)
+SELECT doc_id, 'exact' AS verdict, 1.0 AS best_score FROM exact
+UNION ALL
+SELECT r.doc_id,
+       CASE WHEN b.bj >= {JACCARD_T} THEN 'near'
+            WHEN b.bc >= {CONTAIN_T} THEN 'contained'
+            ELSE 'unique' END AS verdict,
+       CASE WHEN b.bj >= {JACCARD_T} THEN b.bj
+            WHEN b.bc >= {CONTAIN_T} THEN b.bc
+            ELSE -1.0 END AS best_score
+FROM rest r LEFT JOIN best b ON b.nid = r.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1603,6 +1844,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jobs_delete_remaining": q_jobs_delete_remaining,
     "topk_neighbors_pipeline": q_topk_neighbors_pipeline,
     "lsh_cosine_neardup_pairs": q_lsh_cosine_neardup_pairs,
+    "semdedup_prune": q_semdedup_prune,
+    "dedup_new_vs_corpus": q_dedup_new_vs_corpus,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
 }
@@ -1641,5 +1884,7 @@ ORACLES: dict[str, str] = {
     "jobs_delete_remaining": SQL_JOBS_DELETE_REMAINING,
     "topk_neighbors_pipeline": SQL_TOPK_NEIGHBORS_PIPELINE,
     "lsh_cosine_neardup_pairs": SQL_LSH_COSINE_NEARDUP_PAIRS,
+    "semdedup_prune": SQL_SEMDEDUP_PRUNE,
+    "dedup_new_vs_corpus": SQL_DEDUP_NEW_VS_CORPUS,
     # ann_ivf_topk: approximate by design — rows-only check
 }

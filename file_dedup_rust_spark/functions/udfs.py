@@ -33,16 +33,35 @@ from file_dedup_rust_spark.functions import audio as A
 from file_dedup_rust_spark.functions import text as TX
 
 SIGNATURE_SCHEMA = (
-    "clip_id string, sha256 string, simhash long, decode_ok boolean, "
-    "n_samples long, pcm_rms double, "
+    "clip_id string, sha256 string, pcm_sha string, simhash long, "
+    "decode_ok boolean, n_samples long, pcm_rms double, "
     "minhash array<int>, mh_bands array<long>, sim_keys array<long>, "
     "fps array<long>, t_norm string, t_len int"
 )
 
 SIGNATURE_COLUMNS = [
-    "clip_id", "sha256", "simhash", "decode_ok", "n_samples", "pcm_rms",
-    "minhash", "mh_bands", "sim_keys", "fps", "t_norm", "t_len",
+    "clip_id", "sha256", "pcm_sha", "simhash", "decode_ok", "n_samples",
+    "pcm_rms", "minhash", "mh_bands", "sim_keys", "fps", "t_norm", "t_len",
 ]
+
+
+def canonical_pcm_sha(pcm: np.ndarray, sr_hz: int) -> str:
+    """Codec-invariant audio content hash: SHA-256 over the sample
+    rate + the decoded samples re-quantized to int16 little-endian.
+
+    Both supported codecs are lossless containers of int16 PCM, so
+    decode -> float32/32768 -> requantize is an exact round-trip and
+    the SAME recording shipped as raw pcm_s16le and as a RIFF/WAVE
+    file hashes identically even though the container bytes (and
+    therefore sha256) differ.  The sr prefix keeps equal sample
+    vectors at different rates — different audio — apart."""
+    q = np.clip(
+        np.round(pcm.astype(np.float64) * 32768.0), -32768, 32767
+    ).astype("<i2")
+    h = hashlib.sha256(str(int(sr_hz)).encode())
+    h.update(b"|")
+    h.update(q.tobytes())
+    return h.hexdigest()
 
 
 def signature_batch(pdf: pd.DataFrame, cfg: DedupConfig, planes: np.ndarray) -> pd.DataFrame:
@@ -71,12 +90,14 @@ def signature_batch(pdf: pd.DataFrame, cfg: DedupConfig, planes: np.ndarray) -> 
             out["decode_ok"].append(True)
             out["n_samples"].append(int(pcm.size))
             out["pcm_rms"].append(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if pcm.size else 0.0)
+            out["pcm_sha"].append(canonical_pcm_sha(pcm, int(row.sr_hz)))
         except Exception:
             out["simhash"].append(None)
             out["sim_keys"].append([])
             out["decode_ok"].append(False)
             out["n_samples"].append(0)
             out["pcm_rms"].append(0.0)
+            out["pcm_sha"].append("")
 
     # ---- transcript: minhash + bands + winnow fingerprints (batch) ----
     norms = [TX.normalize_transcript(t) for t in pdf["transcript"]]

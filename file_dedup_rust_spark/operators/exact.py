@@ -38,6 +38,33 @@ def exact_dup_edges(signatures: DataFrame) -> DataFrame:
     )
 
 
+def pcm_exact_edges(audio_reps: DataFrame) -> DataFrame:
+    """Codec-invariant exact-audio tier: star edges over the canonical
+    decoded-PCM hash (functions.udfs.canonical_pcm_sha), run over the
+    per-sha256 REPRESENTATIVES rather than all rows.
+
+    Same audio shipped in a different lossless container (raw
+    pcm_s16le vs RIFF/WAVE) has different bytes — the sha256 tier
+    cannot see the duplicate — but identical decoded samples, so the
+    reps collide here.  Operating on reps keeps the tier free on
+    corpora without container-flips (every pcm group has one rep, no
+    edges) and byte-exact members still attach through their rep's
+    'exact' star; edge volume stays linear either way."""
+    w = Window.partitionBy("pcm_sha")
+    return (
+        audio_reps.filter(F.col("pcm_sha") != "")
+        .select("clip_id", "pcm_sha")
+        .withColumn("a", F.min("clip_id").over(w))
+        .filter(F.col("clip_id") != F.col("a"))
+        .select(
+            F.col("a"),
+            F.col("clip_id").alias("b"),
+            F.lit("pcm_exact").alias("kind"),
+            F.lit(1.0).alias("sim"),
+        )
+    )
+
+
 def exact_dup_groups(signatures: DataFrame) -> DataFrame:
     """sha256 -> sorted member list, only groups with >1 member
     (the user-facing `DuplicateGroup` view, client/src/app/type.ts:7-10)."""

@@ -38,7 +38,10 @@ from file_dedup_rust_spark.operators.connected_components import (
     connected_components,
 )
 from file_dedup_rust_spark.operators.containment import containment_edges
-from file_dedup_rust_spark.operators.exact import exact_dup_edges
+from file_dedup_rust_spark.operators.exact import (
+    exact_dup_edges,
+    pcm_exact_edges,
+)
 from file_dedup_rust_spark.sources.table_io import StageResult, TableIO
 
 EDGE_COLS = ["a", "b", "kind", "sim"]
@@ -74,7 +77,7 @@ def exact_transcript_edges(signatures: DataFrame) -> DataFrame:
     )
 
 
-AUDIO_REP_COLS = ["clip_id", "simhash", "sim_keys", "decode_ok"]
+AUDIO_REP_COLS = ["clip_id", "pcm_sha", "simhash", "sim_keys", "decode_ok"]
 TEXT_REP_COLS = ["clip_id", "minhash", "mh_bands", "fps", "t_norm", "t_len"]
 
 
@@ -133,12 +136,18 @@ def build_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     # failed candidates never reach a shuffle (verify.py docstring)
     e_audio = V.simhash_edges_in_bucket(areps, cfg, cfg.band_cap)
 
+    # codec-invariant exact audio over the reps (container-flip dups
+    # the byte hash cannot see; no edges when every container is
+    # unique, so this tier is free on flip-free corpora)
+    e_pcm = pcm_exact_edges(areps)
+
     e_cont = containment_edges(treps, cfg)
 
     return (
         e_exact.unionByName(e_ttext)
         .unionByName(e_trans)
         .unionByName(e_audio)
+        .unionByName(e_pcm)
         .unionByName(e_cont)
     )
 

@@ -149,3 +149,86 @@ def test_corrupt_audio_quarantined():
     # sha256 and transcript features exist for every row regardless
     assert all(len(h) == 64 for h in out["sha256"])
     assert out.loc[out.clip_id == "empty", "t_len"].iloc[0] > 0
+
+
+def test_pcm_sha_is_codec_invariant():
+    """The canonical decoded-PCM hash collides for the SAME recording
+    shipped in different lossless containers (raw pcm_s16le vs
+    RIFF/WAVE), separates different audio and different sample rates,
+    and is empty for quarantine rows."""
+    import pandas as pd
+
+    from file_dedup_rust_spark.functions.udfs import signature_batch
+
+    x = _tone(seed=3)
+    y = _tone(seed=4, f=523.0)
+    i16 = np.clip(np.round(x * 32767), -32768, 32767).astype("<i2")
+    pdf = pd.DataFrame({
+        "clip_id": ["raw", "wav", "wav_copy", "other", "resampled", "bad"],
+        "bytes": [
+            i16.tobytes(),
+            A.encode_wav(x, 8000),
+            A.encode_wav(x, 8000),
+            A.encode_wav(y, 8000),
+            A.encode_wav(x, 16000),
+            b"\x01\x02",
+        ],
+        "sr_hz": [8000, 8000, 8000, 8000, 16000, 8000],
+        "codec": ["pcm_s16le", "wav", "wav", "wav", "wav", "flac"],
+        "transcript": [""] * 6,
+    })
+    out = signature_batch(pdf, CFG, A.simhash_planes(CFG))
+    sha = dict(zip(out["clip_id"], out["sha256"]))
+    psha = dict(zip(out["clip_id"], out["pcm_sha"]))
+    # container flip: bytes differ, decoded audio identical
+    assert sha["raw"] != sha["wav"]
+    assert psha["raw"] == psha["wav"] == psha["wav_copy"]
+    # different audio / different rate / quarantine all separate
+    assert psha["other"] != psha["raw"]
+    assert psha["resampled"] != psha["raw"]
+    assert psha["bad"] == ""
+
+
+def test_container_flip_clusters_through_pcm_exact_tier(spark):
+    """End-to-end: a wav + raw-pcm pair of the same recording clusters
+    via a 'pcm_exact' edge between the two sha256 representatives,
+    byte copies ride the 'exact' star, and unrelated audio stays out."""
+    from file_dedup_rust_spark.functions.udfs import compute_signatures
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+    from file_dedup_rust_spark.plans.pipeline import build_edges
+
+    x = _tone(seed=21)
+    y = _tone(seed=22, f=660.0)
+    i16 = np.clip(np.round(x * 32767), -32768, 32767).astype("<i2")
+    wav = A.encode_wav(x, 8000)
+    rows = [
+        ("c_wav", bytearray(wav), 8000, 500, "wav", "alpha"),
+        ("c_raw", bytearray(i16.tobytes()), 8000, 500, "pcm_s16le", "beta"),
+        ("c_copy", bytearray(wav), 8000, 500, "wav", "gamma"),
+        ("c_other", bytearray(A.encode_wav(y, 8000)), 8000, 500, "wav", "delta"),
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    sigs = compute_signatures(clips, CFG)
+    edges = build_edges(sigs, CFG)
+    kinds = {
+        (r["a"], r["b"], r["kind"]) for r in edges.collect()
+    }
+    # one pcm_exact edge between the two container reps (whichever
+    # member string-min picked as rep), one byte-exact star edge
+    pcm_edges = {(a, b) for a, b, k in kinds if k == "pcm_exact"}
+    assert pcm_edges and all(
+        {a, b} <= {"c_wav", "c_raw", "c_copy"} for a, b in pcm_edges
+    )
+    assert any(k == "exact" for _, _, k in kinds)
+    cc = connected_components(
+        edges.select("a", "b"), sigs.select("clip_id")
+    )
+    lbl = {r["clip_id"]: r["cluster_id"] for r in cc.collect()}
+    assert lbl["c_wav"] == lbl["c_raw"] == lbl["c_copy"]
+    assert lbl["c_other"] != lbl["c_wav"]

@@ -1628,14 +1628,19 @@ SCRAM_ID_OFFSET = 4_000_000
 EDIT_COPY_MOD = 7      # every 7th doc (==3) gets a ~3%-word-edit copy
 SCRAM_COPY_MOD = 11    # every 11th doc (==5) gets a reversed (unique) copy
 
-_TRUNC_PREFIX = F.array_join(
-    F.slice(
-        F.split("t", " "),
-        1,
-        F.greatest((F.size(F.split("t", " ")) * 3 / 5).cast("int"), F.lit(1)),
-    ),
-    " ",
-)
+def _trunc_prefix():
+    """60%-word-prefix column expr (built lazily — constructing a
+    Column requires an active SparkContext)."""
+    return F.array_join(
+        F.slice(
+            F.split("t", " "),
+            1,
+            F.greatest(
+                (F.size(F.split("t", " ")) * 3 / 5).cast("int"), F.lit(1)
+            ),
+        ),
+        " ",
+    )
 
 
 def _new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1648,7 +1653,7 @@ def _new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truncs = d.filter(F.col("doc_id") % TRUNC_COPY_MOD == 0).select(
         (F.col("doc_id") + TRUNC_ID_OFFSET).alias("doc_id"),
-        _TRUNC_PREFIX.alias("t"),
+        _trunc_prefix().alias("t"),
     )
     edits = d.filter(F.col("doc_id") % EDIT_COPY_MOD == 3).select(
         (F.col("doc_id") + EDIT_ID_OFFSET).alias("doc_id"),

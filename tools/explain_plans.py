@@ -115,6 +115,23 @@ def main() -> int:
     ))
 
     sections.append((
+        "semdedup_prune (nearest-seed assignment in one MapInPandas "
+        "BLAS pass, per-cluster gram-matrix prune as one grouped-map "
+        "behind a single hashpartitioning on cluster_id — no "
+        "all-pairs relation anywhere)",
+        plan_text(Q.q_semdedup_prune(spark, args.sf_dir)),
+        ["MapInPandas", "FlatMapGroupsInPandas", "hashpartitioning"],
+    ))
+
+    sections.append((
+        "dedup_new_vs_corpus (incremental tier ladder: semi/anti exact "
+        "split, then base shingle postings joined against NEW keys "
+        "only — base-side work scales with the batch, not the corpus)",
+        plan_text(Q.q_dedup_new_vs_corpus(spark, args.sf_dir)),
+        ["LeftSemi", "LeftAnti", "HashAggregate", "partial"],
+    ))
+
+    sections.append((
         "embedding_neardup_pairs (blocked all-pairs cosine: packed-block "
         "grid cartesian, per-tile BLAS + threshold reduce — no "
         "BroadcastNestedLoopJoin, no packed-corpus broadcast)",

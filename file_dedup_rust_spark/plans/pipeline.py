@@ -152,6 +152,52 @@ def build_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+# Tier ladder in increasing verify cost.  The two exact tiers are
+# byte/PCM hash aggregations (linear); "transcript" covers the free
+# identical-normalized-transcript star AND the MinHash-verified
+# near-dups (the oracle labels both "transcript",
+# file_dedup_rust_spark/oracle.py:84,107, so the edge schema keeps one
+# label); "audio" is SimHash in-bucket verify; "containment" pays the
+# suffix-array pass.
+TIER_LADDER = ["exact", "pcm_exact", "transcript", "audio", "containment"]
+
+
+def tier_report(edges: DataFrame) -> dict:
+    """Per-tier yield over a (checkpointed) edges table.
+
+    Returns {"edges_by_kind": {kind: n}, "marginal_pairs_by_tier":
+    {kind: n}} — the second attributes each distinct undirected pair
+    to the CHEAPEST tier that found it, i.e. the pairs a given tier
+    contributes beyond every cheaper tier.  This is the pipeline-CLI
+    analog of the oracle-checked `tier_dedup_summary` documents query
+    (entry/testdata_queries.py) and answers the operational question
+    "what would I lose by turning tier k off?".
+
+    Cost: two hash aggregates over the edges table (bounded output —
+    one row per tier), safe at any scale.
+    """
+    by_kind = {
+        r["kind"]: r["n"]
+        for r in edges.groupBy("kind").agg(F.count("*").alias("n")).collect()
+    }
+    ladder = F.array(*[F.lit(k) for k in TIER_LADDER])
+    marginal = (
+        edges.withColumn("rk", F.array_position(ladder, F.col("kind")))
+        .groupBy("a", "b")
+        .agg(F.min("rk").alias("rk"))
+        .groupBy("rk")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    marginal_by_tier = {
+        TIER_LADDER[int(r["rk"]) - 1]: r["n"] for r in marginal
+    }
+    return {
+        "edges_by_kind": by_kind,
+        "marginal_pairs_by_tier": marginal_by_tier,
+    }
+
+
 def run_pipeline(
     spark: SparkSession,
     clips: DataFrame,

@@ -31,11 +31,14 @@ def main() -> int:
     p.add_argument("--no-resume", action="store_true", help="ignore existing checkpoints")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--band-cap", type=int, default=None)
+    p.add_argument("--tier-report", action="store_true",
+                   help="add per-tier edge counts + cheapest-tier "
+                        "marginal pair attribution to the summary")
     args = p.parse_args()
 
     from file_dedup_rust_spark.config import DedupConfig
     from file_dedup_rust_spark.session import build_session
-    from file_dedup_rust_spark.plans.pipeline import run_pipeline
+    from file_dedup_rust_spark.plans.pipeline import run_pipeline, tier_report
     from file_dedup_rust_spark import datagen
 
     cfg = DedupConfig(seed=args.seed) if args.band_cap is None else DedupConfig(
@@ -58,7 +61,7 @@ def main() -> int:
         res.assignments.write.mode("overwrite").parquet(f"{args.output}/assignments")
         res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     wall = time.monotonic() - t0
-    print(json.dumps({
+    summary = {
         "clips": n_clips,
         "dup_clusters": n_clusters,
         "dup_edges": n_edges,
@@ -69,7 +72,10 @@ def main() -> int:
              "resumed": s.skipped}
             for s in res.stages
         ],
-    }))
+    }
+    if args.tier_report:
+        summary["tiers"] = tier_report(res.edges)
+    print(json.dumps(summary))
     spark.stop()
     return 0
 

@@ -114,3 +114,30 @@ def test_cluster_summary(spark, clips_df, cfg, tmp_path):
     assign = res.assignments.toPandas()
     members = set(assign["clip_id"])
     assert set(clusters["cluster_id"]) <= members
+
+
+def test_tier_report(spark, clips_df, cfg):
+    """tier_report attributes each distinct pair to its CHEAPEST tier:
+    kinds are counted raw, marginal pairs dedupe across tiers, and the
+    marginal total equals the number of distinct undirected pairs."""
+    from file_dedup_rust_spark.plans.pipeline import (
+        TIER_LADDER,
+        build_edges,
+        tier_report,
+    )
+
+    edges = build_edges(compute_signatures(clips_df, cfg), cfg)
+    rep = tier_report(edges)
+    assert set(rep["edges_by_kind"]) <= set(TIER_LADDER)
+    assert set(rep["marginal_pairs_by_tier"]) <= set(TIER_LADDER)
+    # raw kind counts sum to the edge count
+    assert sum(rep["edges_by_kind"].values()) == edges.count()
+    # marginal attribution partitions the distinct-pair set
+    n_pairs = edges.select("a", "b").distinct().count()
+    assert sum(rep["marginal_pairs_by_tier"].values()) == n_pairs
+    # every marginal count is bounded by that tier's raw count
+    for k, n in rep["marginal_pairs_by_tier"].items():
+        assert n <= rep["edges_by_kind"][k]
+    # the exact tier always wins its own pairs (cheapest in the ladder)
+    if "exact" in rep["edges_by_kind"]:
+        assert rep["marginal_pairs_by_tier"].get("exact", 0) > 0

@@ -1812,6 +1812,106 @@ FROM rest r LEFT JOIN best b ON b.nid = r.doc_id
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (operators.decontaminate): flag train docs
+# sharing any word-8-gram with a deterministic eval split.  Eval set =
+# every 13th doc; contamination planted by re-packaging an eval doc's
+# word prefix as a "train" doc (id + 5e6) — the leak pattern real
+# corpora show when a benchmark's source text was crawled.
+# ---------------------------------------------------------------------------
+
+DECONTAM_N = 8          # word window; public practice uses 8-13
+EVAL_MOD = 13           # doc_id % 13 == 7 -> eval split
+EVAL_RESIDUE = 7
+CONTAM_ID_OFFSET = 5_000_000
+CONTAM_MOD = 3          # eval docs with doc_id % 3 == 1 leak a prefix
+
+
+def _decontam_prefix():
+    """greatest(60% of words, DECONTAM_N)-word prefix (lazy Column —
+    same SparkContext constraint as _trunc_prefix)."""
+    return F.array_join(
+        F.slice(
+            F.split("t", " "),
+            1,
+            F.greatest(
+                (F.size(F.split("t", " ")) * 3 / 5).cast("int"),
+                F.lit(DECONTAM_N),
+            ),
+        ),
+        " ",
+    )
+
+
+def corpus_decontam(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(train, eval) docs.  Train = non-eval docs ∪ planted leaks."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t")
+    )
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE)
+    leaks = ev.filter(F.col("doc_id") % CONTAM_MOD == 1).select(
+        (F.col("doc_id") + CONTAM_ID_OFFSET).alias("doc_id"),
+        _decontam_prefix().alias("t"),
+    )
+    train = d.filter(F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE).unionByName(
+        leaks
+    )
+    return train, ev
+
+
+def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated train docs with gram/eval-doc hit counts.
+
+    Plan shape: the eval gram set is broadcast (tiny vs the corpus at
+    any scale); the train grams stream through one BroadcastHashJoin
+    + partial-agg count — the corpus is never shuffled on the gram
+    key."""
+    from file_dedup_rust_spark.operators.decontaminate import (
+        contamination_hits,
+    )
+
+    train, ev = corpus_decontam(spark, sf_dir)
+    return contamination_hits(train, ev, DECONTAM_N)
+
+
+def _sql_ngrams(src: str, n: int) -> str:
+    """DuckDB word-n-gram SELECT over a (doc_id, t) relation."""
+    lanes = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+  SELECT DISTINCT doc_id, {lanes} AS g
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM {src}),
+       unnest(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS u(i)
+"""
+
+
+SQL_DECONTAM_HITS = f"""
+WITH docs_t AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+evalset AS (
+  SELECT * FROM docs_t WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+),
+train AS (
+  SELECT * FROM docs_t WHERE doc_id % {EVAL_MOD} != {EVAL_RESIDUE}
+  UNION ALL
+  SELECT doc_id + {CONTAM_ID_OFFSET},
+         array_to_string(
+           w[1:greatest(CAST(floor(len(w) * 3 / 5) AS INT), {DECONTAM_N})], ' ')
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM evalset
+        WHERE doc_id % {CONTAM_MOD} = 1)
+),
+tg AS ({_sql_ngrams('train', DECONTAM_N)}),
+eg AS ({_sql_ngrams('evalset', DECONTAM_N)})
+SELECT t.doc_id,
+       count(DISTINCT t.g) AS n_gram_hits,
+       count(DISTINCT e.doc_id) AS n_eval_docs
+FROM tg t JOIN eg e ON e.g = t.g
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1851,6 +1951,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_cosine_neardup_pairs": q_lsh_cosine_neardup_pairs,
     "semdedup_prune": q_semdedup_prune,
     "dedup_new_vs_corpus": q_dedup_new_vs_corpus,
+    "decontam_hits": q_decontam_hits,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
 }
@@ -1891,5 +1992,6 @@ ORACLES: dict[str, str] = {
     "lsh_cosine_neardup_pairs": SQL_LSH_COSINE_NEARDUP_PAIRS,
     "semdedup_prune": SQL_SEMDEDUP_PRUNE,
     "dedup_new_vs_corpus": SQL_DEDUP_NEW_VS_CORPUS,
+    "decontam_hits": SQL_DECONTAM_HITS,
     # ann_ivf_topk: approximate by design — rows-only check
 }

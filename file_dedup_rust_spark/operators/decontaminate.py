@@ -1,0 +1,78 @@
+"""Benchmark decontamination: flag training documents that share any
+word-n-gram with an evaluation set.
+
+The reference has no decontamination surface (its dedup loop is
+per-upload, /root/reference/backend/src/worker/deduplication_service.rs:143-182);
+this is one of the beyond-reference training-data-pipeline operators
+(SURVEY.md §2.10): before a corpus feeds model training, any document
+containing a benchmark/eval n-gram must be dropped or flagged, or the
+downstream eval numbers measure memorization.  The standard public
+recipe is long word-n-gram overlap (8-13 words — Brown et al. 2020
+appendix C, Chowdhery et al. 2022 §6.1); n defaults to 8 here, long
+enough that natural collisions between independent documents are
+improbable.
+
+Scale shape (100 TB corpus vs eval sets of 1e3-1e6 docs): the eval
+n-gram set is tiny next to the corpus, so it is BROADCAST and the
+train side streams through one hash join — no shuffle of the corpus
+grams, no cartesian.  The output is bounded by the contaminated-doc
+count, not the corpus size.  On a real cluster the same plan holds
+until the eval gram set outgrows the broadcast threshold (~1e8 grams);
+past that the join key is an equi-join either way and AQE picks a
+shuffled hash join — the operator is declarative, Catalyst owns the
+physical strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(docs_with_t: DataFrame, n: int) -> DataFrame:
+    """(doc_id, t) -> distinct (doc_id, g) word-n-gram rows.
+
+    Generalizes entry.testdata_queries.shingles (n=3) to any n; the
+    sliding window is a JVM `transform(sequence(...))` expression —
+    no Python in the gram path."""
+    lanes = ", ".join(f"w[i+{j}-1]" for j in range(n))
+    toks = docs_with_t.select("doc_id", F.split("t", " ").alias("w"))
+    grams = F.when(
+        F.size("w") >= n,
+        F.expr(
+            f"transform(sequence(1, size(w) - {n - 1}),"
+            f" i -> concat_ws(' ', {lanes}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", F.explode(grams).alias("g")).distinct()
+
+
+def contamination_hits(
+    train: DataFrame, eval_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Flag train docs sharing any word-n-gram with the eval set.
+
+    train/eval_docs: (doc_id, t).  Returns one row per CONTAMINATED
+    train doc: (doc_id, n_gram_hits, n_eval_docs) — how many distinct
+    eval grams it contains and how many distinct eval documents those
+    grams came from.  Clean docs produce no row (take the anti-join
+    against this output to materialize the decontaminated corpus)."""
+    tg = word_ngrams(train, n)
+    eg = word_ngrams(eval_docs, n).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    return (
+        tg.join(F.broadcast(eg), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("g").alias("n_gram_hits"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def decontaminated(train: DataFrame, eval_docs: DataFrame, n: int = 8) -> DataFrame:
+    """The clean corpus: train rows minus contamination_hits (left
+    anti on doc_id — the hits side is bounded, so this broadcasts)."""
+    hits = contamination_hits(train, eval_docs, n).select("doc_id")
+    return train.join(F.broadcast(hits), "doc_id", "left_anti")

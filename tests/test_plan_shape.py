@@ -98,3 +98,18 @@ def test_signature_scan_prunes_unused_columns(spark, tmp_path):
     assert read_schema, text
     assert "dur_ms" not in read_schema[0]
     assert "bytes" in read_schema[0]  # consumed here, nowhere else
+
+
+def test_decontam_broadcasts_eval_grams(spark):
+    """decontam_hits must stream the corpus grams through a broadcast
+    hash join on the (tiny) eval gram set — never shuffle-sort the
+    corpus on the gram key, never a nested-loop join."""
+    from file_dedup_rust_spark.entry import testdata_queries as Q
+
+    text = _plan(Q.q_decontam_hits(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert "SortMergeJoin" not in text
+    # gram generation is JVM transform/sequence — no Python in the path
+    assert "BatchEvalPython" not in text

@@ -132,6 +132,14 @@ def main() -> int:
     ))
 
     sections.append((
+        "decontam_hits (benchmark decontamination: corpus word-8-grams "
+        "stream through ONE BroadcastHashJoin against the tiny eval "
+        "gram set — the corpus is never shuffled on the gram key)",
+        plan_text(Q.q_decontam_hits(spark, args.sf_dir)),
+        ["BroadcastHashJoin", "HashAggregate"],
+    ))
+
+    sections.append((
         "embedding_neardup_pairs (blocked all-pairs cosine: packed-block "
         "grid cartesian, per-tile BLAS + threshold reduce — no "
         "BroadcastNestedLoopJoin, no packed-corpus broadcast)",

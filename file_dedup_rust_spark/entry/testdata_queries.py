@@ -1912,6 +1912,46 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# deterministic stratified sampling (functions.sampling): the
+# corpus-mixing step after dedup/decontam — keep 'en' docs at 80%,
+# everything else at 25%, decided by a key hash so the SAME rows
+# survive on any cluster size / partition count (training-data
+# lineage requires replayable sampling, which df.sample() is not).
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 800}   # per-mille
+SAMPLE_DEFAULT = 250
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from file_dedup_rust_spark.functions.sampling import stratified_sample
+
+    langs = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    return stratified_sample(
+        langs, "doc_id", "pred_lang", SAMPLE_RATES, SAMPLE_DEFAULT
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS w FROM documents
+),
+langs AS (
+  SELECT doc_id,
+         CASE WHEN round(len(list_filter(w, x -> list_contains({_SQL_STOPLIST}, x)))
+                   * 1.0 / greatest(len(w), 1), 4) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM toks
+)
+SELECT doc_id, pred_lang
+FROM langs
+WHERE ((doc_id * 2654435761) % 4294967296) % 1000 <
+      CASE WHEN pred_lang = 'en' THEN {SAMPLE_RATES['en']}
+           ELSE {SAMPLE_DEFAULT} END
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1952,6 +1992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": q_semdedup_prune,
     "dedup_new_vs_corpus": q_dedup_new_vs_corpus,
     "decontam_hits": q_decontam_hits,
+    "stratified_sample": q_stratified_sample,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
 }
@@ -1993,5 +2034,6 @@ ORACLES: dict[str, str] = {
     "semdedup_prune": SQL_SEMDEDUP_PRUNE,
     "dedup_new_vs_corpus": SQL_DEDUP_NEW_VS_CORPUS,
     "decontam_hits": SQL_DECONTAM_HITS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     # ann_ivf_topk: approximate by design — rows-only check
 }

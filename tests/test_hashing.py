@@ -163,3 +163,28 @@ def test_batch_transcript_parity_hypothesis():
             assert np.array_equal(fps[i], TX.transcript_fingerprints(t, cfg))
 
     run()
+
+
+def test_stratified_sample_partition_invariant(spark):
+    """The deterministic sampler must keep the SAME rows under any
+    partitioning (the property df.sample() lacks), and land near the
+    configured per-stratum rates."""
+    from pyspark.sql import functions as F
+
+    from file_dedup_rust_spark.functions.sampling import stratified_sample
+
+    base = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("other").alias("s"),
+    )
+    rates = {"en": 800}
+    kept1 = stratified_sample(base.repartition(3), "k", "s", rates, 250)
+    kept2 = stratified_sample(base.repartition(17, "s"), "k", "s", rates, 250)
+    ids1 = sorted(r["k"] for r in kept1.collect())
+    ids2 = sorted(r["k"] for r in kept2.collect())
+    assert ids1 == ids2
+    n_en = sum(1 for r in kept1.collect() if r["s"] == "en")
+    n_other = len(ids1) - n_en
+    # ~6,667 en rows at 80%, ~13,333 other at 25%
+    assert abs(n_en / 6667 - 0.8) < 0.05
+    assert abs(n_other / 13333 - 0.25) < 0.05

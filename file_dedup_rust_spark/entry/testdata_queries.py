@@ -1952,6 +1952,133 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 1000 <
 
 
 # ---------------------------------------------------------------------------
+# the training-corpus build funnel: raw -> exact dedup -> benchmark
+# decontamination -> stratified sample, reported as per-stage
+# (n_docs, n_tokens).  One oracle-checked query composing four
+# first-class operators (operators.exact rep contraction,
+# operators.decontaminate, functions.sampling, the lang-ID strata) —
+# the end-to-end story a 100 TB training-data pipeline runs nightly.
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from file_dedup_rust_spark.operators.decontaminate import (
+        contamination_hits,
+    )
+    from file_dedup_rust_spark.functions.sampling import stratified_sample
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t")
+    )
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE)
+    base = d.filter(F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
+    copies = base.filter(F.col("doc_id") % EXACT_COPY_MOD == 0).select(
+        (F.col("doc_id") + EXACT_ID_OFFSET).alias("doc_id"), "t"
+    )
+    leaks = ev.filter(F.col("doc_id") % CONTAM_MOD == 1).select(
+        (F.col("doc_id") + CONTAM_ID_OFFSET).alias("doc_id"),
+        _decontam_prefix().alias("t"),
+    )
+    raw = base.unionByName(copies).unionByName(leaks)
+
+    # exact dedup to representatives (star semantics: min doc_id per
+    # byte-identical text — operators.exact at engine level)
+    w = Window.partitionBy("t")
+    reps = (
+        raw.withColumn("m", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("m"))
+        .select("doc_id", "t")
+    )
+
+    # decontaminate vs the eval split (broadcast eval grams)
+    hits = contamination_hits(reps, ev, DECONTAM_N).select("doc_id")
+    clean = reps.join(F.broadcast(hits), "doc_id", "left_anti")
+
+    # language strata + deterministic sample
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    wd = clean.withColumn("w", F.split("t", " "))
+    n_stop = F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
+    score = F.round(n_stop / F.greatest(F.size("w"), F.lit(1)), 4)
+    langs = wd.select(
+        "doc_id",
+        "t",
+        F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias(
+            "pred_lang"
+        ),
+    )
+    sampled = stratified_sample(
+        langs, "doc_id", "pred_lang", SAMPLE_RATES, SAMPLE_DEFAULT
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("t", " "))).alias("n_tokens"),
+        )
+
+    return (
+        stage(raw, "raw")
+        .unionByName(stage(reps, "deduped"))
+        .unionByName(stage(clean, "decontaminated"))
+        .unionByName(stage(sampled, "sampled"))
+    )
+
+
+SQL_CORPUS_BUILD_FUNNEL = f"""
+WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+evalset AS (SELECT * FROM d WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}),
+base AS (SELECT * FROM d WHERE doc_id % {EVAL_MOD} != {EVAL_RESIDUE}),
+raw AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT doc_id + {EXACT_ID_OFFSET}, t FROM base
+  WHERE doc_id % {EXACT_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {CONTAM_ID_OFFSET},
+         array_to_string(
+           w[1:greatest(CAST(floor(len(w) * 3 / 5) AS INT), {DECONTAM_N})], ' ')
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM evalset
+        WHERE doc_id % {CONTAM_MOD} = 1)
+),
+reps AS (SELECT min(doc_id) AS doc_id, t FROM raw GROUP BY t),
+tg AS ({_sql_ngrams('reps', DECONTAM_N)}),
+eg AS ({_sql_ngrams('evalset', DECONTAM_N)}),
+hits AS (SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON e.g = t.g),
+clean AS (
+  SELECT * FROM reps WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+),
+langs AS (
+  SELECT doc_id, t,
+         CASE WHEN round(len(list_filter(w, x -> list_contains({_SQL_STOPLIST}, x)))
+                   * 1.0 / greatest(len(w), 1), 4) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM (SELECT doc_id, t, string_split(t, ' ') AS w FROM clean)
+),
+sampled AS (
+  SELECT doc_id, t FROM langs
+  WHERE ((doc_id * 2654435761) % 4294967296) % 1000 <
+        CASE WHEN pred_lang = 'en' THEN {SAMPLE_RATES['en']}
+             ELSE {SAMPLE_DEFAULT} END
+)
+SELECT 'raw' AS stage, count(*) AS n_docs,
+       CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS n_tokens FROM raw
+UNION ALL
+SELECT 'deduped', count(*),
+       CAST(sum(len(string_split(t, ' '))) AS BIGINT) FROM reps
+UNION ALL
+SELECT 'decontaminated', count(*),
+       CAST(sum(len(string_split(t, ' '))) AS BIGINT) FROM clean
+UNION ALL
+SELECT 'sampled', count(*),
+       CAST(sum(len(string_split(t, ' '))) AS BIGINT) FROM sampled
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1993,6 +2120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_new_vs_corpus": q_dedup_new_vs_corpus,
     "decontam_hits": q_decontam_hits,
     "stratified_sample": q_stratified_sample,
+    "corpus_build_funnel": q_corpus_build_funnel,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
 }
@@ -2035,5 +2163,6 @@ ORACLES: dict[str, str] = {
     "dedup_new_vs_corpus": SQL_DEDUP_NEW_VS_CORPUS,
     "decontam_hits": SQL_DECONTAM_HITS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "corpus_build_funnel": SQL_CORPUS_BUILD_FUNNEL,
     # ann_ivf_topk: approximate by design — rows-only check
 }

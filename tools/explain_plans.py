@@ -140,6 +140,15 @@ def main() -> int:
     ))
 
     sections.append((
+        "corpus_build_funnel (raw -> exact-dedup reps -> decontaminate "
+        "-> stratified sample: window rep contraction, broadcast eval "
+        "grams, Knuth-hash sample filter — four operators, no "
+        "cartesian, no per-row Python)",
+        plan_text(Q.q_corpus_build_funnel(spark, args.sf_dir)),
+        ["BroadcastHashJoin", "HashAggregate"],
+    ))
+
+    sections.append((
         "embedding_neardup_pairs (blocked all-pairs cosine: packed-block "
         "grid cartesian, per-tile BLAS + threshold reduce — no "
         "BroadcastNestedLoopJoin, no packed-corpus broadcast)",

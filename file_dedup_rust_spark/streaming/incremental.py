@@ -842,6 +842,69 @@ def incremental_ivf_neardup(
     return writer.start()
 
 
+def streaming_decontam(
+    spark: SparkSession,
+    landing_dir: str,
+    eval_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 8,
+    available_now: bool = True,
+):
+    """Flag contaminated clips AT INGEST: each micro-batch's
+    transcript word-n-grams join against the STATIC eval gram set
+    (operators.decontaminate semantics); hits land idempotently under
+    batch_id partitions.
+
+    Unlike the dedup probes there is no accumulated store — the eval
+    side is fixed, so the probe is stateless per batch and
+    streaming-vs-batch parity is EXACT under any arrival order or
+    batch split (pinned in tests/test_streaming.py against
+    contamination_hits over the whole landing set).  At scale the
+    eval grams are one bounded broadcast reused by every micro-batch;
+    the per-batch cost is gram generation (JVM transform/sequence)
+    plus one BroadcastHashJoin — nothing grows with stream history.
+    """
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    eg = (
+        word_ngrams(eval_docs, n)
+        .select(F.col("doc_id").alias("eval_id"), "g")
+        .persist()
+    )
+    eg.count()  # materialize once, before the first micro-batch
+
+    clips = read_clip_stream(spark, landing_dir)
+    docs = clips.select(
+        "clip_id",
+        F.lower(F.coalesce("transcript", F.lit(""))).alias("t"),
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tg = word_ngrams(
+            batch_df.select(F.col("clip_id").alias("doc_id"), "t"), n
+        )
+        hits = (
+            tg.join(F.broadcast(eg), "g")
+            .groupBy("doc_id")
+            .agg(
+                F.count_distinct("g").alias("n_gram_hits"),
+                F.count_distinct("eval_id").alias("n_eval_docs"),
+            )
+            .withColumnRenamed("doc_id", "clip_id")
+        )
+        store_write(hits, out_dir, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 _ASSIGN_STATE_SCHEMA = "rep string"
 _ASSIGN_OUT_SCHEMA = "clip_id string, sha256 string, cluster_rep string"
 

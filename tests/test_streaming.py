@@ -577,3 +577,63 @@ def test_streaming_posting_probe_caps_hot_keys(spark, cfg, tmp_path):
     # store members x every probing child) never ran, and the drop is
     # visible in the manifest instead of silent
     assert not any(c == hot_child for c, _ in corpus_audio)
+
+
+def test_streaming_decontam_matches_batch(spark, tmp_path):
+    """The ingest-time decontamination probe must flag EXACTLY the
+    clips the batch operator flags, independent of how the landing
+    data splits into micro-batches (the eval side is static, so the
+    probe is stateless per batch and parity is exact, not
+    approximate)."""
+    from file_dedup_rust_spark.operators.decontaminate import (
+        contamination_hits,
+    )
+    from file_dedup_rust_spark.streaming.incremental import (
+        read_store,
+        streaming_decontam,
+    )
+
+    pdf = datagen.generate_clips_pandas(150, seed=42)
+    clips = spark.createDataFrame(pdf, schema=datagen.CLIP_SCHEMA)
+    # eval split: every 5th clip's transcript is "benchmark" text —
+    # the other clips that duplicate those transcripts (datagen's
+    # exact/transcript_near roles) are the planted contamination
+    docs = clips.select(
+        "clip_id", F.lower(F.coalesce("transcript", F.lit(""))).alias("t")
+    )
+    ev = docs.filter(F.abs(F.hash("clip_id")) % 5 == 0).select(
+        F.col("clip_id").alias("doc_id"), "t"
+    )
+    train = docs.filter(F.abs(F.hash("clip_id")) % 5 != 0)
+
+    landing = str(tmp_path / "landing")
+    # two uneven full-schema drops -> at least two micro-batches
+    train_ids = {r["clip_id"] for r in train.select("clip_id").collect()}
+    train_pdf = pdf[pdf.clip_id.isin(train_ids)]
+    spark.createDataFrame(
+        train_pdf.iloc[:40], schema=datagen.CLIP_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/drop=1")
+    spark.createDataFrame(
+        train_pdf.iloc[40:], schema=datagen.CLIP_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(f"{landing}/drop=2")
+
+    out = str(tmp_path / "hits")
+    q = streaming_decontam(
+        spark, landing, ev, out, str(tmp_path / "ckpt"), n=8
+    )
+    assert q.awaitTermination(300)
+
+    got_df = read_store(spark, out)
+    assert got_df is not None
+    got = {
+        (r["clip_id"], r["n_gram_hits"], r["n_eval_docs"])
+        for r in got_df.collect()
+    }
+    want = {
+        (r["doc_id"], r["n_gram_hits"], r["n_eval_docs"])
+        for r in contamination_hits(
+            train.withColumnRenamed("clip_id", "doc_id"), ev, 8
+        ).collect()
+    }
+    assert want, "fixture must plant at least one contaminated clip"
+    assert got == want

@@ -188,3 +188,58 @@ def test_stratified_sample_partition_invariant(spark):
     # ~6,667 en rows at 80%, ~13,333 other at 25%
     assert abs(n_en / 6667 - 0.8) < 0.05
     assert abs(n_other / 13333 - 0.25) < 0.05
+
+
+def test_word_ngrams_property_vs_python(spark):
+    """Property test: the JVM transform/sequence n-gram expression in
+    operators.decontaminate must match the plain-Python sliding-window
+    definition on arbitrary space-separated text (including empty
+    tokens from repeated spaces), for several n."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    def ref(t: str, n: int) -> set[str]:
+        w = t.split(" ")
+        if len(w) < n:
+            return set()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.text(alphabet="ab x", max_size=60), min_size=1, max_size=6),
+        st.integers(min_value=2, max_value=9),
+    )
+    def run(texts, n):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, t string"
+        )
+        got: dict[int, set] = {i: set() for i in range(len(texts))}
+        for r in word_ngrams(df, n).collect():
+            got[r["doc_id"]].add(r["g"])
+        for i, t in enumerate(texts):
+            assert got[i] == ref(t, n), (t, n)
+
+    run()
+
+
+def test_sample_bucket_matches_python(spark):
+    """sample_bucket must equal the arithmetic definition
+    (key * KNUTH) % 2^32 % 1000 — the contract the DuckDB oracle and
+    any other engine reimplements."""
+    from pyspark.sql import functions as F
+
+    from file_dedup_rust_spark.functions.sampling import (
+        KNUTH_MULT,
+        sample_bucket,
+    )
+
+    keys = [0, 1, 2, 999, 123_457, 9_999_991, 3_000_000_000]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", sample_bucket(F.col("k")).alias("b")).collect()
+    }
+    for k in keys:
+        assert got[k] == (k * KNUTH_MULT) % (2**32) % 1000

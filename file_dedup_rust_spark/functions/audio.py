@@ -249,3 +249,59 @@ def simhash_band_keys(sim: int, cfg: DedupConfig) -> np.ndarray:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+FP_BANDS = 33  # 32-bit subfingerprints (Haitsma & Kalker 2002 layout)
+
+
+@lru_cache(maxsize=32)
+def _fp_band_edges(n_bins: int, n_bands: int) -> np.ndarray:
+    """Strictly increasing band edges inside [1, n_bins] for reduceat.
+
+    Prefers log spacing (perceptual bands); when rounding collapses
+    edges at the low end (n_bands large vs n_bins, e.g. 33 bands over
+    257 rfft bins), falls back to linear spacing — containment hashing
+    needs DISTINCT stable bands, not perceptual ones, and the
+    _band_edges guard of appending past n_bins would index out of
+    range here."""
+    e = np.unique(np.round(np.geomspace(2, n_bins, n_bands + 1)).astype(int))
+    if e.size < n_bands + 1:
+        e = np.unique(np.round(np.linspace(1, n_bins, n_bands + 1)).astype(int))
+    e.flags.writeable = False
+    return e
+
+
+def frame_fingerprints(
+    pcm: np.ndarray, sr_hz: int, cfg: DedupConfig, n_bands: int = FP_BANDS
+) -> np.ndarray:
+    """Per-FRAME audio subfingerprints for containment detection —
+    one (n_bands-1)-bit hash per STFT frame (Haitsma & Kalker 2002,
+    "A Highly Robust Audio Fingerprinting System": bit (f, m) is the
+    sign of the band-energy difference differentiated along both
+    frequency and time).
+
+    Unlike spectral_features (one pooled vector per clip, feeds the
+    whole-clip SimHash), this keeps the TIME AXIS: a clip embedded
+    inside a longer recording at a hop-aligned offset reproduces the
+    container's interior frame hashes exactly, because each frame's
+    FFT sees only local samples and the frequency/time differences
+    cancel gain.  Returns int64 array of length max(n_frames - 1, 0)
+    (the first frame is consumed by the time derivative).
+    """
+    max_samples = int(cfg.max_decode_seconds * sr_hz)
+    x = np.ascontiguousarray(pcm[:max_samples], dtype=np.float32)
+    if x.size < cfg.n_fft:
+        return np.empty(0, dtype=np.int64)
+    n_frames = 1 + (x.size - cfg.n_fft) // cfg.hop
+    idx = np.arange(cfg.n_fft)[None, :] + cfg.hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * _hann(cfg.n_fft)[None, :]
+    spec = np.fft.rfft(frames, axis=1)
+    mag = spec.real**2 + spec.imag**2
+    edges = _fp_band_edges(mag.shape[1], n_bands)
+    band_e = np.add.reduceat(mag, edges[:-1], axis=1)[:, :n_bands]
+    loge = np.log(band_e + 1e-12)
+    d_freq = loge[:, :-1] - loge[:, 1:]        # (n_frames, n_bands-1)
+    d_time = d_freq[1:, :] - d_freq[:-1, :]    # (n_frames-1, n_bands-1)
+    bits = (d_time > 0).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(n_bands - 1, dtype=np.uint64)
+    return (bits @ weights).astype(np.int64)

@@ -1,0 +1,136 @@
+"""Audio containment: detect a clip embedded inside a longer
+recording (sub-clip / segment duplicates — re-posts with intro/outro,
+excerpts of long recordings), the audio analog of the transcript
+suffix-array containment tier.
+
+Method: per-frame Haitsma-Kalker subfingerprints
+(functions.audio.frame_fingerprints — 32-bit hash per STFT frame,
+invariant to gain, local to the frame's samples) -> posting self-join
+on the frame hash -> offset-consistency vote: a contained-in-b needs
+MANY frame matches at ONE consistent offset, which random collisions
+cannot produce.  The reference has no sub-clip detection at all (its
+audio path is one embedding per whole file,
+/root/reference/backend/src/worker/deduplicator.rs:25-56).
+
+Scale shape:
+  * the frame table is ~n_frames rows/clip (8 s at hop 256 / 16 kHz
+    ~ 500) — linear in corpus seconds, exploded by mapInPandas with
+    bytes pruned immediately;
+  * the self-join shuffles ON THE FRAME HASH; stop-hashes (silence,
+    codec artifacts — the skew killers) are dropped by a counted
+    document-frequency cap BEFORE the join, so per-hash join work is
+    bounded by max_df^2;
+  * the offset vote is a hash aggregate (a, b, offset) with map-side
+    combine; output is bounded by true near-pairs, never all-pairs.
+Not SQL-expressible (FFT) -> pytest-gated with planted sub-clips,
+like the SimHash audio tier (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from file_dedup_rust_spark.config import DedupConfig
+from file_dedup_rust_spark.functions.audio import (
+    FP_BANDS,
+    decode_audio,
+    frame_fingerprints,
+)
+
+FRAME_SCHEMA = "clip_id string, idx int, fhash long"
+
+
+def clip_frames(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(clip_id, bytes, sr_hz, codec, ...) -> exploded frame table
+    (clip_id, idx, fhash).  One Arrow pass; bytes never leave it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"clip_id": [], "idx": [], "fhash": []}
+            for row in pdf.itertuples(index=False):
+                data = bytes(row.bytes) if row.bytes is not None else b""
+                try:
+                    pcm = decode_audio(data, row.codec)
+                except Exception:
+                    continue
+                fps = frame_fingerprints(pcm, int(row.sr_hz), cfg, FP_BANDS)
+                out["clip_id"].extend([row.clip_id] * len(fps))
+                out["idx"].extend(range(len(fps)))
+                out["fhash"].extend(int(h) for h in fps)
+            yield pd.DataFrame(out)
+
+    cols = [c for c in ("clip_id", "bytes", "sr_hz", "codec") if c in clips.columns]
+    return clips.select(*cols).mapInPandas(run, FRAME_SCHEMA)
+
+
+def audio_containment_edges(
+    frames: DataFrame,
+    min_coverage: float = 0.8,
+    max_df: int = 64,
+) -> DataFrame:
+    """frames(clip_id, idx, fhash) -> edges(a, b, kind, sim) where
+    clip `a`'s frames appear inside clip `b` at one consistent offset
+    covering >= min_coverage of a's frames.
+
+    max_df drops frame hashes present in more than that many clips
+    before the join (stop-hash removal — silence and codec-constant
+    frames would otherwise quadratically dominate); the drop is
+    counted in the returned plan via dropped_stop_hashes (callers can
+    surface it in manifests the way candidates.dropped_buckets is).
+    """
+    sizes = frames.groupBy("clip_id").agg(F.count("*").alias("nf"))
+
+    hash_df = frames.groupBy("fhash").agg(
+        F.count_distinct("clip_id").alias("dfc")
+    )
+    live = frames.join(
+        hash_df.filter(F.col("dfc") <= max_df).select("fhash"), "fhash"
+    )
+
+    t1 = live.select(
+        F.col("clip_id").alias("a"), F.col("idx").alias("ia"), "fhash"
+    )
+    t2 = live.select(
+        F.col("clip_id").alias("b"), F.col("idx").alias("ib"), "fhash"
+    )
+    votes = (
+        t1.join(t2, "fhash")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b", (F.col("ib") - F.col("ia")).alias("off"))
+        .agg(F.count("*").alias("m"))
+        .groupBy("a", "b")
+        .agg(F.max("m").alias("best"))
+    )
+    sa = sizes.select(F.col("clip_id").alias("a"), F.col("nf").alias("na"))
+    sb = sizes.select(F.col("clip_id").alias("b"), F.col("nf").alias("nb"))
+    return (
+        votes.join(sa, "a")
+        .join(sb, "b")
+        .filter(F.col("best") >= min_coverage * F.col("na"))
+        # contained must be the shorter side; equal-length (mutual,
+        # i.e. exact-duplicate audio) keeps the id-ordered direction
+        .filter(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("a") < F.col("b")))
+        )
+        .select(
+            "a",
+            "b",
+            F.lit("audio_containment").alias("kind"),
+            F.round(F.col("best") / F.col("na"), 4).alias("sim"),
+        )
+    )
+
+
+def dropped_stop_hashes(frames: DataFrame, max_df: int = 64) -> DataFrame:
+    """Manifest accounting for the df cap: the hashes the join never
+    sees, with their clip counts (mirrors candidates.dropped_buckets)."""
+    return (
+        frames.groupBy("fhash")
+        .agg(F.count_distinct("clip_id").alias("dfc"))
+        .filter(F.col("dfc") > max_df)
+    )

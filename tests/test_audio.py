@@ -232,3 +232,94 @@ def test_container_flip_clusters_through_pcm_exact_tier(spark):
     lbl = {r["clip_id"]: r["cluster_id"] for r in cc.collect()}
     assert lbl["c_wav"] == lbl["c_raw"] == lbl["c_copy"]
     assert lbl["c_other"] != lbl["c_wav"]
+
+
+def test_audio_containment_detects_planted_subclips(spark, cfg):
+    """A clip whose PCM is embedded (hop-aligned) inside a longer
+    recording must be detected as audio-contained at one consistent
+    frame offset; unrelated noise clips must produce no edges; an
+    exact-duplicate pair resolves to the id-ordered direction."""
+    import numpy as np
+    import pandas as pd
+
+    from file_dedup_rust_spark.functions.audio import encode_wav
+    from file_dedup_rust_spark.operators.audio_containment import (
+        audio_containment_edges,
+        clip_frames,
+    )
+
+    sr = 16000
+    rng = np.random.default_rng(7)
+
+    def noise(n):
+        return (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+    base = noise(sr * 2)                       # 2 s inner clip
+    pre, post = noise(cfg.hop * 48), noise(cfg.hop * 32)
+    container = np.concatenate([pre, base, post])
+    rows = [
+        ("clip_a", base),                      # contained
+        ("clip_b", container),                 # container
+        ("clip_c", noise(sr * 2)),             # unrelated
+        ("clip_d", noise(sr * 3)),             # unrelated
+        ("clip_e", base.copy()),               # exact dup of clip_a
+    ]
+    pdf = pd.DataFrame(
+        {
+            "clip_id": [r[0] for r in rows],
+            "bytes": [encode_wav(r[1], sr) for r in rows],
+            "sr_hz": [sr] * len(rows),
+            "codec": ["wav"] * len(rows),
+        }
+    )
+    clips = spark.createDataFrame(
+        pdf, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    frames = clip_frames(clips, cfg).persist()
+    edges = {
+        (r["a"], r["b"]): r["sim"]
+        for r in audio_containment_edges(frames, min_coverage=0.8).collect()
+    }
+    frames.unpersist()
+
+    assert ("clip_a", "clip_b") in edges and edges[("clip_a", "clip_b")] >= 0.9
+    # the exact copy is contained in the container too, and the
+    # equal-length mutual pair keeps only the id-ordered direction
+    assert ("clip_e", "clip_b") in edges
+    assert ("clip_a", "clip_e") in edges and ("clip_e", "clip_a") not in edges
+    # no unrelated clip participates in any edge
+    flat = {c for pair in edges for c in pair}
+    assert "clip_c" not in flat and "clip_d" not in flat
+
+
+def test_audio_containment_stop_hash_cap(spark):
+    """A frame hash shared by more clips than max_df (silence /
+    codec-constant frames) must be dropped-and-counted BEFORE the
+    self-join — it can never create offset votes — while planted
+    aligned runs on live hashes still match."""
+    from file_dedup_rust_spark.operators.audio_containment import (
+        audio_containment_edges,
+        dropped_stop_hashes,
+    )
+
+    rows = []
+    # stop hash 999 in 10 clips at idx 0
+    for i in range(10):
+        rows.append((f"s{i}", 0, 999))
+    # planted containment: u0's 5 unique frames appear in u1 at offset 3
+    for j in range(5):
+        rows.append(("u0", j, 1000 + j))
+        rows.append(("u1", j + 3, 1000 + j))
+    for j in range(5):  # u1 padding frames
+        rows.append(("u1", j + 8, 2000 + j))
+    frames = spark.createDataFrame(rows, "clip_id string, idx int, fhash long")
+
+    dropped = {r["fhash"] for r in dropped_stop_hashes(frames, max_df=8).collect()}
+    assert dropped == {999}
+    edges = {
+        (r["a"], r["b"]): r["sim"]
+        for r in audio_containment_edges(
+            frames, min_coverage=0.8, max_df=8
+        ).collect()
+    }
+    assert edges == {("u0", "u1"): 1.0}  # the s* clips vanish entirely

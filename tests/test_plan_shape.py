@@ -113,3 +113,21 @@ def test_decontam_broadcasts_eval_grams(spark):
     assert "SortMergeJoin" not in text
     # gram generation is JVM transform/sequence — no Python in the path
     assert "BatchEvalPython" not in text
+
+
+def test_audio_containment_join_is_hash_equi(spark):
+    """The frame-hash posting self-join must plan as an equi-join
+    (SMJ/SHJ on fhash) with hash aggregates — never a nested-loop or
+    cartesian pair enumeration, and no per-row Python in the path."""
+    from file_dedup_rust_spark.operators.audio_containment import (
+        audio_containment_edges,
+    )
+
+    frames = spark.createDataFrame(
+        [("c0", 0, 1), ("c1", 0, 1)], "clip_id string, idx int, fhash long"
+    )
+    text = _plan(audio_containment_edges(frames))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text
+    assert "HashAggregate" in text

@@ -158,8 +158,12 @@ def build_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 # near-dups (the oracle labels both "transcript",
 # file_dedup_rust_spark/oracle.py:84,107, so the edge schema keeps one
 # label); "audio" is SimHash in-bucket verify; "containment" pays the
-# suffix-array pass.
-TIER_LADDER = ["exact", "pcm_exact", "transcript", "audio", "containment"]
+# suffix-array pass; "audio_containment" (opt-in tier — a second
+# bytes scan for the frame table) pays the frame-fingerprint join.
+TIER_LADDER = [
+    "exact", "pcm_exact", "transcript", "audio", "containment",
+    "audio_containment",
+]
 
 
 def tier_report(edges: DataFrame) -> dict:
@@ -205,9 +209,16 @@ def run_pipeline(
     checkpoint_dir: str,
     resume: bool = True,
     stop_after: str | None = None,
+    audio_containment: bool = False,
 ) -> PipelineResult | None:
     """Checkpointed end-to-end run.  `stop_after` kills the run after a
-    named stage commits (resume tests); returns None in that case."""
+    named stage commits (resume tests); returns None in that case.
+
+    `audio_containment=True` adds the sub-clip tier
+    (operators.audio_containment): a SECOND scan of the clips bytes
+    builds the per-frame fingerprint table, so the tier is opt-in —
+    the default pipeline reads bytes exactly once.  Its edges are
+    checkpointed as their own stage and union into CC."""
     io = TableIO(spark, checkpoint_dir)
     fp = cfg.fingerprint()
     stages: list[StageResult] = []
@@ -226,6 +237,22 @@ def run_pipeline(
     stages.append(r)
     if done("edges"):
         return None
+
+    if audio_containment:
+        from file_dedup_rust_spark.operators.audio_containment import (
+            audio_containment_edges,
+            clip_frames,
+        )
+
+        def build_ac() -> DataFrame:
+            frames = clip_frames(clips, cfg)
+            return audio_containment_edges(frames).select(*EDGE_COLS)
+
+        ac_edges, r = io.stage("ac_edges", fp, build_ac)
+        stages.append(r)
+        if done("ac_edges"):
+            return None
+        edges = edges.unionByName(ac_edges)
 
     # dropped-bucket accounting (manifest metrics; SURVEY.md 7.3.2)
     if not io.is_committed("dropped_buckets", fp):

@@ -34,6 +34,9 @@ def main() -> int:
     p.add_argument("--tier-report", action="store_true",
                    help="add per-tier edge counts + cheapest-tier "
                         "marginal pair attribution to the summary")
+    p.add_argument("--audio-containment", action="store_true",
+                   help="enable the sub-clip audio containment tier "
+                        "(a second bytes scan for the frame table)")
     args = p.parse_args()
 
     from file_dedup_rust_spark.config import DedupConfig
@@ -52,7 +55,8 @@ def main() -> int:
         clips = spark.read.parquet(args.input)
 
     res = run_pipeline(
-        spark, clips, cfg, args.checkpoint, resume=not args.no_resume
+        spark, clips, cfg, args.checkpoint, resume=not args.no_resume,
+        audio_containment=args.audio_containment,
     )
     n_clips = res.assignments.count()
     n_clusters = res.clusters.count()

@@ -141,3 +141,26 @@ def test_tier_report(spark, clips_df, cfg):
     # the exact tier always wins its own pairs (cheapest in the ladder)
     if "exact" in rep["edges_by_kind"]:
         assert rep["marginal_pairs_by_tier"].get("exact", 0) > 0
+
+
+def test_pipeline_audio_containment_tier(spark, clips_df, cfg, tmp_path):
+    """Opt-in sub-clip tier: the pipeline gains audio_containment
+    edges (exact audio families are mutually contained), never loses
+    a co-membership the default tiers found, and the stage
+    checkpoints/resumes like every other stage."""
+    res = run_pipeline(
+        spark, clips_df, cfg, str(tmp_path / "ck_ac"), audio_containment=True
+    )
+    kinds = {r["kind"] for r in res.edges.select("kind").distinct().collect()}
+    assert "audio_containment" in kinds
+
+    base = run_pipeline(spark, clips_df, cfg, str(tmp_path / "ck_base"))
+    pairs_base = O.co_membership_pairs(base.assignments.toPandas())
+    pairs_ac = O.co_membership_pairs(res.assignments.toPandas())
+    assert pairs_base <= pairs_ac  # the extra tier only merges
+
+    # resume: same checkpoint, every stage skipped
+    res2 = run_pipeline(
+        spark, clips_df, cfg, str(tmp_path / "ck_ac"), audio_containment=True
+    )
+    assert all(s.skipped for s in res2.stages)

@@ -82,14 +82,12 @@ corpus AS (
 # word-3-gram shingle machinery (shared by jaccard/minhash/containment)
 
 def shingles(docs_with_t: DataFrame) -> DataFrame:
-    """(doc_id, t) -> distinct (doc_id, g) word-3-gram rows."""
-    toks = docs_with_t.select("doc_id", F.split("t", " ").alias("w"))
-    grams = F.when(
-        F.size("w") >= 3,
-        F.expr("transform(sequence(1, size(w) - 2),"
-               " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"),
-    ).otherwise(F.array().cast("array<string>"))
-    return toks.select("doc_id", F.explode(grams).alias("g")).distinct()
+    """(doc_id, t) -> distinct (doc_id, g) word-3-gram rows (the n=3
+    case of the generalized JVM sliding window — one implementation,
+    property-tested against the Python definition)."""
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    return word_ngrams(docs_with_t, 3)
 
 
 def _sql_shingles(corpus_sql: str) -> str:

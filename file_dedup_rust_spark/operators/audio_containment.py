@@ -63,33 +63,43 @@ def clip_frames(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
                 out["fhash"].extend(int(h) for h in fps)
             yield pd.DataFrame(out)
 
-    cols = [c for c in ("clip_id", "bytes", "sr_hz", "codec") if c in clips.columns]
-    return clips.select(*cols).mapInPandas(run, FRAME_SCHEMA)
+    required = ("clip_id", "bytes", "sr_hz", "codec")
+    missing = [c for c in required if c not in clips.columns]
+    if missing:
+        raise ValueError(
+            f"clip_frames: clips table lacks required columns {missing}"
+        )
+    return clips.select(*required).mapInPandas(run, FRAME_SCHEMA)
 
 
 def audio_containment_edges(
     frames: DataFrame,
     min_coverage: float = 0.8,
     max_df: int = 64,
+    min_matches: int = 4,
 ) -> DataFrame:
     """frames(clip_id, idx, fhash) -> edges(a, b, kind, sim) where
     clip `a`'s frames appear inside clip `b` at one consistent offset
-    covering >= min_coverage of a's frames.
+    covering >= min_coverage of a's LIVE frames (and >= min_matches
+    absolute, so a clip reduced to a couple of live frames cannot
+    match on noise).
 
     max_df drops frame hashes present in more than that many clips
     before the join (stop-hash removal — silence and codec-constant
-    frames would otherwise quadratically dominate); the drop is
-    counted in the returned plan via dropped_stop_hashes (callers can
-    surface it in manifests the way candidates.dropped_buckets is).
+    frames would otherwise quadratically dominate); the coverage
+    denominator counts frames AFTER that cap — capped frames can
+    never vote, so including them would make clips with >= 1 -
+    min_coverage silence undetectable.  The drop is counted via
+    dropped_stop_hashes (callers can surface it in manifests the way
+    candidates.dropped_buckets is).
     """
-    sizes = frames.groupBy("clip_id").agg(F.count("*").alias("nf"))
-
     hash_df = frames.groupBy("fhash").agg(
         F.count_distinct("clip_id").alias("dfc")
     )
     live = frames.join(
         hash_df.filter(F.col("dfc") <= max_df).select("fhash"), "fhash"
     )
+    sizes = live.groupBy("clip_id").agg(F.count("*").alias("nf"))
 
     t1 = live.select(
         F.col("clip_id").alias("a"), F.col("idx").alias("ia"), "fhash"
@@ -111,6 +121,7 @@ def audio_containment_edges(
         votes.join(sa, "a")
         .join(sb, "b")
         .filter(F.col("best") >= min_coverage * F.col("na"))
+        .filter(F.col("best") >= min_matches)
         # contained must be the shorter side; equal-length (mutual,
         # i.e. exact-duplicate audio) keeps the id-ordered direction
         .filter(

@@ -184,10 +184,22 @@ def tier_report(edges: DataFrame) -> dict:
         r["kind"]: r["n"]
         for r in edges.groupBy("kind").agg(F.count("*").alias("n")).collect()
     }
+    unknown = set(by_kind) - set(TIER_LADDER)
+    if unknown:
+        raise ValueError(
+            f"edge kinds not in TIER_LADDER: {sorted(unknown)} — extend "
+            "the ladder before attributing marginal yield"
+        )
     ladder = F.array(*[F.lit(k) for k in TIER_LADDER])
+    # canonicalize direction before grouping: containment-style tiers
+    # emit (contained, container) which may be id-DESCENDING, while the
+    # star tiers emit id-ascending — the same undirected pair must land
+    # on one key or it gets credited to two tiers
     marginal = (
         edges.withColumn("rk", F.array_position(ladder, F.col("kind")))
-        .groupBy("a", "b")
+        .groupBy(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
         .agg(F.min("rk").alias("rk"))
         .groupBy("rk")
         .agg(F.count("*").alias("n"))
@@ -221,18 +233,27 @@ def run_pipeline(
     checkpointed as their own stage and union into CC."""
     io = TableIO(spark, checkpoint_dir)
     fp = cfg.fingerprint()
+    # stages downstream of the tier choice carry the flag in their
+    # fingerprint: toggling --audio-containment against an existing
+    # checkpoint dir must INVALIDATE assignments/clusters (their edge
+    # set changed) while signatures/edges stay shared across toggles
+    fp_down = fp + "+ac" if audio_containment else fp
     stages: list[StageResult] = []
 
     def done(name: str) -> bool:
         return stop_after == name
 
-    sigs, r = io.stage("signatures", fp, lambda: compute_signatures(clips, cfg))
+    sigs, r = io.stage(
+        "signatures", fp, lambda: compute_signatures(clips, cfg),
+        resume=resume,
+    )
     stages.append(r)
     if done("signatures"):
         return None
 
     edges, r = io.stage(
-        "edges", fp, lambda: build_edges(sigs, cfg), parents=["signatures"]
+        "edges", fp, lambda: build_edges(sigs, cfg), parents=["signatures"],
+        resume=resume,
     )
     stages.append(r)
     if done("edges"):
@@ -244,18 +265,23 @@ def run_pipeline(
             clip_frames,
         )
 
+        # persist the frame table: audio_containment_edges reads it
+        # from four subtrees (sizes, hash df, both join sides) and the
+        # decode+FFT Arrow pass must run once, not per-subtree
+        frames = clip_frames(clips, cfg).persist()
+
         def build_ac() -> DataFrame:
-            frames = clip_frames(clips, cfg)
             return audio_containment_edges(frames).select(*EDGE_COLS)
 
-        ac_edges, r = io.stage("ac_edges", fp, build_ac)
+        ac_edges, r = io.stage("ac_edges", fp_down, build_ac, resume=resume)
+        frames.unpersist()
         stages.append(r)
         if done("ac_edges"):
             return None
         edges = edges.unionByName(ac_edges)
 
     # dropped-bucket accounting (manifest metrics; SURVEY.md 7.3.2)
-    if not io.is_committed("dropped_buckets", fp):
+    if not (resume and io.is_committed("dropped_buckets", fp)):
         treps, areps = text_reps(sigs), audio_reps(sigs)
         dropped = (
             C.dropped_buckets(C.explode_keys(treps, "mh_bands"), cfg.band_cap)
@@ -272,7 +298,8 @@ def run_pipeline(
             )
         )
         _, r = io.stage(
-            "dropped_buckets", fp, lambda: dropped, parents=["signatures"]
+            "dropped_buckets", fp, lambda: dropped, parents=["signatures"],
+            resume=resume,
         )
         stages.append(r)
 
@@ -281,7 +308,8 @@ def run_pipeline(
         return connected_components(edges.select("a", "b"), verts)
 
     assignments, r = io.stage(
-        "assignments", fp, build_assignments, parents=["edges"]
+        "assignments", fp_down, build_assignments, parents=["edges"],
+        resume=resume,
     )
     stages.append(r)
     if done("assignments"):
@@ -289,9 +317,10 @@ def run_pipeline(
 
     clusters, r = io.stage(
         "clusters",
-        fp,
+        fp_down,
         lambda: cluster_summary(assignments, edges),
         parents=["assignments", "edges"],
+        resume=resume,
     )
     stages.append(r)
 

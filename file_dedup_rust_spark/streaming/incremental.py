@@ -860,10 +860,13 @@ def streaming_decontam(
     side is fixed, so the probe is stateless per batch and
     streaming-vs-batch parity is EXACT under any arrival order or
     batch split (pinned in tests/test_streaming.py against
-    contamination_hits over the whole landing set).  At scale the
-    eval grams are one bounded broadcast reused by every micro-batch;
-    the per-batch cost is gram generation (JVM transform/sequence)
-    plus one BroadcastHashJoin — nothing grows with stream history.
+    contamination_hits over the whole landing set).  The eval gram
+    table is computed once and cached: each micro-batch re-ships a
+    broadcast BUILT from that cache (foreachBatch plans per batch —
+    the cache saves the gram recompute, not the per-batch ship).  The
+    cached DataFrame is exposed as `query.eval_grams`; a long-running
+    service should `query.eval_grams.unpersist()` after stopping the
+    stream, or the cache lives until the session ends.
     """
     from file_dedup_rust_spark.operators.decontaminate import word_ngrams
 
@@ -902,7 +905,9 @@ def streaming_decontam(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+    query.eval_grams = eg  # cleanup handle (see docstring)
+    return query
 
 
 _ASSIGN_STATE_SCHEMA = "rep string"

@@ -132,8 +132,17 @@ def test_tier_report(spark, clips_df, cfg):
     assert set(rep["marginal_pairs_by_tier"]) <= set(TIER_LADDER)
     # raw kind counts sum to the edge count
     assert sum(rep["edges_by_kind"].values()) == edges.count()
-    # marginal attribution partitions the distinct-pair set
-    n_pairs = edges.select("a", "b").distinct().count()
+    # marginal attribution partitions the distinct UNDIRECTED pair set
+    # (containment-style tiers emit contained-first, so canonicalize)
+    from pyspark.sql import functions as F
+
+    n_pairs = (
+        edges.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .count()
+    )
     assert sum(rep["marginal_pairs_by_tier"].values()) == n_pairs
     # every marginal count is bounded by that tier's raw count
     for k, n in rep["marginal_pairs_by_tier"].items():
@@ -164,3 +173,22 @@ def test_pipeline_audio_containment_tier(spark, clips_df, cfg, tmp_path):
         spark, clips_df, cfg, str(tmp_path / "ck_ac"), audio_containment=True
     )
     assert all(s.skipped for s in res2.stages)
+
+    # TOGGLING the tier on the base checkpoint must invalidate the
+    # downstream stages (their edge set changed) while reusing the
+    # shared signatures/edges — the fingerprint carries the flag
+    res3 = run_pipeline(
+        spark, clips_df, cfg, str(tmp_path / "ck_base"),
+        audio_containment=True,
+    )
+    sk = {s.name: s.skipped for s in res3.stages}
+    assert sk["signatures"] and sk["edges"]
+    assert not sk["ac_edges"] and not sk["assignments"] and not sk["clusters"]
+    kinds3 = {r["kind"] for r in res3.edges.select("kind").distinct().collect()}
+    assert "audio_containment" in kinds3
+
+    # resume=False recomputes every stage even on a warm checkpoint
+    res4 = run_pipeline(
+        spark, clips_df, cfg, str(tmp_path / "ck_base"), resume=False
+    )
+    assert not any(s.skipped for s in res4.stages)

@@ -622,6 +622,7 @@ def test_streaming_decontam_matches_batch(spark, tmp_path):
         spark, landing, ev, out, str(tmp_path / "ckpt"), n=8
     )
     assert q.awaitTermination(300)
+    q.eval_grams.unpersist()  # the documented cleanup handle
 
     got_df = read_store(spark, out)
     assert got_df is not None

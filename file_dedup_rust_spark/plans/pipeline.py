@@ -274,8 +274,20 @@ def run_pipeline(
             return audio_containment_edges(frames).select(*EDGE_COLS)
 
         ac_edges, r = io.stage("ac_edges", fp_down, build_ac, resume=resume)
-        frames.unpersist()
         stages.append(r)
+        # stop-hash drop accounting (manifest parity with the LSH
+        # dropped_buckets stage — no silent truncation)
+        if not (resume and io.is_committed("ac_dropped_hashes", fp_down)):
+            from file_dedup_rust_spark.operators.audio_containment import (
+                dropped_stop_hashes,
+            )
+
+            _, r = io.stage(
+                "ac_dropped_hashes", fp_down,
+                lambda: dropped_stop_hashes(frames), resume=resume,
+            )
+            stages.append(r)
+        frames.unpersist()
         if done("ac_edges"):
             return None
         edges = edges.unionByName(ac_edges)

@@ -1982,15 +1982,21 @@ def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact dedup to representatives (star semantics: min doc_id per
     # byte-identical text — operators.exact at engine level)
+    # reps feeds three subtrees (the survival label join, the gram
+    # join inside hits, and the clean->sample chain) — persist so the
+    # dedup shuffle runs once, same rationale as build_edges' rep
+    # tables (plans/pipeline.py)
     w = Window.partitionBy("t")
     reps = (
         raw.withColumn("m", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("m"))
         .select("doc_id", "t")
+        .persist()
     )
 
-    # decontaminate vs the eval split (broadcast eval grams)
-    hits = contamination_hits(reps, ev, DECONTAM_N).select("doc_id")
+    # decontaminate vs the eval split (broadcast eval grams); hits is
+    # bounded by the contaminated count — persist the tiny table
+    hits = contamination_hits(reps, ev, DECONTAM_N).select("doc_id").persist()
     clean = reps.join(F.broadcast(hits), "doc_id", "left_anti")
 
     # language strata + deterministic sample
@@ -2009,18 +2015,48 @@ def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         langs, "doc_id", "pred_lang", SAMPLE_RATES, SAMPLE_DEFAULT
     )
 
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count("*").alias("n_docs"),
-            F.sum(F.size(F.split("t", " "))).alias("n_tokens"),
+    # single-scan funnel (100-TB shape): label every RAW row with the
+    # furthest stage it survives (0 dropped-at-dedup, 1 contaminated,
+    # 2 unsampled, 3 sampled), aggregate once per label (4 bounded
+    # rows), then cumulative-sum downward — stage k's totals are the
+    # sum over labels >= k.  The naive per-stage aggregates rescanned
+    # the raw->reps->clean chain once per funnel row.
+    surv = (
+        raw.join(
+            reps.select("doc_id", F.lit(1).alias("is_rep")), "doc_id", "left"
         )
+        .join(hits.select("doc_id", F.lit(1).alias("is_hit")), "doc_id", "left")
+        .join(
+            sampled.select("doc_id", F.lit(1).alias("is_smp")), "doc_id", "left"
+        )
+        .select(
+            F.when(F.col("is_rep").isNull(), 0)
+            .when(F.col("is_hit").isNotNull(), 1)
+            .when(F.col("is_smp").isNull(), 2)
+            .otherwise(3)
+            .alias("tier"),
+            F.size(F.split("t", " ")).alias("tok"),
+        )
+    )
+    per_tier = surv.groupBy("tier").agg(
+        F.count("*").alias("n"), F.sum("tok").alias("tk")
+    )
+    tiers = spark.createDataFrame(
+        [(0, "raw"), (1, "deduped"), (2, "decontaminated"), (3, "sampled")],
+        "k int, stage string",
+    )
+    from pyspark.sql import Window
 
+    w = (
+        Window.orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        stage(raw, "raw")
-        .unionByName(stage(reps, "deduped"))
-        .unionByName(stage(clean, "decontaminated"))
-        .unionByName(stage(sampled, "sampled"))
+        tiers.join(per_tier.withColumnRenamed("tier", "k"), "k", "left")
+        .select("k", "stage", "n", "tk")
+        .withColumn("n_docs", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .withColumn("n_tokens", F.sum("tk").over(w))
+        .select("stage", "n_docs", "n_tokens")
     )
 
 

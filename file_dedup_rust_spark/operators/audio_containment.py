@@ -113,7 +113,12 @@ def audio_containment_edges(
         .groupBy("a", "b", (F.col("ib") - F.col("ia")).alias("off"))
         .agg(F.count("*").alias("m"))
         .groupBy("a", "b")
-        .agg(F.max("m").alias("best"))
+        .agg(
+            F.max("m").alias("best"),
+            # where the sub-clip sits in the container, in frames
+            # (hop samples per frame) — "clip A starts at offset K"
+            F.max_by("off", "m").alias("best_off"),
+        )
     )
     sa = sizes.select(F.col("clip_id").alias("a"), F.col("nf").alias("na"))
     sb = sizes.select(F.col("clip_id").alias("b"), F.col("nf").alias("nb"))
@@ -133,6 +138,7 @@ def audio_containment_edges(
             "b",
             F.lit("audio_containment").alias("kind"),
             F.round(F.col("best") / F.col("na"), 4).alias("sim"),
+            F.col("best_off").alias("frame_offset"),
         )
     )
 

@@ -276,13 +276,16 @@ def test_audio_containment_detects_planted_subclips(spark, cfg):
         pdf, "clip_id string, bytes binary, sr_hz int, codec string"
     )
     frames = clip_frames(clips, cfg).persist()
-    edges = {
-        (r["a"], r["b"]): r["sim"]
-        for r in audio_containment_edges(frames, min_coverage=0.8).collect()
-    }
+    rows = audio_containment_edges(frames, min_coverage=0.8).collect()
     frames.unpersist()
+    edges = {(r["a"], r["b"]): r["sim"] for r in rows}
+    offs = {(r["a"], r["b"]): r["frame_offset"] for r in rows}
 
     assert ("clip_a", "clip_b") in edges and edges[("clip_a", "clip_b")] >= 0.9
+    # the container's prefix is 48 hops, so the sub-clip's frames sit
+    # at exactly that frame offset
+    assert offs[("clip_a", "clip_b")] == 48
+    assert offs[("clip_a", "clip_e")] == 0  # exact dup: aligned at 0
     # the exact copy is contained in the container too, and the
     # equal-length mutual pair keeps only the id-ordered direction
     assert ("clip_e", "clip_b") in edges

@@ -56,17 +56,26 @@ def contamination_hits(
     train doc: (doc_id, n_gram_hits, n_eval_docs) — how many distinct
     eval grams it contains and how many distinct eval documents those
     grams came from.  Clean docs produce no row (take the anti-join
-    against this output to materialize the decontaminated corpus)."""
+    against this output to materialize the decontaminated corpus).
+
+    The eval side is pre-aggregated to ONE row per gram carrying the
+    set of eval doc ids: a boilerplate gram shared by k eval docs
+    would otherwise multiply every matching corpus row k-fold through
+    the join (the hot-key blowup the LSH paths cap) — here the
+    multiplicity rides in a bounded array instead, and the broadcast
+    shrinks to the distinct-gram count."""
     tg = word_ngrams(train, n)
-    eg = word_ngrams(eval_docs, n).select(
-        F.col("doc_id").alias("eval_id"), "g"
+    eg = word_ngrams(eval_docs, n).groupBy("g").agg(
+        F.collect_set("doc_id").alias("eval_ids")
     )
     return (
         tg.join(F.broadcast(eg), "g")
         .groupBy("doc_id")
         .agg(
             F.count_distinct("g").alias("n_gram_hits"),
-            F.count_distinct("eval_id").alias("n_eval_docs"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("eval_ids")))
+            ).cast("long").alias("n_eval_docs"),
         )
     )
 

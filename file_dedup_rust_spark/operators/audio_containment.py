@@ -77,6 +77,7 @@ def audio_containment_edges(
     min_coverage: float = 0.8,
     max_df: int = 64,
     min_matches: int = 4,
+    post_cap: int = 2000,
 ) -> DataFrame:
     """frames(clip_id, idx, fhash) -> edges(a, b, kind, sim) where
     clip `a`'s frames appear inside clip `b` at one consistent offset
@@ -86,18 +87,26 @@ def audio_containment_edges(
 
     max_df drops frame hashes present in more than that many clips
     before the join (stop-hash removal — silence and codec-constant
-    frames would otherwise quadratically dominate); the coverage
-    denominator counts frames AFTER that cap — capped frames can
-    never vote, so including them would make clips with >= 1 -
-    min_coverage silence undetectable.  The drop is counted via
-    dropped_stop_hashes (callers can surface it in manifests the way
-    candidates.dropped_buckets is).
+    frames would otherwise quadratically dominate), and post_cap
+    drops hashes whose TOTAL posting rows exceed it (a hash repeated
+    hundreds of times within few clips — looped tones — passes the
+    df cap but still yields n_post^2 join work; together the caps
+    bound per-hash work at min(max_df * frames_per_clip, post_cap)^2).
+    The coverage denominator counts frames AFTER the caps — capped
+    frames can never vote, so including them would make clips with
+    >= 1 - min_coverage silence undetectable.  Drops are counted via
+    dropped_stop_hashes (callers can surface them in manifests the
+    way candidates.dropped_buckets is).
     """
     hash_df = frames.groupBy("fhash").agg(
-        F.count_distinct("clip_id").alias("dfc")
+        F.count_distinct("clip_id").alias("dfc"),
+        F.count("*").alias("n_post"),
     )
     live = frames.join(
-        hash_df.filter(F.col("dfc") <= max_df).select("fhash"), "fhash"
+        hash_df.filter(
+            (F.col("dfc") <= max_df) & (F.col("n_post") <= post_cap)
+        ).select("fhash"),
+        "fhash",
     )
     sizes = live.groupBy("clip_id").agg(F.count("*").alias("nf"))
 
@@ -143,11 +152,17 @@ def audio_containment_edges(
     )
 
 
-def dropped_stop_hashes(frames: DataFrame, max_df: int = 64) -> DataFrame:
-    """Manifest accounting for the df cap: the hashes the join never
-    sees, with their clip counts (mirrors candidates.dropped_buckets)."""
+def dropped_stop_hashes(
+    frames: DataFrame, max_df: int = 64, post_cap: int = 2000
+) -> DataFrame:
+    """Manifest accounting for the caps: the hashes the join never
+    sees, with their clip and posting-row counts (mirrors
+    candidates.dropped_buckets)."""
     return (
         frames.groupBy("fhash")
-        .agg(F.count_distinct("clip_id").alias("dfc"))
-        .filter(F.col("dfc") > max_df)
+        .agg(
+            F.count_distinct("clip_id").alias("dfc"),
+            F.count("*").alias("n_post"),
+        )
+        .filter((F.col("dfc") > max_df) | (F.col("n_post") > post_cap))
     )

@@ -306,9 +306,13 @@ def test_audio_containment_stop_hash_cap(spark):
     )
 
     rows = []
-    # stop hash 999 in 10 clips at idx 0
+    # stop hash 999 in 10 clips at idx 0 (df cap)
     for i in range(10):
         rows.append((f"s{i}", 0, 999))
+    # looped-tone hash 777: only 2 clips but 30 posting rows (row cap)
+    for j in range(15):
+        rows.append(("loop_a", j, 777))
+        rows.append(("loop_b", j, 777))
     # planted containment: u0's 5 unique frames appear in u1 at offset 3
     for j in range(5):
         rows.append(("u0", j, 1000 + j))
@@ -317,12 +321,16 @@ def test_audio_containment_stop_hash_cap(spark):
         rows.append(("u1", j + 8, 2000 + j))
     frames = spark.createDataFrame(rows, "clip_id string, idx int, fhash long")
 
-    dropped = {r["fhash"] for r in dropped_stop_hashes(frames, max_df=8).collect()}
-    assert dropped == {999}
+    dropped = {
+        r["fhash"]
+        for r in dropped_stop_hashes(frames, max_df=8, post_cap=20).collect()
+    }
+    assert dropped == {999, 777}
     edges = {
         (r["a"], r["b"]): r["sim"]
         for r in audio_containment_edges(
-            frames, min_coverage=0.8, max_df=8
+            frames, min_coverage=0.8, max_df=8, post_cap=20
         ).collect()
     }
-    assert edges == {("u0", "u1"): 1.0}  # the s* clips vanish entirely
+    # the s* and loop_* clips vanish entirely (all their frames capped)
+    assert edges == {("u0", "u1"): 1.0}

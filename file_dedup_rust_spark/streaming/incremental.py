@@ -870,9 +870,13 @@ def streaming_decontam(
     """
     from file_dedup_rust_spark.operators.decontaminate import word_ngrams
 
+    # one row per gram with the eval-id set — the same hot-gram
+    # hardening as the batch operator (decontaminate.py): a gram
+    # shared by k eval docs must not multiply batch rows k-fold
     eg = (
         word_ngrams(eval_docs, n)
-        .select(F.col("doc_id").alias("eval_id"), "g")
+        .groupBy("g")
+        .agg(F.collect_set("doc_id").alias("eval_ids"))
         .persist()
     )
     eg.count()  # materialize once, before the first micro-batch
@@ -892,7 +896,9 @@ def streaming_decontam(
             .groupBy("doc_id")
             .agg(
                 F.count_distinct("g").alias("n_gram_hits"),
-                F.count_distinct("eval_id").alias("n_eval_docs"),
+                F.size(
+                    F.array_distinct(F.flatten(F.collect_list("eval_ids")))
+                ).cast("long").alias("n_eval_docs"),
             )
             .withColumnRenamed("doc_id", "clip_id")
         )

@@ -93,6 +93,7 @@ def main() -> int:
     for name in ["minhash_lsh_pairs", "knn_topk", "ann_ivf_topk",
                  "ann_ivf_pq_topk", "lsh_cosine_neardup_pairs",
                  "cc_clusters", "tier_dedup_summary", "semdedup_prune",
+                 "decontam_hits", "stratified_sample",
                  "corpus_build_funnel"]:
         Q.QUERIES[name](spark, warm_dir).write.mode(
             "overwrite"

@@ -1959,12 +1959,28 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 1000 <
 # ---------------------------------------------------------------------------
 
 
+# previous invocation's persisted tables, unpersisted on the next
+# call so repeated runs (bench warm-up + passes) don't accumulate
+# cache for the session lifetime
+_FUNNEL_CACHE: list = []
+
+
 def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precondition (shared by every derived corpus in this module):
+    base doc_ids stay below EXACT_ID_OFFSET (1e6), so the shifted
+    copy/leak ids cannot collide with base ids — the survival joins
+    below key on doc_id and assume uniqueness (pinned by
+    test_datagen_oracle).  A production corpus with wider ids derives
+    collision-free ids structurally (id * 10 + tag-digit) instead of
+    by constant offset."""
     from file_dedup_rust_spark.operators.decontaminate import (
         contamination_hits,
     )
     from file_dedup_rust_spark.functions.sampling import stratified_sample
     from pyspark.sql import Window
+
+    while _FUNNEL_CACHE:
+        _FUNNEL_CACHE.pop().unpersist()
 
     d = _docs(spark, sf_dir).select(
         "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t")
@@ -1997,6 +2013,7 @@ def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decontaminate vs the eval split (broadcast eval grams); hits is
     # bounded by the contaminated count — persist the tiny table
     hits = contamination_hits(reps, ev, DECONTAM_N).select("doc_id").persist()
+    _FUNNEL_CACHE.extend([reps, hits])
     clean = reps.join(F.broadcast(hits), "doc_id", "left_anti")
 
     # language strata + deterministic sample
@@ -2045,7 +2062,6 @@ def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, "raw"), (1, "deduped"), (2, "decontaminated"), (3, "sampled")],
         "k int, stage string",
     )
-    from pyspark.sql import Window
 
     w = (
         Window.orderBy(F.col("k").desc())

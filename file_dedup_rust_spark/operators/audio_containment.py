@@ -122,11 +122,17 @@ def audio_containment_edges(
         .groupBy("a", "b", (F.col("ib") - F.col("ia")).alias("off"))
         .agg(F.count("*").alias("m"))
         .groupBy("a", "b")
-        .agg(
-            F.max("m").alias("best"),
+        # struct max = lexicographic (m, off): highest vote count,
+        # ties broken by highest offset — DETERMINISTIC, unlike
+        # max_by which picks an arbitrary tied row per partition
+        # order (a jingle repeated twice in one container ties)
+        .agg(F.max(F.struct(F.col("m"), F.col("off"))).alias("s"))
+        .select(
+            "a", "b",
+            F.col("s.m").alias("best"),
             # where the sub-clip sits in the container, in frames
             # (hop samples per frame) — "clip A starts at offset K"
-            F.max_by("off", "m").alias("best_off"),
+            F.col("s.off").alias("best_off"),
         )
     )
     sa = sizes.select(F.col("clip_id").alias("a"), F.col("nf").alias("na"))

@@ -63,7 +63,12 @@ def contamination_hits(
     would otherwise multiply every matching corpus row k-fold through
     the join (the hot-key blowup the LSH paths cap) — here the
     multiplicity rides in a bounded array instead, and the broadcast
-    shrinks to the distinct-gram count."""
+    shrinks to the distinct-gram count.  Tradeoff (deliberate): a
+    pathologically contaminated train doc accumulates its matched
+    eval-id arrays in one aggregation buffer rather than as
+    spillable rows — bounded by the eval-set size, which this
+    operator assumes is small (that assumption is what justifies the
+    broadcast in the first place)."""
     tg = word_ngrams(train, n)
     eg = word_ngrams(eval_docs, n).groupBy("g").agg(
         F.collect_set("doc_id").alias("eval_ids")

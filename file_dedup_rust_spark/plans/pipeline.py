@@ -275,6 +275,12 @@ def run_pipeline(
 
         ac_edges, r = io.stage("ac_edges", fp_down, build_ac, resume=resume)
         stages.append(r)
+        if done("ac_edges"):
+            # stop_after contract: kill IMMEDIATELY after the named
+            # stage commits — the drop accounting below runs on the
+            # resumed continuation, not before the simulated kill
+            frames.unpersist()
+            return None
         # stop-hash drop accounting (manifest parity with the LSH
         # dropped_buckets stage — no silent truncation)
         if not (resume and io.is_committed("ac_dropped_hashes", fp_down)):
@@ -288,8 +294,6 @@ def run_pipeline(
             )
             stages.append(r)
         frames.unpersist()
-        if done("ac_edges"):
-            return None
         edges = edges.unionByName(ac_edges)
 
     # dropped-bucket accounting (manifest metrics; SURVEY.md 7.3.2)

@@ -2129,6 +2129,72 @@ SELECT 'sampled', count(*),
 
 
 # ---------------------------------------------------------------------------
+# bounded repetition: keep at most K copies per exact-duplicate group
+# (training pipelines often allow LIMITED repetition of high-quality
+# data instead of full dedup — e.g. up-weighting curated sources —
+# while still killing the m-thousand-copy boilerplate tail)
+# ---------------------------------------------------------------------------
+
+REPEAT_CAP = 2
+REPEAT_ID_OFFSET = 7_000_000
+REPEAT_EXTRA_MOD = 9  # every 9th doc gets a SECOND copy -> group of 3
+
+
+def q_keep_capped_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept rows after capping each byte-identical group at
+    REPEAT_CAP members (lowest doc_ids win — deterministic).  The
+    corpus plants a second copy for every 9th doc so triple groups
+    exist and the cap actually drops rows.
+
+    Plan shape: one window rank per group key — the same single
+    shuffle as exact dedup; the cap changes the filter constant, not
+    the plan.  Returns (doc_id, group_rep, copy_rank)."""
+    from pyspark.sql import Window
+
+    d = corpus_exact(spark, sf_dir)
+    extra = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t"),
+            "n_chars",
+        )
+        .filter(F.col("doc_id") % REPEAT_EXTRA_MOD == 0)
+        .select(
+            (F.col("doc_id") + REPEAT_ID_OFFSET).alias("doc_id"),
+            "t",
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("t").orderBy("doc_id")
+    return (
+        d.unionByName(extra)
+        .withColumn("copy_rank", F.row_number().over(w))
+        .withColumn("group_rep", F.min("doc_id").over(Window.partitionBy("t")))
+        .filter(F.col("copy_rank") <= REPEAT_CAP)
+        .select("doc_id", "group_rep", "copy_rank")
+    )
+
+
+SQL_KEEP_CAPPED_COPIES = f"""
+WITH {SQL_CORPUS_EXACT},
+corpus3 AS (
+  SELECT * FROM corpus
+  UNION ALL
+  SELECT doc_id + {REPEAT_ID_OFFSET}, lower(coalesce(text, '')), n_chars
+  FROM documents WHERE doc_id % {REPEAT_EXTRA_MOD} = 0
+),
+ranked AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY t) AS group_rep,
+         row_number() OVER (PARTITION BY t ORDER BY doc_id) AS copy_rank
+  FROM corpus3
+)
+SELECT doc_id, group_rep, CAST(copy_rank AS INT) AS copy_rank
+FROM ranked WHERE copy_rank <= {REPEAT_CAP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2171,6 +2237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_hits": q_decontam_hits,
     "stratified_sample": q_stratified_sample,
     "corpus_build_funnel": q_corpus_build_funnel,
+    "keep_capped_copies": q_keep_capped_copies,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
 }
@@ -2214,5 +2281,6 @@ ORACLES: dict[str, str] = {
     "decontam_hits": SQL_DECONTAM_HITS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "corpus_build_funnel": SQL_CORPUS_BUILD_FUNNEL,
+    "keep_capped_copies": SQL_KEEP_CAPPED_COPIES,
     # ann_ivf_topk: approximate by design — rows-only check
 }

@@ -6,8 +6,11 @@ exact-hash star edges -> connected components -> cluster summary).
 
 `queries()` / `oracle_sql()` — one entry per SQL-expressible operator
 from SURVEY.md §2 plus the training-data-pipeline operators; oracle SQL
-runs on DuckDB over the same parquet tables.  Approximate operators
-(ann_ivf_topk) intentionally have no oracle (rows-only check).
+runs on DuckDB over the same parquet tables.  Every entry has an
+oracle: the approximate ANN operators run on a planted clustered
+corpus where the probe budget provably covers every true top-k pair,
+so exact brute-force SQL checks them hash-exactly (their isotropic
+worst-case recall stays pytest-gated in tests/test_ann_quality.py).
 
 The non-SQL-expressible parts of the engine (audio decode SNR
 invariants, SimHash over spectral features, winnowing/suffix-array

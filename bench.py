@@ -90,12 +90,22 @@ def main() -> int:
     compute_signatures(
         clips.limit(512), DEFAULT_CONFIG
     ).write.mode("overwrite").format("noop").save()
+
+    # The two IVF headline members are the round-1..4 PINNED workloads
+    # (operators over the raw isotropic embeddings).  Round 5 moved the
+    # driver-correctness queries of the same names onto the planted
+    # clustered corpus (oracle-checkable there); bench keeps timing the
+    # original physical work so BENCH_r05+ compares 1:1 with r04.
+    WORKLOADS = dict(Q.QUERIES)
+    WORKLOADS["ann_ivf_topk"] = Q.q_ann_ivf_topk_iso
+    WORKLOADS["ann_ivf_pq_topk"] = Q.q_ann_ivf_pq_topk_iso
+
     for name in ["minhash_lsh_pairs", "knn_topk", "ann_ivf_topk",
                  "ann_ivf_pq_topk", "lsh_cosine_neardup_pairs",
                  "cc_clusters", "tier_dedup_summary", "semdedup_prune",
                  "decontam_hits", "stratified_sample",
                  "corpus_build_funnel"]:
-        Q.QUERIES[name](spark, warm_dir).write.mode(
+        WORKLOADS[name](spark, warm_dir).write.mode(
             "overwrite"
         ).format("noop").save()
 
@@ -123,7 +133,7 @@ def main() -> int:
         for name in ["minhash_lsh_pairs", "knn_topk", "ann_ivf_topk",
                      "ann_ivf_pq_topk", "cc_clusters"]:
             t0 = time.monotonic()
-            Q.QUERIES[name](spark, sf_dir).write.mode(
+            WORKLOADS[name](spark, sf_dir).write.mode(
                 "overwrite"
             ).format("noop").save()
             p_timings[name] = round(time.monotonic() - t0, 2)
@@ -161,8 +171,12 @@ def main() -> int:
     # EVERY stage inflates 2-4x for minutes at a time (same plans, same
     # shapes — measured in BENCH.md round-4 variance note); min-of-k
     # per query reports engine speed, not episode luck.  Override with
-    # SPARK_GRAFT_BENCH_PASSES=1 for a single-pass run. ----
-    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    # SPARK_GRAFT_BENCH_PASSES=1 for a single-pass run.  Default raised
+    # 2 -> 3 in round 5 (VERDICT r4 item 2): the r04 driver record
+    # caught cc_clusters/ann_ivf_pq inside a slow episode that
+    # same-code representative runs didn't show; a third pass makes
+    # min-of-k robust to one episode spanning two passes. ----
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings = {}
     extras: dict[str, float] = {}
     pass_totals: list[float] = []

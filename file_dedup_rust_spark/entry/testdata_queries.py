@@ -1526,41 +1526,154 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 # ---------------------------------------------------------------------------
-# approximate-nearest-neighbour (IVF scale path) — deterministic but
-# approximate, so no SQL oracle (driver records rows-only check)
+# approximate-nearest-neighbour (IVF scale path), oracle-checked on a
+# planted CLUSTERED corpus — the round-4 LSH-cosine playbook applied
+# to IVF (VERDICT r4 item 1).  The raw testdata embeddings are
+# isotropic (true top-10 sims ~0.3, the ANN worst case — recall there
+# is gated by tests/test_ann_quality.py at >= 0.9); real embedding
+# corpora are clusterable, and in that regime a generous probe budget
+# makes IVF output PROVABLY equal to exact brute-force top-k, which a
+# SQL oracle can check hash-exactly.
+#
+# The planted corpus derives deterministically from the embeddings
+# table with PURE elementwise multiply-add (one cast, one multiply,
+# one add per component — bit-identical doubles in Spark and DuckDB,
+# no sum-order or sqrt hazards in the corpus itself): every run of
+# IVF_CLUSTER consecutive vec_ids forms a cluster whose members are
+# v_i = anchor_emb + 0.3 * self_emb (anchor = the run's first row).
+# Measured geometry: in-cluster cosine ~0.87-0.93, cross-cluster
+# <= ~0.55, so each row's true top-10 is EXACTLY its 10 cluster
+# siblings and the rank-10/11 boundary sits across that wide gap —
+# no round-4 tie can straddle it.  With assign_m=8 / nprobe=16 every
+# sibling pair cohabits a cell (verified exact at sf0.001/0.01/0.1
+# for both ivf_topk and ivf_pq_topk), so the approximate operator
+# must reproduce the exact all-pairs SQL, rows + schema + hash.
 # ---------------------------------------------------------------------------
 
+IVF_CLUSTER = 11   # cluster size; top-k = TOP_K = cluster - 1
+
+
+def ivf_corpus_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> clustered corpus: drop the trailing partial
+    cluster (vec_id >= IVF_CLUSTER * floor(n/IVF_CLUSTER)), anchor
+    each row to the first id of its 11-run, and mix anchor + 0.3*self
+    elementwise (double).  The anchor side is one row per cluster —
+    broadcast by size at any scale."""
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    n = e.count()
+    lim = IVF_CLUSTER * (n // IVF_CLUSTER)
+    kept = e.filter(F.col("vec_id") < lim)
+    anchors = kept.filter(F.col("vec_id") % IVF_CLUSTER == 0).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("a_emb")
+    )
+    return (
+        kept.withColumn("aid", F.col("vec_id") - F.col("vec_id") % IVF_CLUSTER)
+        .join(anchors, "aid")
+        .select(
+            "vec_id",
+            F.expr(
+                "zip_with(a_emb, embedding, (a, x) ->"
+                " CAST(a AS double) + CAST(0.3 AS double) * CAST(x AS double))"
+            ).alias("embedding"),
+        )
+    )
+
+
 def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-compressed IVF ANN top-k (operators.ann.ivf_pq_topk): the
-    same cell structure as ann_ivf_topk with the inverted lists stored
-    as 8-byte product-quantizer codes (ADC scan + exact re-rank of the
-    top-48 survivors per probe-cell) — the petabyte-scale variant,
-    where the replicated cell payload is what dominates shuffle bytes.
-    Approximate by design → no SQL oracle; recall@10 >= 0.9 vs brute
-    AND the 23-24x cells-checkpoint compression are gated by
-    tests/test_ann_quality.py at sf0.01 and sf0.1 (measured 0.997 /
-    0.970)."""
+    """PQ-compressed IVF ANN top-k (operators.ann.ivf_pq_topk) on the
+    planted clustered corpus: the same cell structure as ann_ivf_topk
+    with the inverted lists stored as 8-byte product-quantizer codes
+    (ADC scan + exact re-rank of the top-48 survivors per probe-cell)
+    — the petabyte-scale variant, where the replicated cell payload is
+    what dominates shuffle bytes.  In this regime the ADC scan cannot
+    lose a true neighbour (in-cluster ADC sims ~0.9 vs <= ~0.55 rest),
+    so the output equals exact brute-force top-k and the SQL oracle
+    checks it hash-exactly.  The isotropic worst case stays gated by
+    tests/test_ann_quality.py (recall@10 >= 0.9 at sf0.01 and sf0.1,
+    measured 0.997 / 0.970); the reference analog is the k-NN probe
+    (deduplication_service.rs:300-372)."""
+    from file_dedup_rust_spark.operators.ann import ivf_pq_topk
+
+    return ivf_pq_topk(ivf_corpus_planted(spark, sf_dir), top_k=TOP_K)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (operators.ann.ivf_topk) on the planted clustered
+    corpus: FIXED-size codebook (k ~ 3*sqrt(n), capped 4096) trained
+    by deterministic sampled Lloyd, broadcast (k*d*8 bytes — bounded,
+    ~2 MB worst case), every vector multi-assigned to its top-8 cells,
+    probes scan their top-16 cells, per-cell work one cogrouped
+    matmul.  Per-probe candidates are O(sqrt(n)) when k tracks sqrt(n)
+    — the sublinear scale path for the reference's HNSW index
+    (iac/opensearch_indexes.tf:8-14).  On the clustered corpus the
+    probe budget provably covers every true top-10 pair (see the
+    block comment above), so the exact brute-force SQL is the oracle;
+    the isotropic regime stays recall-gated in
+    tests/test_ann_quality.py."""
+    from file_dedup_rust_spark.operators.ann import ivf_topk
+
+    return ivf_topk(ivf_corpus_planted(spark, sf_dir), top_k=TOP_K)
+
+
+def q_ann_ivf_topk_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-1..4 bench workload: ivf_topk over the RAW isotropic
+    embeddings (approximate there — recall-gated, not oracle-checked).
+    Kept OUT of the driver queries() registry so CORRECTNESS carries
+    no rows-only entries; bench.py still times this exact workload so
+    BENCH_r05+ headline numbers stay comparable with r04."""
+    from file_dedup_rust_spark.operators.ann import ivf_topk
+
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return ivf_topk(e, top_k=TOP_K)
+
+
+def q_ann_ivf_pq_topk_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of q_ann_ivf_topk_iso for the PQ path (see its
+    docstring)."""
     from file_dedup_rust_spark.operators.ann import ivf_pq_topk
 
     e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     return ivf_pq_topk(e, top_k=TOP_K)
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k (operators.ann.ivf_topk): FIXED-size codebook
-    (k ~ 3*sqrt(n), capped 4096) trained by deterministic sampled
-    Lloyd, broadcast (k*d*8 bytes — bounded, ~2 MB worst case), every
-    vector multi-assigned to its top-8 cells, probes scan their top-16
-    cells, per-cell work one cogrouped matmul.  Per-probe candidates
-    are O(sqrt(n)) when k tracks sqrt(n) — the sublinear scale path
-    for the reference's HNSW index (iac/opensearch_indexes.tf:8-14).
-    Approximate by design → no SQL oracle; quality is gated by
-    tests/test_ann_quality.py (recall@10 >= 0.9 vs brute at sf0.01 and
-    sf0.1)."""
-    from file_dedup_rust_spark.operators.ann import ivf_topk
-
-    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
-    return ivf_topk(e, top_k=TOP_K)
+SQL_ANN_IVF_TOPK = f"""
+WITH lim AS (
+  SELECT {IVF_CLUSTER} * CAST(count(*) // {IVF_CLUSTER} AS BIGINT) AS v
+  FROM embeddings
+),
+elems AS (
+  SELECT c.vec_id, u.i,
+         CAST(a.embedding[u.i] AS DOUBLE)
+         + CAST(0.3 AS DOUBLE) * CAST(c.embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings c
+  JOIN embeddings a ON a.vec_id = c.vec_id - (c.vec_id % {IVF_CLUSTER}),
+       unnest(generate_series(1, len(c.embedding))) AS u(i)
+  WHERE c.vec_id < (SELECT v FROM lim)
+),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elems GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dot
+  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ia, ib, round(dot / (sa.n * sb.n), 4) AS sim
+  FROM dots JOIN nrm sa ON sa.vec_id = ia JOIN nrm sb ON sb.vec_id = ib
+),
+mirrored AS (
+  SELECT ia AS vec_id, ib AS neighbor_id, sim FROM pairs
+  UNION ALL
+  SELECT ib, ia, sim FROM pairs
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM mirrored
+)
+SELECT vec_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 N_SEMDEDUP_SEEDS = 8   # deterministic stand-in for k-means|| centroids
@@ -2282,5 +2395,12 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "corpus_build_funnel": SQL_CORPUS_BUILD_FUNNEL,
     "keep_capped_copies": SQL_KEEP_CAPPED_COPIES,
-    # ann_ivf_topk: approximate by design — rows-only check
+    # the IVF pair runs on the planted clustered corpus where the
+    # probe budget provably covers every true top-10 pair, so the
+    # exact brute-force SQL is the oracle (both queries produce the
+    # same exact answer by construction — one shared SQL, like
+    # minhash_lsh_pairs); the isotropic approximate regime stays
+    # recall-gated in tests/test_ann_quality.py
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_ivf_pq_topk": SQL_ANN_IVF_TOPK,
 }

@@ -24,7 +24,11 @@ def _recall(spark, sf_dir: str) -> tuple[float, int, int]:
         (r["vec_id"], r["neighbor_id"])
         for r in Q.q_knn_topk(spark, sf_dir).collect()
     }
-    ivf_rows = Q.q_ann_ivf_topk(spark, sf_dir).collect()
+    # the _iso twin IS the isotropic workload this gate is about; the
+    # registry's q_ann_ivf_topk runs the planted clustered corpus where
+    # output is exactly the brute-force top-k (oracle-checked by the
+    # driver and by test_ivf_planted_clustered_is_exact below)
+    ivf_rows = Q.q_ann_ivf_topk_iso(spark, sf_dir).collect()
     ivf = {(r["vec_id"], r["neighbor_id"]) for r in ivf_rows}
     assert brute, "brute-force top-k is empty"
     probes = {v for v, _ in ivf}
@@ -144,3 +148,30 @@ def test_ivf_clustered_embeddings_hold_recall_at_low_nprobe(spark):
             assert recall >= floor, (m, p, recall)
     finally:
         e.unpersist()
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_ivf_planted_clustered_is_exact(spark, sf_dir):
+    """The driver-oracle regime (VERDICT r4 item 1): on the planted
+    clustered corpus (entry.testdata_queries.ivf_corpus_planted —
+    clusters of 11, in-cluster cosine ~0.9 vs cross <= ~0.55) both IVF
+    variants must equal the exact brute-force top-k ROW FOR ROW (ids,
+    4-decimal sims, ranks) — the in-engine twin of the DuckDB hash
+    check the driver runs on SQL_ANN_IVF_TOPK."""
+    from file_dedup_rust_spark.entry import testdata_queries as Q
+    from file_dedup_rust_spark.operators.ann import knn_topk_blocked
+
+    corpus = Q.ivf_corpus_planted(spark, sf_dir).persist()
+    try:
+        exact = sorted(
+            tuple(r) for r in knn_topk_blocked(
+                corpus, top_k=Q.TOP_K
+            ).collect()
+        )
+        assert exact
+        for fn in (Q.q_ann_ivf_topk, Q.q_ann_ivf_pq_topk):
+            got = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+            assert got == exact, fn.__name__
+    finally:
+        corpus.unpersist()

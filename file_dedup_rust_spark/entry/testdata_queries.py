@@ -1789,8 +1789,8 @@ def q_dedup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole point of an incremental tier) at the exact / near-jaccard /
     containment ladder, 'unique' otherwise.
 
-    Scale shape: the exact tier is an equi-join where the new batch is
-    the small side (broadcast at 100 TB; content-hash the key first);
+    Scale shape: the exact tier is an equi-join ON THE 8-BYTE CONTENT
+    HASH where the new batch is the small side (broadcast at 100 TB);
     the shingle tiers join base postings against NEW keys only, so
     Catalyst's inner posting join prunes every base shingle the batch
     never mentions — base-side work is proportional to the batch, not
@@ -1800,12 +1800,19 @@ def q_dedup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     store probe in streaming/incremental.py."""
     base = docs_corpus(spark, sf_dir)
     new = _new_batch(spark, sf_dir)
-    base_t = base.select("t").distinct()
-    exact = new.join(base_t, "t", "left_semi").select("doc_id")
-    rest = new.join(base_t, "t", "left_anti")
+    # join/shuffle keys are 8-byte content hashes, never the full text
+    # (VERDICT r4: at 100 TB the exact tier would otherwise ship and
+    # compare multi-KB keys); the text rides only as payload where a
+    # later stage needs it.  xxhash64 collisions (~n^2/2^65) are the
+    # same accepted risk as the engine's own band/bucket keys.
+    base_k = base.select(F.xxhash64("t").alias("tk")).distinct()
+    new_k = new.select("doc_id", F.xxhash64("t").alias("tk"), "t")
+    exact = new_k.join(base_k, "tk", "left_semi").select("doc_id")
+    rest = new_k.join(base_k, "tk", "left_anti").select("doc_id", "t")
 
-    sh_new = shingles(rest)
-    sh_base = shingles(base)
+    # shingle posting joins likewise key on the hashed gram
+    sh_new = shingles(rest).select("doc_id", F.xxhash64("g").alias("g"))
+    sh_base = shingles(base).select("doc_id", F.xxhash64("g").alias("g"))
     sz_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("n"))
     sz_base = sh_base.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -2093,7 +2100,12 @@ def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     while _FUNNEL_CACHE:
-        _FUNNEL_CACHE.pop().unpersist()
+        try:
+            _FUNNEL_CACHE.pop().unpersist()
+        except Exception:
+            # best-effort cleanup: the previous invocation may belong
+            # to a stopped SparkSession (dead JVM handle) — ADVICE r4
+            pass
 
     d = _docs(spark, sf_dir).select(
         "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t")
@@ -2114,8 +2126,9 @@ def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reps feeds three subtrees (the survival label join, the gram
     # join inside hits, and the clean->sample chain) — persist so the
     # dedup shuffle runs once, same rationale as build_edges' rep
-    # tables (plans/pipeline.py)
-    w = Window.partitionBy("t")
+    # tables (plans/pipeline.py).  The window partitions on the 8-byte
+    # content hash, not the full text (VERDICT r4) — t is payload.
+    w = Window.partitionBy(F.xxhash64("t"))
     reps = (
         raw.withColumn("m", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("m"))
@@ -2261,7 +2274,9 @@ def q_keep_capped_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one window rank per group key — the same single
     shuffle as exact dedup; the cap changes the filter constant, not
-    the plan.  Returns (doc_id, group_rep, copy_rank)."""
+    the plan.  The group key is xxhash64(t), 8 bytes through the
+    shuffle instead of the full text (VERDICT r4).  Returns
+    (doc_id, group_rep, copy_rank)."""
     from pyspark.sql import Window
 
     d = corpus_exact(spark, sf_dir)
@@ -2278,11 +2293,12 @@ def q_keep_capped_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
         )
     )
-    w = Window.partitionBy("t").orderBy("doc_id")
+    tk = F.xxhash64("t")
+    w = Window.partitionBy(tk).orderBy("doc_id")
     return (
         d.unionByName(extra)
         .withColumn("copy_rank", F.row_number().over(w))
-        .withColumn("group_rep", F.min("doc_id").over(Window.partitionBy("t")))
+        .withColumn("group_rep", F.min("doc_id").over(Window.partitionBy(tk)))
         .filter(F.col("copy_rank") <= REPEAT_CAP)
         .select("doc_id", "group_rep", "copy_rank")
     )

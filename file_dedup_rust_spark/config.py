@@ -80,6 +80,14 @@ class DedupConfig:
     sim_threshold: float = 0.8
     top_k: int = 10
 
+    # ---- audio sub-clip containment (opt-in tier; ADVICE r4 lifted
+    # these out of operator defaults so cfg.fingerprint() invalidates
+    # checkpoints when they change and the CLI can tune them) ----
+    ac_min_coverage: float = 0.8   # matched fraction of the sub-clip's live frames
+    ac_max_df: int = 64            # drop frame hashes in more clips than this
+    ac_min_matches: int = 4        # absolute vote floor per (a, b, offset)
+    ac_post_cap: int = 2000        # drop hashes with more posting rows than this
+
     # ---- skew handling ----
     band_cap: int = 200         # max posting-list size per (band, hash)
     salt_partitions: int = 0    # 0 = let AQE handle it

@@ -44,6 +44,11 @@ SIGNATURE_COLUMNS = [
     "pcm_rms", "minhash", "mh_bands", "sim_keys", "fps", "t_norm", "t_len",
 ]
 
+# fused audio-containment variant: the per-frame Haitsma-Kalker
+# subfingerprints ride the SAME decode pass (one bytes scan for the
+# whole pipeline even with the sub-clip tier on — VERDICT r4 item 4)
+FRAMES_SIGNATURE_SCHEMA = SIGNATURE_SCHEMA + ", frame_fps array<long>"
+
 
 def canonical_pcm_sha(pcm: np.ndarray, sr_hz: int) -> str:
     """Codec-invariant audio content hash: SHA-256 over the sample
@@ -64,7 +69,12 @@ def canonical_pcm_sha(pcm: np.ndarray, sr_hz: int) -> str:
     return h.hexdigest()
 
 
-def signature_batch(pdf: pd.DataFrame, cfg: DedupConfig, planes: np.ndarray) -> pd.DataFrame:
+def signature_batch(
+    pdf: pd.DataFrame,
+    cfg: DedupConfig,
+    planes: np.ndarray,
+    with_frames: bool = False,
+) -> pd.DataFrame:
     """Compute all signatures for one Arrow batch (pure pandas/numpy —
     unit-testable without Spark; the oracle calls this too).
 
@@ -73,8 +83,17 @@ def signature_batch(pdf: pd.DataFrame, cfg: DedupConfig, planes: np.ndarray) -> 
     buffer, one k-gram pass per k, reduceat minima — bit-identical to
     the per-row functions.  The audio half stays per-row because clips
     decode to variable-length PCM with per-clip FFT framing; all heavy
-    math inside a row is vectorized numpy."""
+    math inside a row is vectorized numpy.
+
+    with_frames=True additionally emits the per-frame containment
+    subfingerprints (functions.audio.frame_fingerprints) from the SAME
+    decoded PCM — the sub-clip tier then costs no second bytes scan /
+    decode, only its own FFT framing and the posting join (VERDICT r4
+    item 4).  Identical values to the standalone clip_frames path (the
+    function takes raw PCM and is deterministic per row)."""
     out: dict[str, list] = {c: [] for c in SIGNATURE_COLUMNS}
+    if with_frames:
+        out["frame_fps"] = []
     for row in pdf.itertuples(index=False):
         data: bytes = bytes(row.bytes) if row.bytes is not None else b""
         out["clip_id"].append(row.clip_id)
@@ -91,6 +110,12 @@ def signature_batch(pdf: pd.DataFrame, cfg: DedupConfig, planes: np.ndarray) -> 
             out["n_samples"].append(int(pcm.size))
             out["pcm_rms"].append(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if pcm.size else 0.0)
             out["pcm_sha"].append(canonical_pcm_sha(pcm, int(row.sr_hz)))
+            if with_frames:
+                out["frame_fps"].append(
+                    A.frame_fingerprints(
+                        pcm, int(row.sr_hz), cfg, A.FP_BANDS
+                    ).tolist()
+                )
         except Exception:
             out["simhash"].append(None)
             out["sim_keys"].append([])
@@ -98,6 +123,8 @@ def signature_batch(pdf: pd.DataFrame, cfg: DedupConfig, planes: np.ndarray) -> 
             out["n_samples"].append(0)
             out["pcm_rms"].append(0.0)
             out["pcm_sha"].append("")
+            if with_frames:
+                out["frame_fps"].append(None)
 
     # ---- transcript: minhash + bands + winnow fingerprints (batch) ----
     norms = [TX.normalize_transcript(t) for t in pdf["transcript"]]
@@ -116,15 +143,19 @@ def signature_batch(pdf: pd.DataFrame, cfg: DedupConfig, planes: np.ndarray) -> 
     return pd.DataFrame(out)
 
 
-def compute_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+def compute_signatures(
+    clips: DataFrame, cfg: DedupConfig, with_frames: bool = False
+) -> DataFrame:
     """clips(clip_id, bytes, sr_hz, dur_ms, codec, transcript) ->
-    signatures DataFrame (SIGNATURE_SCHEMA).  bytes never leaves this
-    operator."""
+    signatures DataFrame (SIGNATURE_SCHEMA; FRAMES_SIGNATURE_SCHEMA
+    when with_frames=True adds the containment frame subfingerprints
+    from the same decode).  bytes never leaves this operator."""
     planes = A.simhash_planes(cfg)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield signature_batch(pdf, cfg, planes)
+            yield signature_batch(pdf, cfg, planes, with_frames)
 
     cols = ["clip_id", "bytes", "sr_hz", "codec", "transcript"]
-    return clips.select(*cols).mapInPandas(run, schema=SIGNATURE_SCHEMA)
+    schema = FRAMES_SIGNATURE_SCHEMA if with_frames else SIGNATURE_SCHEMA
+    return clips.select(*cols).mapInPandas(run, schema=schema)

@@ -41,26 +41,39 @@ from file_dedup_rust_spark.functions.audio import (
     frame_fingerprints,
 )
 
-FRAME_SCHEMA = "clip_id string, idx int, fhash long"
+# fallback when callers pass neither cfg nor explicit params (module
+# import stays cheap — DedupConfig is a frozen dataclass of constants)
+from file_dedup_rust_spark.config import DEFAULT_CONFIG as _DEFAULTS
+
+FRAME_SCHEMA = "clip_id string, idx int, fhash long, decode_ok boolean"
 
 
 def clip_frames(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(clip_id, bytes, sr_hz, codec, ...) -> exploded frame table
-    (clip_id, idx, fhash).  One Arrow pass; bytes never leave it."""
+    (clip_id, idx, fhash, decode_ok).  One Arrow pass; bytes never
+    leave it.  A clip whose decode fails is QUARANTINED, not vanished
+    (VERDICT r4 item 5 — same convention as the signature path's
+    decode_ok): it emits one marker row (idx=-1, decode_ok=false) that
+    the join filters out but undecoded_clips() surfaces."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"clip_id": [], "idx": [], "fhash": []}
+            out = {"clip_id": [], "idx": [], "fhash": [], "decode_ok": []}
             for row in pdf.itertuples(index=False):
                 data = bytes(row.bytes) if row.bytes is not None else b""
                 try:
                     pcm = decode_audio(data, row.codec)
                 except Exception:
+                    out["clip_id"].append(row.clip_id)
+                    out["idx"].append(-1)
+                    out["fhash"].append(0)
+                    out["decode_ok"].append(False)
                     continue
                 fps = frame_fingerprints(pcm, int(row.sr_hz), cfg, FP_BANDS)
                 out["clip_id"].extend([row.clip_id] * len(fps))
                 out["idx"].extend(range(len(fps)))
                 out["fhash"].extend(int(h) for h in fps)
+                out["decode_ok"].extend([True] * len(fps))
             yield pd.DataFrame(out)
 
     required = ("clip_id", "bytes", "sr_hz", "codec")
@@ -72,12 +85,41 @@ def clip_frames(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     return clips.select(*required).mapInPandas(run, FRAME_SCHEMA)
 
 
+def frames_from_signatures(sigs: DataFrame) -> DataFrame:
+    """Fused-path frame table: explode the frame_fps column that
+    compute_signatures(with_frames=True) emitted from the pipeline's
+    single decode pass — the sub-clip tier then costs NO second bytes
+    scan (VERDICT r4 item 4).  Values are identical to clip_frames
+    (same frame_fingerprints call on the same decoded PCM); decode
+    failures carry over as the same quarantine marker rows."""
+    ok = (
+        sigs.filter(F.col("decode_ok"))
+        .select("clip_id", F.posexplode("frame_fps").alias("idx", "fhash"))
+        .withColumn("decode_ok", F.lit(True))
+    )
+    bad = sigs.filter(~F.col("decode_ok")).select(
+        "clip_id",
+        F.lit(-1).alias("idx"),
+        F.lit(0).cast("long").alias("fhash"),
+        F.lit(False).alias("decode_ok"),
+    )
+    return ok.unionByName(bad)
+
+
+def undecoded_clips(frames: DataFrame) -> DataFrame:
+    """The quarantined clips (decode failed — marker rows).  Bounded
+    by the failure count; callers surface it in manifests beside
+    dropped_stop_hashes."""
+    return frames.filter(~F.col("decode_ok")).select("clip_id")
+
+
 def audio_containment_edges(
     frames: DataFrame,
-    min_coverage: float = 0.8,
-    max_df: int = 64,
-    min_matches: int = 4,
-    post_cap: int = 2000,
+    min_coverage: float | None = None,
+    max_df: int | None = None,
+    min_matches: int | None = None,
+    post_cap: int | None = None,
+    cfg: DedupConfig | None = None,
 ) -> DataFrame:
     """frames(clip_id, idx, fhash) -> edges(a, b, kind, sim) where
     clip `a`'s frames appear inside clip `b` at one consistent offset
@@ -97,7 +139,19 @@ def audio_containment_edges(
     >= 1 - min_coverage silence undetectable.  Drops are counted via
     dropped_stop_hashes (callers can surface them in manifests the
     way candidates.dropped_buckets is).
+
+    Parameter defaults come from DedupConfig (ac_* fields — ADVICE r4:
+    they participate in cfg.fingerprint(), so changing them invalidates
+    checkpoints); explicit keyword arguments override for tests/tuning.
     """
+    c = cfg if cfg is not None else _DEFAULTS
+    min_coverage = c.ac_min_coverage if min_coverage is None else min_coverage
+    max_df = c.ac_max_df if max_df is None else max_df
+    min_matches = c.ac_min_matches if min_matches is None else min_matches
+    post_cap = c.ac_post_cap if post_cap is None else post_cap
+    if "decode_ok" in frames.columns:
+        # quarantined marker rows (idx=-1) never reach the join
+        frames = frames.filter(F.col("decode_ok")).drop("decode_ok")
     hash_df = frames.groupBy("fhash").agg(
         F.count_distinct("clip_id").alias("dfc"),
         F.count("*").alias("n_post"),
@@ -159,11 +213,19 @@ def audio_containment_edges(
 
 
 def dropped_stop_hashes(
-    frames: DataFrame, max_df: int = 64, post_cap: int = 2000
+    frames: DataFrame,
+    max_df: int | None = None,
+    post_cap: int | None = None,
+    cfg: DedupConfig | None = None,
 ) -> DataFrame:
     """Manifest accounting for the caps: the hashes the join never
     sees, with their clip and posting-row counts (mirrors
     candidates.dropped_buckets)."""
+    c = cfg if cfg is not None else _DEFAULTS
+    max_df = c.ac_max_df if max_df is None else max_df
+    post_cap = c.ac_post_cap if post_cap is None else post_cap
+    if "decode_ok" in frames.columns:
+        frames = frames.filter(F.col("decode_ok")).drop("decode_ok")
     return (
         frames.groupBy("fhash")
         .agg(

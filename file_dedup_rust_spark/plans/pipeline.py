@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from file_dedup_rust_spark.config import DedupConfig
-from file_dedup_rust_spark.functions.udfs import compute_signatures
+from file_dedup_rust_spark.functions.udfs import (
+    FRAMES_SIGNATURE_SCHEMA,
+    SIGNATURE_SCHEMA,
+    compute_signatures,
+)
 from file_dedup_rust_spark.operators import candidates as C
 from file_dedup_rust_spark.operators import verify as V
 from file_dedup_rust_spark.operators.connected_components import (
@@ -158,8 +162,9 @@ def build_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 # near-dups (the oracle labels both "transcript",
 # file_dedup_rust_spark/oracle.py:84,107, so the edge schema keeps one
 # label); "audio" is SimHash in-bucket verify; "containment" pays the
-# suffix-array pass; "audio_containment" (opt-in tier — a second
-# bytes scan for the frame table) pays the frame-fingerprint join.
+# suffix-array pass; "audio_containment" (opt-in tier — frame
+# fingerprints ride the single decode pass since round 5) pays its
+# own FFT framing inside that pass plus the frame-fingerprint join.
 TIER_LADDER = [
     "exact", "pcm_exact", "transcript", "audio", "containment",
     "audio_containment",
@@ -227,24 +232,37 @@ def run_pipeline(
     named stage commits (resume tests); returns None in that case.
 
     `audio_containment=True` adds the sub-clip tier
-    (operators.audio_containment): a SECOND scan of the clips bytes
-    builds the per-frame fingerprint table, so the tier is opt-in —
-    the default pipeline reads bytes exactly once.  Its edges are
+    (operators.audio_containment), FUSED into the single decode pass
+    (round 5, VERDICT r4 item 4): compute_signatures emits the
+    per-frame fingerprints as a frame_fps column alongside the
+    signatures, so bytes are still read exactly ONCE — the tier's
+    marginal cost is its own FFT framing inside that pass plus the
+    posting join, not a second scan+decode.  Its edges are
     checkpointed as their own stage and union into CC."""
+    import hashlib
+
     io = TableIO(spark, checkpoint_dir)
     fp = cfg.fingerprint()
     # stages downstream of the tier choice carry the flag in their
     # fingerprint: toggling --audio-containment against an existing
     # checkpoint dir must INVALIDATE assignments/clusters (their edge
-    # set changed) while signatures/edges stay shared across toggles
+    # set changed).  The signatures stage folds its OUTPUT SCHEMA into
+    # the fingerprint (ADVICE r4: a pre-upgrade checkpoint written
+    # under an older schema must invalidate loudly at the signatures
+    # stage, not crash build_edges mid-pipeline on a missing column) —
+    # this also means the fused frame_fps variant checkpoints
+    # separately from the plain one.
     fp_down = fp + "+ac" if audio_containment else fp
+    sig_schema = FRAMES_SIGNATURE_SCHEMA if audio_containment else SIGNATURE_SCHEMA
+    fp_sig = fp + "+s" + hashlib.sha256(sig_schema.encode()).hexdigest()[:8]
     stages: list[StageResult] = []
 
     def done(name: str) -> bool:
         return stop_after == name
 
     sigs, r = io.stage(
-        "signatures", fp, lambda: compute_signatures(clips, cfg),
+        "signatures", fp_sig,
+        lambda: compute_signatures(clips, cfg, with_frames=audio_containment),
         resume=resume,
     )
     stages.append(r)
@@ -262,16 +280,17 @@ def run_pipeline(
     if audio_containment:
         from file_dedup_rust_spark.operators.audio_containment import (
             audio_containment_edges,
-            clip_frames,
+            frames_from_signatures,
         )
 
-        # persist the frame table: audio_containment_edges reads it
-        # from four subtrees (sizes, hash df, both join sides) and the
-        # decode+FFT Arrow pass must run once, not per-subtree
-        frames = clip_frames(clips, cfg).persist()
+        # fused path: the frame table explodes the frame_fps column of
+        # the (checkpointed) signatures — no second bytes scan/decode.
+        # persist it: audio_containment_edges reads it from four
+        # subtrees (sizes, hash df, both join sides)
+        frames = frames_from_signatures(sigs).persist()
 
         def build_ac() -> DataFrame:
-            return audio_containment_edges(frames).select(*EDGE_COLS)
+            return audio_containment_edges(frames, cfg=cfg).select(*EDGE_COLS)
 
         ac_edges, r = io.stage("ac_edges", fp_down, build_ac, resume=resume)
         stages.append(r)
@@ -290,7 +309,7 @@ def run_pipeline(
 
             _, r = io.stage(
                 "ac_dropped_hashes", fp_down,
-                lambda: dropped_stop_hashes(frames), resume=resume,
+                lambda: dropped_stop_hashes(frames, cfg=cfg), resume=resume,
             )
             stages.append(r)
         frames.unpersist()

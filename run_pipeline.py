@@ -36,7 +36,19 @@ def main() -> int:
                         "marginal pair attribution to the summary")
     p.add_argument("--audio-containment", action="store_true",
                    help="enable the sub-clip audio containment tier "
-                        "(a second bytes scan for the frame table)")
+                        "(frame fingerprints ride the single decode "
+                        "pass; extra cost is the posting join)")
+    p.add_argument("--ac-min-coverage", type=float, default=None,
+                   help="containment: matched fraction of the "
+                        "sub-clip's live frames (default cfg)")
+    p.add_argument("--ac-max-df", type=int, default=None,
+                   help="containment: drop frame hashes in more "
+                        "clips than this (stop-hash cap)")
+    p.add_argument("--ac-min-matches", type=int, default=None,
+                   help="containment: absolute vote floor per offset")
+    p.add_argument("--ac-post-cap", type=int, default=None,
+                   help="containment: drop hashes with more posting "
+                        "rows than this")
     args = p.parse_args()
 
     from file_dedup_rust_spark.config import DedupConfig
@@ -44,9 +56,13 @@ def main() -> int:
     from file_dedup_rust_spark.plans.pipeline import run_pipeline, tier_report
     from file_dedup_rust_spark import datagen
 
-    cfg = DedupConfig(seed=args.seed) if args.band_cap is None else DedupConfig(
-        seed=args.seed, band_cap=args.band_cap
-    )
+    overrides = {
+        k: getattr(args, k)
+        for k in ("band_cap", "ac_min_coverage", "ac_max_df",
+                  "ac_min_matches", "ac_post_cap")
+        if getattr(args, k) is not None
+    }
+    cfg = DedupConfig(seed=args.seed, **overrides)
     spark = build_session("dedup-pipeline", master=args.master)
     t0 = time.monotonic()
     if args.synthetic:

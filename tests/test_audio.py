@@ -295,6 +295,73 @@ def test_audio_containment_detects_planted_subclips(spark, cfg):
     assert "clip_c" not in flat and "clip_d" not in flat
 
 
+def test_clip_frames_quarantines_undecodable_and_fused_path_matches(
+    spark, cfg
+):
+    """(1) A clip whose bytes cannot decode must be SURFACED by the
+    frame pass (quarantine marker, undecoded_clips), never silently
+    vanished (VERDICT r4 item 5), and must not break or pollute the
+    containment join.  (2) The fused path (frame fingerprints emitted
+    from the signature decode pass, VERDICT r4 item 4) must produce
+    byte-identical frame rows to the standalone clip_frames scan."""
+    import numpy as np
+    import pandas as pd
+
+    from file_dedup_rust_spark.functions.audio import encode_wav
+    from file_dedup_rust_spark.functions.udfs import compute_signatures
+    from file_dedup_rust_spark.operators.audio_containment import (
+        audio_containment_edges,
+        clip_frames,
+        frames_from_signatures,
+        undecoded_clips,
+    )
+
+    sr = 16000
+    rng = np.random.default_rng(11)
+    good = (rng.standard_normal(sr * 2) * 0.1).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["ok_a", "bad_trunc", "bad_codec"],
+            "bytes": [
+                encode_wav(good, sr),
+                b"RIFF\x00\x00\x00\x00GARBAGE",   # broken container
+                encode_wav(good, sr),              # fine bytes ...
+            ],
+            "sr_hz": [sr] * 3,
+            "codec": ["wav", "wav", "mp3"],        # ... unsupported codec
+            "transcript": ["", "", ""],
+        }
+    )
+    clips = spark.createDataFrame(
+        pdf,
+        "clip_id string, bytes binary, sr_hz int, codec string, "
+        "transcript string",
+    )
+
+    frames = clip_frames(clips, cfg).persist()
+    try:
+        assert {r["clip_id"] for r in undecoded_clips(frames).collect()} == {
+            "bad_trunc", "bad_codec",
+        }
+        # marker rows are filtered before the join: no crash, and the
+        # quarantined clips appear in no edge
+        touched = {
+            c
+            for r in audio_containment_edges(frames, cfg=cfg).collect()
+            for c in (r["a"], r["b"])
+        }
+        assert "bad_trunc" not in touched and "bad_codec" not in touched
+
+        fused = frames_from_signatures(
+            compute_signatures(clips, cfg, with_frames=True)
+        )
+        assert sorted(map(tuple, fused.collect())) == sorted(
+            map(tuple, frames.collect())
+        )
+    finally:
+        frames.unpersist()
+
+
 def test_audio_containment_stop_hash_cap(spark):
     """A frame hash shared by more clips than max_df (silence /
     codec-constant frames) must be dropped-and-counted BEFORE the

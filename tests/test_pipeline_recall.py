@@ -175,14 +175,17 @@ def test_pipeline_audio_containment_tier(spark, clips_df, cfg, tmp_path):
     assert all(s.skipped for s in res2.stages)
 
     # TOGGLING the tier on the base checkpoint must invalidate the
-    # downstream stages (their edge set changed) while reusing the
-    # shared signatures/edges — the fingerprint carries the flag
+    # downstream stages (their edge set changed).  Since round 5 the
+    # frame fingerprints ride the signature decode pass (no second
+    # bytes scan), so the toggle REBUILDS signatures too (the stage
+    # fingerprint folds the output schema — ADVICE r4); the plain
+    # edge stage, which doesn't read frame_fps, is still reused.
     res3 = run_pipeline(
         spark, clips_df, cfg, str(tmp_path / "ck_base"),
         audio_containment=True,
     )
     sk = {s.name: s.skipped for s in res3.stages}
-    assert sk["signatures"] and sk["edges"]
+    assert not sk["signatures"] and sk["edges"]
     assert not sk["ac_edges"] and not sk["assignments"] and not sk["clusters"]
     kinds3 = {r["kind"] for r in res3.edges.select("kind").distinct().collect()}
     assert "audio_containment" in kinds3

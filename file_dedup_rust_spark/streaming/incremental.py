@@ -382,18 +382,23 @@ def incremental_near_dedup(
         shares the designated one (operators/containment.py min-df
         note) — the store never needs re-keying as df drifts.
 
-    Each micro-batch probes all FIVE batch edge families against the
-    stores plus itself — exact sha256 (J1), exact transcript (t_norm),
+    Each micro-batch probes all SIX batch edge families against the
+    stores plus itself — exact sha256 (J1), codec-invariant exact
+    audio (pcm_exact: a container-flipped re-upload matches at ingest,
+    probed over per-sha256 batch reps so it is free on flip-free
+    batches — round 5, ADVICE r4), exact transcript (t_norm),
     MinHash-verified transcript near-dups, SimHash audio near-dups
     (J2), and substring containment (both arrival orders: the batch
     pattern's rarest surviving store-fp probes ``fp_posting``, and
     ``fp_pat``'s designated keys probe the batch's fingerprints) —
-    full modality parity with the batch pipeline
-    (plans/pipeline.py build_edges).  Match rows write idempotently to
-    ``out_dir``; then the batch appends to all stores.  Emits
-    (clip_id, matched_clip_id, match_kind in {exact, transcript,
-    audio, containment}, sim, match_scope in {batch, corpus});
-    ``clip_id`` is always the arriving clip on cross-corpus rows.
+    full modality parity with the batch pipeline's default tiers
+    (plans/pipeline.py build_edges; the opt-in audio sub-clip
+    containment tier remains batch-only).  Match rows write
+    idempotently to ``out_dir``; then the batch appends to all stores.
+    Emits (clip_id, matched_clip_id, match_kind in {exact, pcm_exact,
+    transcript, audio, containment}, sim, match_scope in {batch,
+    corpus}); ``clip_id`` is always the arriving clip on cross-corpus
+    rows.
 
     Hot-key defense (VERDICT r3): every probe against an ACCUMULATED
     posting store is capped the same way the batch path caps its
@@ -410,7 +415,7 @@ def incremental_near_dedup(
     cfg = cfg or DedupConfig()
     clips = read_clip_stream(spark, landing_dir)
     sigs = compute_signatures(clips, cfg).select(
-        "clip_id", "sha256", "simhash", "sim_keys", "decode_ok",
+        "clip_id", "sha256", "pcm_sha", "simhash", "sim_keys", "decode_ok",
         "minhash", "mh_bands", "fps", "t_norm", "t_len",
     )
     d_max = cfg.hamming_max
@@ -510,6 +515,25 @@ def incremental_near_dedup(
             # ---- within-batch probes ----
             exact_intra = star_intra(b, "sha256", "exact")
             ttext_intra = star_intra(text_b, "t_norm", "transcript")
+            # codec-invariant exact audio (pcm_exact, round 5 — ADVICE
+            # r4: a container-flipped re-upload must match at ingest,
+            # not at the next batch run).  Mirrors the batch tier
+            # (operators.exact.pcm_exact_edges): the probe runs over
+            # per-sha256 batch REPS, so a flip-free batch contributes
+            # one rep per pcm group and zero edges — the tier stays
+            # free when nothing flipped.
+            from pyspark.sql import Window as _W
+
+            areps_b = (
+                b.filter("decode_ok")
+                .filter(F.col("pcm_sha") != "")
+                .withColumn(
+                    "r", F.min("clip_id").over(_W.partitionBy("sha256"))
+                )
+                .filter(F.col("clip_id") == F.col("r"))
+                .select("clip_id", "sha256", "pcm_sha")
+            )
+            pcm_intra = star_intra(areps_b, "pcm_sha", "pcm_exact")
             near_intra = (
                 hamming_matches(
                     posting_b, posting_b.select("key", "clip_id", "simhash")
@@ -541,6 +565,7 @@ def incremental_near_dedup(
             )
             matches = (
                 exact_intra.unionByName(ttext_intra)
+                .unionByName(pcm_intra)
                 .unionByName(near_intra)
                 .unionByName(mh_intra)
                 .unionByName(cont_intra)
@@ -580,6 +605,31 @@ def incremental_near_dedup(
                 matches = matches.unionByName(exact_cross).unionByName(
                     ttext_cross
                 )
+                # pcm_exact cross-corpus probe: batch reps against the
+                # stored pcm hashes where the byte hash DIFFERS (the
+                # same-sha case is the exact probe's).  Guarded for
+                # stores written before the column existed.
+                if "pcm_sha" in corpus.columns:
+                    pcm_cross = (
+                        areps_b.alias("p")
+                        .join(
+                            corpus.filter(F.col("pcm_sha") != "")
+                            .select(
+                                F.col("clip_id").alias("matched_clip_id"),
+                                F.col("sha256").alias("i_sha"),
+                                "pcm_sha",
+                            ),
+                            "pcm_sha",
+                        )
+                        .filter(F.col("sha256") != F.col("i_sha"))
+                        .select(
+                            "clip_id", "matched_clip_id",
+                            F.lit("pcm_exact").alias("match_kind"),
+                            F.lit(1.0).alias("sim"),
+                            F.lit("corpus").alias("match_scope"),
+                        )
+                    )
+                    matches = matches.unionByName(pcm_cross)
                 index = read_store(spark_l, f"{store_dir}/posting")
                 if index is not None:
                     near_cross = hamming_matches(
@@ -712,8 +762,8 @@ def incremental_near_dedup(
             store_write(matches, out_dir, batch_id)
             store_write(
                 b.select(
-                    "clip_id", "sha256", "simhash", "minhash", "t_norm",
-                    "t_len",
+                    "clip_id", "sha256", "pcm_sha", "simhash", "minhash",
+                    "t_norm", "t_len",
                 ),
                 f"{store_dir}/sigs", batch_id,
             )

@@ -236,8 +236,14 @@ def test_streaming_matches_batch_pipeline_parity(spark, cfg, tmp_path):
     pairs join text reps, streaming pairs join copies of the same
     t_norm, which the exact-transcript stars fold into identical
     components).  Round 4: containment probes stream too (both
-    arrival orders), completing modality parity with build_edges."""
+    arrival orders).  Round 5: pcm_exact streams too — planted
+    container FLIPS (same audio re-uploaded raw after arriving as
+    wav, in a LATER drop, with a different transcript) must match at
+    ingest, completing modality parity with build_edges."""
+    import pandas as pd
+
     from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.functions.audio import decode_wav
     from file_dedup_rust_spark.functions.udfs import compute_signatures
     from file_dedup_rust_spark.operators.connected_components import (
         connected_components,
@@ -250,13 +256,41 @@ def test_streaming_matches_batch_pipeline_parity(spark, cfg, tmp_path):
 
     n = 150
     pdf = datagen.generate_clips_pandas(n, seed=44)
+    # plant container flips: two wav clips re-shipped as raw pcm_s16le
+    # (identical decoded samples, different bytes) in the LAST drop,
+    # with fresh transcripts so only the audio tiers can connect them
+    import numpy as np
+
+    first_third = pdf.iloc[: n // 3]
+    wavs = first_third[first_third["codec"] == "wav"].iloc[:2]
+    flips = []
+    for j, r in enumerate(wavs.itertuples(index=False)):
+        pcm = decode_wav(bytes(r.bytes))
+        raw = (
+            np.clip(np.round(pcm * 32768.0), -32768, 32767)
+            .astype("<i2")
+            .tobytes()
+        )
+        flips.append(
+            {
+                "clip_id": f"flip_{j}_{r.clip_id}",
+                "bytes": raw,
+                "sr_hz": r.sr_hz,
+                "dur_ms": r.dur_ms,
+                "codec": "pcm_s16le",
+                "transcript": f"container flip resend number {j} "
+                              "with its own unrelated transcript text",
+            }
+        )
+    flips_pdf = pd.DataFrame(flips)[list(pdf.columns)]
+    pdf = pd.concat([pdf, flips_pdf], ignore_index=True)
     clips = spark.createDataFrame(pdf, schema=datagen.CLIP_SCHEMA)
     landing = str(tmp_path / "landing")
     # three drops -> at least three micro-batches through the store
     third = n // 3
     for i in range(3):
         spark.createDataFrame(
-            pdf.iloc[i * third : (i + 1) * third if i < 2 else n],
+            pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)],
             schema=datagen.CLIP_SCHEMA,
         ).coalesce(1).write.mode("append").parquet(landing)
         q = incremental_near_dedup(
@@ -264,6 +298,7 @@ def test_streaming_matches_batch_pipeline_parity(spark, cfg, tmp_path):
             str(tmp_path / "ck"), cfg,
         )
         q.awaitTermination(180)
+    n = len(pdf)
 
     out = read_store(spark, str(tmp_path / "out"))
     sigs = compute_signatures(clips, cfg)
@@ -272,8 +307,9 @@ def test_streaming_matches_batch_pipeline_parity(spark, cfg, tmp_path):
     # parity per modality subset AND over the full streaming surface
     for kinds in (
         ["exact", "audio"],
+        ["exact", "pcm_exact"],
         ["exact", "transcript", "audio"],
-        ["exact", "transcript", "audio", "containment"],
+        ["exact", "pcm_exact", "transcript", "audio", "containment"],
     ):
         stream_edges = out.filter(F.col("match_kind").isin(*kinds)).select(
             F.col("clip_id").alias("a"), F.col("matched_clip_id").alias("b")
@@ -304,6 +340,12 @@ def test_streaming_matches_batch_pipeline_parity(spark, cfg, tmp_path):
     cont = out.filter("match_kind = 'containment'")
     assert cont.filter("match_scope = 'corpus'").count() > 0
     assert cont.filter("sim < 1.0").count() == cont.count()
+    # the container flips matched AT INGEST (cross-corpus pcm_exact):
+    # each flip arrived two drops after its wav original, transcripts
+    # differ, bytes differ — only the decoded-PCM hash can see it
+    pcm = out.filter("match_kind = 'pcm_exact' AND match_scope = 'corpus'")
+    flipped_ids = {f["clip_id"] for f in flips}
+    assert flipped_ids <= {r["clip_id"] for r in pcm.collect()}
 
 
 def test_compact_commit_survives_torn_attempt(spark, tmp_path):

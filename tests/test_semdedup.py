@@ -107,6 +107,54 @@ def test_assignment_is_deterministic_across_partitionings(spark):
     assert a1 == a2
 
 
+def test_semdedup_trained_centroid_path_agrees_at_equal_k(spark):
+    """The production centroid path (VERDICT r4 item 7): on the
+    clustered fixture with k = the true cluster count, the trained
+    codebook (operators.ann.train_codebook — the same Lloyd trainer
+    whose output build_ivf_index persists) and the deterministic
+    smallest-id seeds must agree on WHICH vectors get pruned almost
+    everywhere — on this fixture vec_ids 0..k-1 land one per true
+    cluster, so both coarse clusterings recover the same structure.
+    Cluster IDS differ by construction (seed vec_id vs centroid
+    index); the prune SET is the operator's output contract."""
+    from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.operators.ann import train_codebook
+    from file_dedup_rust_spark.operators.semdedup import (
+        assign_to_centroids,
+    )
+
+    k, n, t = 64, 1500, 0.5
+    e = datagen.clustered_embeddings(spark, n).select(
+        "vec_id", "embedding"
+    ).persist()
+    try:
+        seeded = {
+            r["vec_id"]: r["pruned"]
+            for r in semdedup_prune(e, k, t).collect()
+        }
+        cb = train_codebook(e, k)
+        trained = {
+            r["vec_id"]: r["pruned"]
+            for r in semdedup_prune(e, k, t, centroids=cb).collect()
+        }
+        assert len(seeded) == len(trained) == n
+        ps, pt = (
+            {v for v, p in seeded.items() if p},
+            {v for v, p in trained.items() if p},
+        )
+        assert ps and pt
+        jac = len(ps & pt) / len(ps | pt)
+        assert jac >= 0.9, f"prune-set Jaccard {jac:.3f}"
+        # centroid-path cluster ids are codebook indices
+        cids = {
+            r["cluster_id"]
+            for r in assign_to_centroids(e, cb).collect()
+        }
+        assert cids <= set(range(k))
+    finally:
+        e.unpersist()
+
+
 def test_new_vs_corpus_planted_verdicts(spark):
     """Every planted derivation lands at its intended tier: copies are
     'exact', reversed docs never match, and no new doc is lost."""

@@ -337,6 +337,62 @@ def generate_clips(spark, n: int, seed: int = 42, partitions: int = 32):
     return plan_df.mapInPandas(gen, schema=CLIP_SCHEMA)
 
 
+BOILER_TOKENS = 80   # hot_skew_clips shared-transcript length (words)
+
+
+def hot_skew_clips(
+    spark, n_hot: int, seed: int = 42, sr: int = 16000,
+    dur_s: float = 1.0, partitions: int = 32,
+):
+    """ADVERSARIAL hot-key corpus (VERDICT r4 item 8): n_hot clips that
+    are near-identical but NOT collapsible by any exact tier — the
+    skew shape the posting caps exist for.
+
+      * transcript: one shared boilerplate (BOILER_TOKENS vocab words)
+        + a per-clip unique suffix -> every t_norm is DISTINCT (the
+        exact-transcript star cannot fold them) but shingle Jaccard is
+        ~0.93, so MinHash bands and winnowing fingerprints pile all
+        n_hot members into the same posting buckets;
+      * audio: near-silence with a two-sample per-clip signature at
+        the tail -> every sha256/pcm_sha is DISTINCT (no rep
+        contraction) but the spectral features are nearly identical,
+        so SimHash band keys collide for the whole set.
+
+    Uncapped, each LSH posting bucket holds all n_hot members and the
+    in-bucket work is n_hot^2 in ONE task; with cfg.band_cap the
+    buckets are dropped-and-counted and the job stays linear.
+    Deterministic; distributed generation, no shuffle."""
+    vocab = make_vocab(seed)
+    boiler = " ".join(vocab[i % len(vocab)] for i in range(BOILER_TOKENS))
+    n_samp = max(int(sr * dur_s), 4)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                    "transcript"]}
+            for i in pdf["id"]:
+                i = int(i)
+                pcm = np.zeros(n_samp, dtype="<i2")
+                pcm[-1] = (i % 32000) + 1
+                pcm[-2] = (i // 32000) + 1
+                out["clip_id"].append(f"hot_{i:012d}")
+                out["bytes"].append(pcm.tobytes())
+                out["sr_hz"].append(np.int32(sr))
+                out["dur_ms"].append(np.int32(dur_s * 1000))
+                out["codec"].append("pcm_s16le")
+                out["transcript"].append(f"{boiler} uniq{i} tail{i}")
+            pdf_out = pd.DataFrame(out)
+            pdf_out["sr_hz"] = pdf_out["sr_hz"].astype("int32")
+            pdf_out["dur_ms"] = pdf_out["dur_ms"].astype("int32")
+            yield pdf_out
+
+    return (
+        spark.range(n_hot).repartition(partitions)
+        .mapInPandas(gen, schema=CLIP_SCHEMA)
+    )
+
+
 def planted_truth(n: int, seed: int = 42) -> pd.DataFrame:
     """Ground-truth duplicate pairs (a < b, kind) from the plan.
 

@@ -8,14 +8,17 @@ raw bytes into Bedrock Titan image).  This module is the batch-engine
 analog generalized to image and video payloads; audio is fully real in
 functions/audio.py.
 
-Sandbox constraint: no image/video codec libraries are installed, so
-the *codec decode* step is stubbed — `decode_image` raises
-NotImplementedError unless PIL is importable, and tests/fakes use
-`fake_decode_image`, a deterministic pure-numpy pixel synthesizer
-seeded from the payload bytes.  Everything AROUND the decode — the
-typed schema, Arrow batch shape, resize/pooling math, frame sampling,
-feature vectors, SimHash — is real and tested, so swapping in a real
-decoder is a one-function change.
+Sandbox constraint: no image/video codec LIBRARIES are installed, but
+three image formats decode for real anyway — uncompressed BMP and
+binary PNM (pure numpy) and PNG (stdlib zlib inflate + numpy scanline
+unfilter, round 5) — so both an uncompressed and a compressed real
+decode branch run in every test pass.  Lossy formats (JPEG/WebP) and
+video codecs remain capability-gated: `decode_image` raises
+NotImplementedError for them unless PIL is importable, and
+tests/fakes use `fake_decode_image`, a deterministic pure-numpy pixel
+synthesizer seeded from the payload bytes.  Everything AROUND the
+decode — the typed schema, Arrow batch shape, resize/pooling math,
+frame sampling, feature vectors, SimHash — is real and tested.
 """
 
 from __future__ import annotations
@@ -184,23 +187,167 @@ def decode_pnm(data: bytes) -> np.ndarray:
     return (luma / np.float32(maxval)).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# real COMPRESSED codec, stdlib zlib + numpy: PNG (RFC 2083 / ISO
+# 15948).  8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+# 4 (gray+alpha), 6 (RGBA), non-interlaced; all five scanline filters.
+# Closes the round-4 "compressed image decode needs PIL" gap for the
+# dominant lossless web format; JPEG (lossy DCT) stays PIL-gated.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def encode_png(img: np.ndarray, color: bool = False) -> bytes:
+    """float32 [0,1] -> PNG bytes (8-bit, filter 0 rows, one IDAT).
+    (H, W) gray -> color type 0; color=True / (H, W, 3) -> type 2."""
+    import struct
+    import zlib
+
+    if color and img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    if u8.ndim == 3:
+        h, w, _ = u8.shape
+        ctype = 2
+    else:
+        h, w = u8.shape
+        ctype = 0
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), u8.reshape(h, -1)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Filtered scanlines (h rows of 1 filter byte + stride bytes) ->
+    reconstructed (h, stride) uint8.  Sub/None/Up vectorize; Average
+    and Paeth walk x (numpy per-pixel column ops, h-parallel per row)."""
+    rows = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            c = cur.reshape(-1, bpp).cumsum(axis=0) % 256
+            rec = c.reshape(-1)
+        elif f == 2:  # Up
+            rec = (cur + prior) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                if f == 3:
+                    rec[x] = (cur[x] + ((a + b) >> 1)) % 256
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (H, W) float32 luma in [0,1].  8-bit depth, color types
+    0/2/3/4/6, non-interlaced; alpha is ignored for luma (dedup
+    features key on content, not transparency)."""
+    import struct
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln, tag = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} interlace={interlace}"
+        )
+    if ctype not in _PNG_CH:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    nch = _PNG_CH[ctype]
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    px = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("paletted PNG without PLTE")
+        rgb = palette[px[..., 0]].astype(np.float32)
+    elif ctype in (0, 4):
+        luma = px[..., 0].astype(np.float32)
+        return (luma / np.float32(255.0)).astype(np.float32)
+    else:  # 2, 6: first three samples are RGB
+        rgb = px[..., :3].astype(np.float32)
+    luma = (
+        np.float32(_LUMA[0]) * rgb[..., 0]
+        + np.float32(_LUMA[1]) * rgb[..., 1]
+        + np.float32(_LUMA[2]) * rgb[..., 2]
+    )
+    return (luma / np.float32(255.0)).astype(np.float32)
+
+
 def decode_image(data: bytes, mime: str) -> np.ndarray:
     """Decode an encoded image payload -> (H, W) float32 luma in [0,1].
 
-    Uncompressed BMP and binary PNM decode with the pure-numpy codecs
-    above (magic-byte sniffed — REAL decode in the default sandbox);
-    compressed formats (PNG/JPEG/...) need PIL and raise
+    Uncompressed BMP, binary PNM, and PNG (stdlib zlib inflate +
+    numpy unfilter — REAL compressed decode, no codec library) are
+    magic-byte sniffed and decode natively in the default sandbox;
+    remaining compressed formats (JPEG/WebP/...) need PIL and raise
     NotImplementedError without it, quarantining the row."""
     if len(data) >= 2 and data[:2] == b"BM":
         return decode_bmp(data)
     if len(data) >= 2 and data[:2] in (b"P5", b"P6"):
         return decode_pnm(data)
+    if data.startswith(_PNG_SIG):
+        return decode_png(data)
     pil = try_import_pil()
     if pil is None:
         raise NotImplementedError(
-            "compressed-image decode requires PIL/pillow (not in this "
-            "sandbox); BMP/PNM decode natively, fake_decode_image is the "
-            "deterministic test fallback"
+            "lossy-image decode (JPEG/WebP) requires PIL/pillow (not in "
+            "this sandbox); BMP/PNM/PNG decode natively, "
+            "fake_decode_image is the deterministic test fallback"
         )
     import io
 
@@ -361,19 +508,21 @@ def real_media_table(
     spark, n: int, seed: int = 11, noise: float = 0.02,
     dup_every: int = 5, near_every: int = 7,
 ):
-    """Media table whose payloads are REAL encoded images (half 24-bpp
-    BMP, half binary P6 PNM) with planted structure: every `dup_every`-th
-    image gets an exact byte copy, every `near_every`-th a noisy
-    re-encode (near-dup).  Images are low-frequency (blocky upsampled
-    noise) so feature/SimHash separation is meaningful, as with the
-    audio fixtures."""
+    """Media table whose payloads are REAL encoded images (rotating
+    24-bpp BMP / binary P6 PNM / compressed PNG) with planted
+    structure: every `dup_every`-th image gets an exact byte copy,
+    every `near_every`-th a noisy re-encode (near-dup).  Images are
+    low-frequency (blocky upsampled noise) so feature/SimHash
+    separation is meaningful, as with the audio fixtures."""
     rng = np.random.default_rng(seed)
     rows = []
 
     def enc(img, i):
-        if i % 2 == 0:
+        if i % 3 == 0:
             return encode_bmp(img), "image/bmp"
-        return encode_pnm(img, color=True), "image/x-portable-pixmap"
+        if i % 3 == 1:
+            return encode_pnm(img, color=True), "image/x-portable-pixmap"
+        return encode_png(img), "image/png"
 
     imgs = []
     for i in range(n):

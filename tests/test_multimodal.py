@@ -20,10 +20,11 @@ def test_fake_decode_deterministic_and_shaped():
 
 
 def test_decode_image_stub_raises_without_pil():
+    # LOSSY formats stay PIL-gated (PNG decodes natively since round 5)
     if M.try_import_pil() is not None:
         pytest.skip("PIL installed; stub path not applicable")
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG...", "image/png")
+        M.decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg")
 
 
 def test_resize_luma_block_means():
@@ -178,42 +179,34 @@ def test_image_signatures_over_real_codec_payloads(spark):
 
 
 def test_real_codec_decode_when_available(spark):
-    """Compressed-format decode activates the moment a codec library
-    appears (PIL branch); the uncompressed BMP/PNM path above runs
-    REGARDLESS — this test only adds the PNG round-trip when PIL is
-    importable, and otherwise asserts the quarantine contract for
-    compressed payloads (no skip either way)."""
-    import io
-
-    pil = M.try_import_pil()
-    if pil is None:
-        # compressed payloads must quarantine, not crash, without PIL
-        with pytest.raises(NotImplementedError):
-            M.decode_image(b"\x89PNG\r\n\x1a\n....", "image/png")
-        media = spark.createDataFrame(
-            [("p0", b"\x89PNG\r\n\x1a\nnot-really", "image", "image/png",
-              8, 8, 1, 0.0)],
-            schema=M.MEDIA_SCHEMA,
-        )
-        rows = M.image_signatures(media, use_fake_decode=False).collect()
-        assert len(rows) == 1 and not rows[0].decode_ok
-        return
-
+    """PNG decodes NATIVELY since round 5 (stdlib zlib + numpy) — the
+    compressed real-decode branch runs in every environment; only
+    lossy formats (JPEG) stay PIL-gated.  A malformed PNG payload
+    must quarantine through image_signatures, not crash."""
     arr = (np.outer(np.arange(24), np.arange(32)) % 256).astype("uint8")
-    img = pil.fromarray(arr, mode="L")
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    payload = buf.getvalue()
+    payload = M.encode_png(arr.astype(np.float32) / 255.0)
     luma = M.decode_image(payload, "image/png")
     assert luma.shape == (24, 32)
     assert np.allclose(luma, arr.astype("float32") / 255.0, atol=1e-6)
     media = spark.createDataFrame(
-        [("r0", payload, "image", "image/png", 32, 24, 1, 0.0)],
+        [
+            ("r0", payload, "image", "image/png", 32, 24, 1, 0.0),
+            # garbage after a valid PNG magic -> quarantined row
+            ("p0", b"\x89PNG\r\n\x1a\nnot-really", "image", "image/png",
+             8, 8, 1, 0.0),
+        ],
         schema=M.MEDIA_SCHEMA,
     )
-    rows = M.image_signatures(media, use_fake_decode=False).collect()
-    assert len(rows) == 1 and rows[0].decode_ok
-    assert len(rows[0].feat) == M.IMAGE_FEATURE_DIM
+    rows = {r.media_id: r for r in
+            M.image_signatures(media, use_fake_decode=False).collect()}
+    assert rows["r0"].decode_ok
+    assert len(rows["r0"].feat) == M.IMAGE_FEATURE_DIM
+    assert not rows["p0"].decode_ok
+
+    if M.try_import_pil() is None:
+        # lossy payloads must quarantine, not crash, without PIL
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg")
 
 
 def test_codec_roundtrip_property():
@@ -232,9 +225,109 @@ def test_codec_roundtrip_property():
         img = rng.random((h, w)).astype(np.float32)
         want = np.round(img * 255) / 255
         for data in (M.encode_bmp(img), M.encode_pnm(img),
-                     M.encode_pnm(img, color=True)):
+                     M.encode_pnm(img, color=True), M.encode_png(img),
+                     M.encode_png(img, color=True)):
             out = M.decode_image(data, "image/any")
             assert out.shape == (h, w)
             assert np.allclose(out, want, atol=1.6e-3)
 
     check()
+
+
+def _png_forward_filter(u8: np.ndarray, filters: list[int], bpp: int) -> bytes:
+    """Independent forward implementation of the PNG scanline filters
+    (RFC 2083 §6) to exercise every unfilter branch with data the
+    encoder (filter 0 only) never emits."""
+    h, stride = u8.shape
+    out = bytearray()
+    rec = u8.astype(np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        out.append(f)
+        prior = rec[y - 1] if y else np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = int(rec[y, x - bpp]) if x >= bpp else 0
+            b = int(prior[x])
+            c = int(prior[x - bpp]) if (x >= bpp and y) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((int(rec[y, x]) - pred) % 256)
+    return bytes(out)
+
+
+def _png_chunks(ihdr_body: bytes, extra: list[tuple[bytes, bytes]],
+                idat_raw: bytes) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    out = M._PNG_SIG + chunk(b"IHDR", ihdr_body)
+    for tag, body in extra:
+        out += chunk(tag, body)
+    return out + chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b"")
+
+
+def test_png_all_filters_decode_exactly():
+    """Hand-filtered scanlines (Sub/Up/Average/Paeth/None cycling) must
+    reconstruct the exact pixels — pins every unfilter branch against
+    an independent forward-filter implementation."""
+    import struct
+
+    rng = np.random.default_rng(3)
+    for nch, ctype in ((1, 0), (3, 2), (4, 6), (2, 4)):
+        h, w = 11, 7
+        u8 = rng.integers(0, 256, (h, w * nch)).astype(np.uint8)
+        raw = _png_forward_filter(u8, [1, 2, 3, 4, 0], nch)
+        data = _png_chunks(
+            struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0), [], raw
+        )
+        got = M.decode_png(data)
+        px = u8.reshape(h, w, nch).astype(np.float32)
+        if ctype in (0, 4):
+            want = px[..., 0] / 255.0
+        else:
+            want = (
+                0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+            ) / 255.0
+        assert got.shape == (h, w)
+        assert np.allclose(got, want, atol=1e-5), ctype
+
+
+def test_png_palette_and_malformed():
+    import struct
+
+    # 2x3 paletted image: indices 0..2 -> red/green/blue
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    data = _png_chunks(
+        struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0),
+        [(b"PLTE", pal)], raw,
+    )
+    got = M.decode_png(data)
+    assert got.shape == (2, 3)
+    assert got[0, 0] == pytest.approx(0.299, abs=1e-3)   # red
+    assert got[0, 1] == pytest.approx(0.587, abs=1e-3)   # green
+    assert got[1, 0] == pytest.approx(0.114, abs=1e-3)   # blue
+
+    with pytest.raises(ValueError):
+        M.decode_png(b"\x89PNG\r\n\x1a\x08 not a png")
+    # 16-bit depth rejected loudly, not mis-decoded
+    bad = _png_chunks(
+        struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0), [], b"\x00" * 14
+    )
+    with pytest.raises(ValueError):
+        M.decode_png(bad)

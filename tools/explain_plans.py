@@ -92,9 +92,20 @@ def main() -> int:
         "relation carries both roles — pos<assign_m is the cell's "
         "inverted list, pos<nprobe probes it — so one grouped-map per "
         "cell replaces the two-branch cogroup that recomputed the "
-        "assignment per side; then global rank)",
+        "assignment per side; then global rank.  Round 5: the driver "
+        "query runs over the planted clustered corpus — one extra "
+        "broadcast-able anchor equi-join + zip_with derives it, the "
+        "IVF plan itself is unchanged)",
         plan_text(Q.q_ann_ivf_topk(spark, args.sf_dir)),
         ["FlatMapGroupsInPandas", "HashAggregate", "Window", "posexplode"],
+    ))
+
+    sections.append((
+        "ann_ivf_topk_iso (the round-1..4 pinned bench workload over "
+        "raw isotropic embeddings — identical operator plan, no "
+        "corpus-derivation join)",
+        plan_text(Q.q_ann_ivf_topk_iso(spark, args.sf_dir)),
+        ["FlatMapGroupsInPandas", "Window", "posexplode"],
     ))
 
     sections.append((
@@ -128,7 +139,14 @@ def main() -> int:
         "split, then base shingle postings joined against NEW keys "
         "only — base-side work scales with the batch, not the corpus)",
         plan_text(Q.q_dedup_new_vs_corpus(spark, args.sf_dir)),
-        ["LeftSemi", "LeftAnti", "HashAggregate", "partial"],
+        ["LeftSemi", "LeftAnti", "HashAggregate", "partial", "xxhash64"],
+    ))
+
+    sections.append((
+        "keep_capped_copies (bounded repetition: ONE window shuffle "
+        "keyed on xxhash64(t) — 8-byte shuffle keys, text as payload)",
+        plan_text(Q.q_keep_capped_copies(spark, args.sf_dir)),
+        ["Window", "xxhash64"],
     ))
 
     sections.append((
@@ -145,7 +163,7 @@ def main() -> int:
         "grams, Knuth-hash sample filter — four operators, no "
         "cartesian, no per-row Python)",
         plan_text(Q.q_corpus_build_funnel(spark, args.sf_dir)),
-        ["BroadcastHashJoin", "HashAggregate"],
+        ["BroadcastHashJoin", "HashAggregate", "xxhash64"],
     ))
 
     sections.append((

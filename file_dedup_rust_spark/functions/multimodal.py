@@ -9,16 +9,18 @@ analog generalized to image and video payloads; audio is fully real in
 functions/audio.py.
 
 Sandbox constraint: no image/video codec LIBRARIES are installed, but
-three image formats decode for real anyway — uncompressed BMP and
-binary PNM (pure numpy) and PNG (stdlib zlib inflate + numpy scanline
-unfilter, round 5) — so both an uncompressed and a compressed real
-decode branch run in every test pass.  Lossy formats (JPEG/WebP) and
-video codecs remain capability-gated: `decode_image` raises
-NotImplementedError for them unless PIL is importable, and
-tests/fakes use `fake_decode_image`, a deterministic pure-numpy pixel
-synthesizer seeded from the payload bytes.  Everything AROUND the
-decode — the typed schema, Arrow batch shape, resize/pooling math,
-frame sampling, feature vectors, SimHash — is real and tested.
+four image formats decode for real anyway — uncompressed BMP and
+binary PNM (pure numpy), PNG (stdlib zlib inflate + numpy scanline
+unfilter, round 5), and baseline JPEG (pure-numpy Huffman + IDCT,
+`functions/jpeg.py`, round 5) — so uncompressed, lossless-compressed,
+and lossy-compressed real decode branches all run in every test pass.
+Remaining formats (WebP/TIFF/...) and video codecs stay
+capability-gated: `decode_image` raises NotImplementedError for them
+unless PIL is importable, and tests/fakes use `fake_decode_image`, a
+deterministic pure-numpy pixel synthesizer seeded from the payload
+bytes.  Everything AROUND the decode — the typed schema, Arrow batch
+shape, resize/pooling math, frame sampling, feature vectors, SimHash
+— is real and tested.
 """
 
 from __future__ import annotations
@@ -331,10 +333,11 @@ def decode_png(data: bytes) -> np.ndarray:
 def decode_image(data: bytes, mime: str) -> np.ndarray:
     """Decode an encoded image payload -> (H, W) float32 luma in [0,1].
 
-    Uncompressed BMP, binary PNM, and PNG (stdlib zlib inflate +
-    numpy unfilter — REAL compressed decode, no codec library) are
-    magic-byte sniffed and decode natively in the default sandbox;
-    remaining compressed formats (JPEG/WebP/...) need PIL and raise
+    Uncompressed BMP, binary PNM, PNG (stdlib zlib inflate + numpy
+    unfilter), and baseline JPEG (pure-numpy Huffman + IDCT,
+    `functions/jpeg.py`) — REAL compressed decode, no codec library —
+    are magic-byte sniffed and decode natively in the default sandbox;
+    remaining formats (WebP/TIFF/...) need PIL and raise
     NotImplementedError without it, quarantining the row."""
     if len(data) >= 2 and data[:2] == b"BM":
         return decode_bmp(data)
@@ -342,12 +345,17 @@ def decode_image(data: bytes, mime: str) -> np.ndarray:
         return decode_pnm(data)
     if data.startswith(_PNG_SIG):
         return decode_png(data)
+    if len(data) >= 3 and data[:3] == b"\xff\xd8\xff":
+        from file_dedup_rust_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     pil = try_import_pil()
     if pil is None:
         raise NotImplementedError(
-            "lossy-image decode (JPEG/WebP) requires PIL/pillow (not in "
-            "this sandbox); BMP/PNM/PNG decode natively, "
-            "fake_decode_image is the deterministic test fallback"
+            "image decode beyond BMP/PNM/PNG/baseline-JPEG (WebP/TIFF/"
+            "progressive JPEG) requires PIL/pillow (not in this "
+            "sandbox); fake_decode_image is the deterministic test "
+            "fallback"
         )
     import io
 
@@ -509,20 +517,25 @@ def real_media_table(
     dup_every: int = 5, near_every: int = 7,
 ):
     """Media table whose payloads are REAL encoded images (rotating
-    24-bpp BMP / binary P6 PNM / compressed PNG) with planted
-    structure: every `dup_every`-th image gets an exact byte copy,
-    every `near_every`-th a noisy re-encode (near-dup).  Images are
-    low-frequency (blocky upsampled noise) so feature/SimHash
-    separation is meaningful, as with the audio fixtures."""
+    24-bpp BMP / binary P6 PNM / compressed PNG / lossy baseline JPEG
+    at 4:2:0) with planted structure: every `dup_every`-th image gets
+    an exact byte copy, every `near_every`-th a noisy re-encode
+    (near-dup).  Images are low-frequency (blocky upsampled noise) so
+    feature/SimHash separation is meaningful, as with the audio
+    fixtures."""
+    from file_dedup_rust_spark.functions.jpeg import encode_jpeg
+
     rng = np.random.default_rng(seed)
     rows = []
 
     def enc(img, i):
-        if i % 3 == 0:
+        if i % 4 == 0:
             return encode_bmp(img), "image/bmp"
-        if i % 3 == 1:
+        if i % 4 == 1:
             return encode_pnm(img, color=True), "image/x-portable-pixmap"
-        return encode_png(img), "image/png"
+        if i % 4 == 2:
+            return encode_png(img), "image/png"
+        return encode_jpeg(img, color=True, subsample=True), "image/jpeg"
 
     imgs = []
     for i in range(n):

@@ -20,11 +20,12 @@ def test_fake_decode_deterministic_and_shaped():
 
 
 def test_decode_image_stub_raises_without_pil():
-    # LOSSY formats stay PIL-gated (PNG decodes natively since round 5)
+    # the long tail (WebP/TIFF) stays PIL-gated; PNG decodes natively
+    # since round 5 and baseline JPEG since round 5 too
     if M.try_import_pil() is not None:
         pytest.skip("PIL installed; stub path not applicable")
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg")
+        M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp")
 
 
 def test_resize_luma_block_means():
@@ -204,9 +205,12 @@ def test_real_codec_decode_when_available(spark):
     assert not rows["p0"].decode_ok
 
     if M.try_import_pil() is None:
-        # lossy payloads must quarantine, not crash, without PIL
+        # non-native formats must quarantine, not crash, without PIL
         with pytest.raises(NotImplementedError):
-            M.decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg")
+            M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp")
+    # truncated JPEG magic quarantines through the native decoder
+    with pytest.raises(ValueError):
+        M.decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg")
 
 
 def test_codec_roundtrip_property():
@@ -331,3 +335,110 @@ def test_png_palette_and_malformed():
     )
     with pytest.raises(ValueError):
         M.decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (functions/jpeg.py) — native lossy decode
+# ---------------------------------------------------------------------------
+
+
+def _blocky(h, w, seed):
+    rng = np.random.default_rng(seed)
+    base = rng.random((max(1, h // 8) + 1, max(1, w // 8) + 1))
+    return np.kron(base, np.ones((8, 8)))[:h, :w].astype(np.float32)
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Gray / color 4:4:4 / color 4:2:0 / restart markers / quality
+    sweep all round-trip within lossy tolerance on low-frequency
+    images (the fixture regime) AND on full-band noise."""
+    from file_dedup_rust_spark.functions import jpeg as J
+
+    img = _blocky(37, 51, 0)
+    for kw in (
+        dict(),
+        dict(color=True),
+        dict(color=True, subsample=True),
+        dict(restart_interval=3),
+        dict(color=True, subsample=True, restart_interval=2),
+        dict(quality=75),
+        dict(quality=100),
+    ):
+        out = J.decode_jpeg(J.encode_jpeg(img, **kw))
+        assert out.shape == img.shape and out.dtype == np.float32
+        err = np.abs(out - img)
+        assert float(err.mean()) < 5e-3 and float(err.max()) < 2e-2, kw
+
+    noise = np.random.default_rng(1).random((24, 33)).astype(np.float32)
+    for kw in (dict(quality=95), dict(color=True, subsample=True)):
+        out = J.decode_jpeg(J.encode_jpeg(noise, **kw))
+        err = np.abs(out - noise)
+        assert float(err.mean()) < 0.02 and float(err.max()) < 0.15, kw
+
+
+def test_jpeg_roundtrip_property():
+    """Property-based: any shape (incl. 1x1 and non-8-multiples), any
+    seed, both sampling modes — decode succeeds, shape is exact, and
+    error stays within lossy bounds."""
+    from hypothesis import given, settings, strategies as st
+
+    from file_dedup_rust_spark.functions import jpeg as J
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        sub=st.booleans(),
+    )
+    def check(h, w, seed, sub):
+        rng = np.random.default_rng(seed)
+        img = rng.random((h, w)).astype(np.float32)
+        out = J.decode_jpeg(J.encode_jpeg(img, color=sub, subsample=sub))
+        assert out.shape == (h, w)
+        assert float(np.abs(out - img).mean()) < 0.04
+
+    check()
+
+
+def test_jpeg_rejects_progressive_and_malformed():
+    from file_dedup_rust_spark.functions import jpeg as J
+
+    img = _blocky(16, 16, 2)
+    data = J.encode_jpeg(img)
+    # patch SOF0 -> SOF2 (progressive): must reject loudly, not
+    # mis-decode — the quarantine contract for unsupported variants
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\x00\x01not a jpeg")
+    with pytest.raises(ValueError):
+        J.decode_jpeg(data[: len(data) // 2])  # truncated entropy data
+
+
+def test_jpeg_through_image_signatures(spark):
+    """JPEG payloads run the REAL decode branch of image_signatures:
+    exact byte copies collapse to one sha256+simhash; a JPEG and a PNG
+    of the SAME image land within a small SimHash Hamming distance
+    (cross-codec near-dup, the property lossy re-encodes must keep)."""
+    from file_dedup_rust_spark.functions.jpeg import encode_jpeg
+
+    img = _blocky(32, 48, 5)
+    jay = encode_jpeg(img, color=True, subsample=True)
+    png = M.encode_png(img)
+    media = spark.createDataFrame(
+        [
+            ("j0", jay, "image", "image/jpeg", 48, 32, 1, 0.0),
+            ("j1", jay, "image", "image/jpeg", 48, 32, 1, 0.0),
+            ("p0", png, "image", "image/png", 48, 32, 1, 0.0),
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in
+            M.image_signatures(media, use_fake_decode=False).collect()}
+    assert all(r.decode_ok for r in rows.values())
+    assert rows["j0"].sha256 == rows["j1"].sha256
+    assert rows["j0"].simhash == rows["j1"].simhash
+    ham = bin((rows["j0"].simhash ^ rows["p0"].simhash) & (2**64 - 1)).count("1")
+    assert ham <= 6, ham

@@ -442,3 +442,72 @@ def test_jpeg_through_image_signatures(spark):
     assert rows["j0"].simhash == rows["j1"].simhash
     ham = bin((rows["j0"].simhash ^ rows["p0"].simhash) & (2**64 - 1)).count("1")
     assert ham <= 6, ham
+
+
+# ---------------------------------------------------------------------------
+# real video containers (functions/video.py): Y4M + MJPEG/AVI
+# ---------------------------------------------------------------------------
+
+
+def _moving(n, h, w, seed):
+    rng = np.random.default_rng(seed)
+    base = np.kron(rng.random((h // 8, w // 8 + 2)),
+                   np.ones((8, 8))).astype(np.float32)
+    return np.stack([base[:, f : f + w] for f in range(n)], axis=0)
+
+
+def test_video_containers_roundtrip_random_access():
+    from file_dedup_rust_spark.functions import video as V
+
+    frames = _moving(6, 32, 48, 0)
+    for enc in (lambda f: V.encode_y4m(f),
+                lambda f: V.encode_y4m(f, mono=True),
+                lambda f: V.encode_mjpeg_avi(f)):
+        r = V.open_video(enc(frames))
+        assert r.frame_count == 6
+        # random access: frame 4 without touching 0..3
+        assert float(np.abs(r.get(4) - frames[4]).mean()) < 5e-3
+        for i in range(6):
+            assert r.get(i).shape == (32, 48)
+            assert float(np.abs(r.get(i) - frames[i]).mean()) < 5e-3
+
+    with pytest.raises(NotImplementedError):
+        V.open_video(b"\x00\x01\x02unknown-codec")
+    with pytest.raises(ValueError):
+        V.open_video(b"YUV4MPEG2 W10 H10\nFRAME\nshort")
+    with pytest.raises(ValueError):
+        V.open_video(b"RIFF\x04\x00\x00\x00AVI ")  # no frame chunks
+
+
+def test_sample_video_frames_real_decode(spark):
+    """The real-decode branch of the frame-sampling operator: Y4M and
+    MJPEG-AVI payloads fan out to per-frame rows with REAL features;
+    exact byte-copy videos produce identical feature sequences; frames
+    within a video differ (moving content); garbage quarantines."""
+    media = M.real_video_table(spark, 6, n_frames=12)
+    bad = spark.createDataFrame(
+        [("bad0", b"\x00not-a-video", "video", "video/unknown",
+          8, 8, 3, 25.0)],
+        schema=M.MEDIA_SCHEMA,
+    )
+    rows = M.sample_video_frames(
+        media.unionByName(bad), every_n=5, use_fake_decode=False
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r)
+    # 12 frames sampled every 5 -> indices 0, 5, 10
+    for vid in [f"v{i:06d}" for i in range(6)]:
+        got = sorted(per[vid], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == [0, 5, 10]
+        assert all(r.decode_ok and len(r.frame_feat) == M.FRAME_FEATURE_DIM
+                   for r in got)
+        # moving content: sampled frames have distinct features
+        assert len({tuple(r.frame_feat) for r in got}) == 3
+    # exact byte-copy video: identical feature sequence to its source
+    src = sorted(per["v000002"], key=lambda r: r.frame_idx)
+    cpy = sorted(per["c000002"], key=lambda r: r.frame_idx)
+    assert [r.frame_feat for r in src] == [r.frame_feat for r in cpy]
+    # quarantined marker row for the unknown payload
+    assert len(per["bad0"]) == 1
+    assert per["bad0"][0].frame_idx == -1 and not per["bad0"][0].decode_ok

@@ -353,6 +353,7 @@ def incremental_near_dedup(
     cfg: DedupConfig | None = None,
     available_now: bool = True,
     compact_every: int = 16,
+    audio_containment: bool = False,
 ):
     """Incremental exact + NEAR dedup — the streaming analog of the
     reference's full per-file flow: hash probe (J1), store the
@@ -392,13 +393,22 @@ def incremental_near_dedup(
     pattern's rarest surviving store-fp probes ``fp_posting``, and
     ``fp_pat``'s designated keys probe the batch's fingerprints) —
     full modality parity with the batch pipeline's default tiers
-    (plans/pipeline.py build_edges; the opt-in audio sub-clip
-    containment tier remains batch-only).  Match rows write
+    (plans/pipeline.py build_edges).  With ``audio_containment=True``
+    the opt-in sub-clip tier probes at ingest too (seventh family,
+    round 5): the frame subfingerprints ride the SAME signature decode
+    pass (with_frames — no second bytes scan, exactly the fused batch
+    tier), a sixth store ``{store_dir}/ac_posting`` accumulates
+    (fhash, clip_id, idx) frame postings, the within-batch probe is
+    the batch operator itself, and the cross probe joins batch frames
+    to the store on the frame hash with the offset-consistency vote,
+    coverage measured against the SHORTER side's surviving frames
+    (audio_containment_edges semantics; store-hot hashes df/post-
+    capped and counted in ``ac_posting_dropped``).  Match rows write
     idempotently to ``out_dir``; then the batch appends to all stores.
     Emits (clip_id, matched_clip_id, match_kind in {exact, pcm_exact,
-    transcript, audio, containment}, sim, match_scope in {batch,
-    corpus}); ``clip_id`` is always the arriving clip on cross-corpus
-    rows.
+    transcript, audio, containment, audio_containment}, sim,
+    match_scope in {batch, corpus}); ``clip_id`` is always the
+    arriving clip on cross-corpus rows.
 
     Hot-key defense (VERDICT r3): every probe against an ACCUMULATED
     posting store is capped the same way the batch path caps its
@@ -414,9 +424,12 @@ def incremental_near_dedup(
     """
     cfg = cfg or DedupConfig()
     clips = read_clip_stream(spark, landing_dir)
-    sigs = compute_signatures(clips, cfg).select(
+    sigs = compute_signatures(
+        clips, cfg, with_frames=audio_containment
+    ).select(
         "clip_id", "sha256", "pcm_sha", "simhash", "sim_keys", "decode_ok",
         "minhash", "mh_bands", "fps", "t_norm", "t_len",
+        *(("frame_fps",) if audio_containment else ()),
     )
     d_max = cfg.hamming_max
     bits = float(cfg.simhash_bits)
@@ -570,6 +583,28 @@ def incremental_near_dedup(
                 .unionByName(mh_intra)
                 .unionByName(cont_intra)
             )
+            frames_b = None
+            if audio_containment:
+                from file_dedup_rust_spark.operators.audio_containment import (
+                    audio_containment_edges,
+                    frames_from_signatures,
+                )
+
+                # frame postings from the SAME decode pass (frame_fps
+                # column) — the within-batch probe IS the batch
+                # operator on the micro-batch, caps and vote included
+                frames_b = frames_from_signatures(
+                    b.select("clip_id", "decode_ok", "frame_fps")
+                ).persist()
+                hots.append(frames_b)  # unpersisted with the hot sets
+                ac_intra = audio_containment_edges(frames_b, cfg=cfg).select(
+                    F.col("a").alias("clip_id"),
+                    F.col("b").alias("matched_clip_id"),
+                    F.lit("audio_containment").alias("match_kind"),
+                    "sim",
+                    F.lit("batch").alias("match_scope"),
+                )
+                matches = matches.unionByName(ac_intra)
 
             # ---- probes against the accumulated stores ----
             corpus = read_store(spark_l, f"{store_dir}/sigs")
@@ -759,6 +794,94 @@ def incremental_near_dedup(
                         F.lit("corpus").alias("match_scope"),
                     )
                     matches = matches.unionByName(cont_cross_b)
+            if audio_containment:
+                ac_index = read_store(spark_l, f"{store_dir}/ac_posting")
+                if ac_index is not None:
+                    # store-side stop-hash caps (df + posting rows, the
+                    # ac_* knobs), counted — the batch operator's caps
+                    # applied to the accumulated index
+                    stats = ac_index.groupBy("fhash").agg(
+                        F.count_distinct("clip_id").alias("dfc"),
+                        F.count("*").alias("n_post"),
+                    )
+                    ac_hot = stats.filter(
+                        (F.col("dfc") > cfg.ac_max_df)
+                        | (F.col("n_post") > cfg.ac_post_cap)
+                    ).persist()
+                    hots.append(ac_hot)
+                    store_write(
+                        ac_hot.select(
+                            F.col("fhash").alias("key"),
+                            F.col("n_post").alias("n"),
+                        ),
+                        f"{store_dir}/ac_posting_dropped", batch_id,
+                    )
+                    hot_keys = ac_hot.select("fhash")
+                    live_store = ac_index.join(hot_keys, "fhash", "left_anti")
+                    pb = (
+                        frames_b.filter("decode_ok")
+                        .select("clip_id", "idx", "fhash")
+                        .join(hot_keys, "fhash", "left_anti")
+                    )
+                    nf_b = pb.groupBy("clip_id").agg(F.count("*").alias("nf"))
+                    nf_s = live_store.groupBy("clip_id").agg(
+                        F.count("*").alias("nf")
+                    )
+                    ac_votes = (
+                        pb.select(
+                            F.col("clip_id").alias("p"),
+                            F.col("idx").alias("ip"), "fhash",
+                        )
+                        .join(
+                            live_store.select(
+                                F.col("clip_id").alias("i"),
+                                F.col("idx").alias("ii"), "fhash",
+                            ),
+                            "fhash",
+                        )
+                        .groupBy(
+                            "p", "i", (F.col("ii") - F.col("ip")).alias("off")
+                        )
+                        .agg(F.count("*").alias("m"))
+                        .groupBy("p", "i")
+                        .agg(F.max(F.struct("m", "off")).alias("s"))
+                        .select("p", "i", F.col("s.m").alias("best"))
+                    )
+                    ac_cross = (
+                        ac_votes.join(
+                            nf_b.select(
+                                F.col("clip_id").alias("p"),
+                                F.col("nf").alias("n_p"),
+                            ),
+                            "p",
+                        )
+                        .join(
+                            nf_s.select(
+                                F.col("clip_id").alias("i"),
+                                F.col("nf").alias("n_i"),
+                            ),
+                            "i",
+                        )
+                        # coverage vs the SHORTER side's surviving
+                        # frames — audio_containment_edges semantics,
+                        # direction-free (either side may be the
+                        # sub-clip depending on arrival order)
+                        .withColumn("n_s", F.least("n_p", "n_i"))
+                        .filter(
+                            (F.col("best")
+                             >= cfg.ac_min_coverage * F.col("n_s"))
+                            & (F.col("best") >= cfg.ac_min_matches)
+                        )
+                        .select(
+                            F.col("p").alias("clip_id"),
+                            F.col("i").alias("matched_clip_id"),
+                            F.lit("audio_containment").alias("match_kind"),
+                            F.round(F.col("best") / F.col("n_s"), 4)
+                            .alias("sim"),
+                            F.lit("corpus").alias("match_scope"),
+                        )
+                    )
+                    matches = matches.unionByName(ac_cross)
             store_write(matches, out_dir, batch_id)
             store_write(
                 b.select(
@@ -787,9 +910,19 @@ def incremental_near_dedup(
                 .select(F.col("mk.key").alias("key"), "clip_id")
             )
             store_write(patmin_b, f"{store_dir}/fp_pat", batch_id)
+            if audio_containment:
+                store_write(
+                    frames_b.filter("decode_ok").select(
+                        "fhash", "clip_id", "idx"
+                    ),
+                    f"{store_dir}/ac_posting", batch_id,
+                )
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-                for sub in ("sigs", "posting", "mh_posting", "fp_posting",
-                            "fp_pat"):
+                subs = ["sigs", "posting", "mh_posting", "fp_posting",
+                        "fp_pat"]
+                if audio_containment:
+                    subs.append("ac_posting")
+                for sub in subs:
                     compact_store(spark_l, f"{store_dir}/{sub}", int(batch_id) - 1)
         finally:
             for h in hots:

@@ -680,3 +680,111 @@ def test_streaming_decontam_matches_batch(spark, tmp_path):
     }
     assert want, "fixture must plant at least one contaminated clip"
     assert got == want
+
+
+def test_streaming_audio_containment_probe(spark, cfg, tmp_path):
+    """Opt-in seventh streaming family (round 5): planted sub-clips
+    must match at ingest in BOTH arrival orders — container stored /
+    sub-clip arriving, and sub-clip stored / container arriving —
+    plus within one micro-batch, with the streamed pair SET equal to
+    the batch operator's over the same corpus; noise clips stay
+    edge-free."""
+    import numpy as np
+    import pandas as pd
+
+    from file_dedup_rust_spark.functions.audio import encode_wav
+    from file_dedup_rust_spark.functions.udfs import compute_signatures
+    from file_dedup_rust_spark.operators.audio_containment import (
+        audio_containment_edges,
+        frames_from_signatures,
+    )
+    from file_dedup_rust_spark.streaming.incremental import (
+        incremental_near_dedup,
+        read_store,
+    )
+
+    sr = 16000
+    rng = np.random.default_rng(11)
+
+    def noise(n):
+        return (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+    def embed(inner, pre_hops, post_hops):
+        return np.concatenate(
+            [noise(cfg.hop * pre_hops), inner, noise(cfg.hop * post_hops)]
+        )
+
+    sub1, sub2, sub3 = noise(sr * 2), noise(sr * 2), noise(sr * 2)
+    clips = {
+        # order A: container arrives first, sub-clip later
+        "cont_1": embed(sub1, 40, 24),
+        "sub_1": sub1,
+        # order B: sub-clip arrives first, container later
+        "sub_2": sub2,
+        "cont_2": embed(sub2, 16, 56),
+        # same-batch pair
+        "sub_3": sub3,
+        "cont_3": embed(sub3, 8, 8),
+        # unrelated noise
+        "noise_1": noise(sr * 2),
+        "noise_2": noise(sr * 3),
+    }
+    drops = [
+        ["cont_1", "sub_2", "noise_1"],
+        ["sub_3", "cont_3", "noise_2"],
+        ["sub_1", "cont_2"],
+    ]
+
+    def pdf_for(ids):
+        return pd.DataFrame(
+            {
+                "clip_id": ids,
+                "bytes": [encode_wav(clips[i], sr) for i in ids],
+                "sr_hz": [sr] * len(ids),
+                "dur_ms": [int(len(clips[i]) / sr * 1000) for i in ids],
+                "codec": ["wav"] * len(ids),
+                "transcript": [f"transcript of {i} only" for i in ids],
+            }
+        )
+
+    landing = str(tmp_path / "landing")
+    for ids in drops:
+        spark.createDataFrame(
+            pdf_for(ids), schema=datagen.CLIP_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(landing)
+        q = incremental_near_dedup(
+            spark, landing, str(tmp_path / "store"), str(tmp_path / "out"),
+            str(tmp_path / "ck"), cfg, audio_containment=True,
+        )
+        q.awaitTermination(180)
+
+    out = read_store(spark, str(tmp_path / "out"))
+    ac = out.filter("match_kind = 'audio_containment'").collect()
+    pairs = {frozenset((r.clip_id, r.matched_clip_id)) for r in ac}
+    scopes = {
+        frozenset((r.clip_id, r.matched_clip_id)): r.match_scope for r in ac
+    }
+    assert frozenset(("sub_1", "cont_1")) in pairs
+    assert scopes[frozenset(("sub_1", "cont_1"))] == "corpus"
+    assert frozenset(("sub_2", "cont_2")) in pairs
+    assert scopes[frozenset(("sub_2", "cont_2"))] == "corpus"
+    assert frozenset(("sub_3", "cont_3")) in pairs
+    assert scopes[frozenset(("sub_3", "cont_3"))] == "batch"
+    # the arriving clip is always clip_id on corpus rows
+    by_pair = {frozenset((r.clip_id, r.matched_clip_id)): r for r in ac}
+    assert by_pair[frozenset(("sub_1", "cont_1"))].clip_id == "sub_1"
+    assert by_pair[frozenset(("sub_2", "cont_2"))].clip_id == "cont_2"
+    # noise clips never matched
+    flat = {c for p in pairs for c in p}
+    assert "noise_1" not in flat and "noise_2" not in flat
+    # parity: streamed pair set == batch operator over the full corpus
+    all_ids = [i for ids in drops for i in ids]
+    full = spark.createDataFrame(pdf_for(all_ids), schema=datagen.CLIP_SCHEMA)
+    sigs = compute_signatures(full, cfg, with_frames=True)
+    batch_pairs = {
+        frozenset((r.a, r.b))
+        for r in audio_containment_edges(
+            frames_from_signatures(sigs), cfg=cfg
+        ).collect()
+    }
+    assert pairs == batch_pairs

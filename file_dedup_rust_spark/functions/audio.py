@@ -10,11 +10,20 @@ distance here.
 
 No external audio libraries (sandbox constraint); codecs supported:
   * pcm_s16le — raw little-endian 16-bit PCM, mono
-  * wav       — RIFF/WAVE container with a PCM16 'data' chunk
+  * pcm_mulaw / pcm_alaw — raw G.711 companded 8-bit (round 5)
+  * wav       — RIFF/WAVE container: PCM16 (fmt 1), G.711 mu-law /
+                A-law (fmt 7 / 6), and IMA ADPCM (fmt 0x11) 'data'
+                chunks — the COMPRESSED real-decode branch for audio
+                (round 5), next to baseline JPEG on the image side
+  * flac      — real LOSSLESS compressed decode (functions/flac.py,
+                round 5): a wav->flac re-upload decodes bit-identical,
+                so the pcm_exact tier catches the container flip with
+                no new machinery
 
 Every function is per-row deterministic and uses NO cross-row
 statistics, so pipeline batching vs. oracle batching cannot change
-results.
+results.  The PCM16 paths are bit-exact with earlier rounds; the new
+codecs only add dispatch branches.
 """
 
 from __future__ import annotations
@@ -35,17 +44,191 @@ def decode_pcm_s16le(data: bytes) -> np.ndarray:
     return pcm.astype(np.float32) / 32768.0
 
 
-def decode_wav(data: bytes) -> np.ndarray:
-    """Minimal RIFF/WAVE PCM16 parser -> float32 mono in [-1, 1).
+# ---------------------------------------------------------------------------
+# G.711 companding (ITU-T G.711): 8-bit mu-law / A-law <-> linear PCM.
+# Table-driven decode (256 entries, built once); vectorized encode.
+# ---------------------------------------------------------------------------
 
-    Walks chunks (handles extra chunks like LIST); requires
-    audio_format == 1 (PCM) and bits == 16; multi-channel input is
-    averaged down to mono.
-    """
+
+@lru_cache(maxsize=1)
+def _mulaw_table() -> np.ndarray:
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    out = np.where(sign != 0, -mag, mag).astype(np.int16)
+    out.flags.writeable = False
+    return out
+
+
+@lru_cache(maxsize=1)
+def _alaw_table() -> np.ndarray:
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        exp > 0,
+        ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+        (mant << 4) + 8,
+    )
+    # G.711 A-law: sign bit SET encodes a POSITIVE sample
+    out = np.where(sign != 0, mag, -mag).astype(np.int16)
+    out.flags.writeable = False
+    return out
+
+
+def decode_g711(data: bytes, law: str) -> np.ndarray:
+    """8-bit G.711 bytes -> float32 in [-1, 1)."""
+    tbl = _mulaw_table() if law == "mulaw" else _alaw_table()
+    u8 = np.frombuffer(data, dtype=np.uint8)
+    return tbl[u8].astype(np.float32) / 32768.0
+
+
+def encode_mulaw(pcm: np.ndarray) -> bytes:
+    """float [-1,1] -> G.711 mu-law bytes (tests/fixtures; standard
+    bias-0x84 segment encoder, vectorized)."""
+    x = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x) + 0x84, 0x7FFF)
+    # exponent = position of the highest set bit above bit 7
+    exp = np.maximum(np.floor(np.log2(mag)).astype(np.int32) - 7, 0)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8).tobytes()
+
+
+def encode_alaw(pcm: np.ndarray) -> bytes:
+    """float [-1,1] -> G.711 A-law bytes (vectorized segment encoder)."""
+    x = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0)  # A-law: sign bit SET for positive
+    mag = np.minimum(np.abs(x), 0x7FFF)
+    exp = np.maximum(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7, 0)
+    mant = np.where(exp > 0, (mag >> (exp + 3)) & 0x0F, (mag >> 4) & 0x0F)
+    return (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4, WAV format 0x11): 4-bit differential coding in
+# self-contained blocks.  Decode iterates nibble POSITIONS (one numpy
+# step per position, vectorized across all blocks) — sequential in
+# samples-per-block, parallel in blocks, so cost is ~2 * 1010 numpy
+# ops per payload regardless of length.
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred, idx, nib):
+    """One vectorized IMA ADPCM update across parallel block states."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    diff = diff + np.where(nib & 1, step >> 2, 0)
+    diff = diff + np.where(nib & 2, step >> 1, 0)
+    diff = diff + np.where(nib & 4, step, 0)
+    pred = np.clip(
+        np.where(nib & 8, pred - diff, pred + diff), -32768, 32767
+    )
+    idx = np.clip(idx + _IMA_INDEX[nib & 7], 0, 88)
+    return pred, idx
+
+
+def decode_ima_adpcm(data: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA ADPCM 'data' bytes -> float32 in [-1, 1).  Each block:
+    4-byte header (int16 predictor, uint8 step index, reserved) +
+    2 samples per payload byte."""
+    if block_align < 8:
+        raise ValueError("IMA ADPCM block_align too small")
+    nb = len(data) // block_align
+    if nb == 0:
+        return np.zeros(0, dtype=np.float32)
+    blocks = np.frombuffer(
+        data, dtype=np.uint8, count=nb * block_align
+    ).reshape(nb, block_align)
+    pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
+    idx = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    payload = blocks[:, 4:]
+    spb = 1 + payload.shape[1] * 2
+    out = np.empty((nb, spb), dtype=np.int16)
+    out[:, 0] = pred
+    for j in range(payload.shape[1]):
+        byte = payload[:, j].astype(np.int32)
+        pred, idx = _ima_step(pred, idx, byte & 0x0F)
+        out[:, 1 + 2 * j] = pred
+        pred, idx = _ima_step(pred, idx, byte >> 4)
+        out[:, 2 + 2 * j] = pred
+    return out.reshape(-1).astype(np.float32) / 32768.0
+
+
+def encode_ima_adpcm(pcm: np.ndarray, block_align: int = 1024) -> bytes:
+    """float [-1,1] -> mono IMA ADPCM blocks (tests/fixtures; greedy
+    standard quantizer, sequential — fixture-scale only)."""
+    x = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype(np.int32)
+    spb = 1 + (block_align - 4) * 2
+    out = bytearray()
+    idx = 0  # step index carries across blocks (standard encoder)
+    for s in range(0, len(x), spb):
+        chunk = x[s : s + spb]
+        if chunk.size == 0:
+            break
+        pred = int(chunk[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for v in chunk[1:]:
+            step = int(_IMA_STEPS[idx])
+            delta = int(v) - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            diff = step >> 3
+            if delta >= step:
+                nib |= 4
+                delta -= step
+                diff += step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+                diff += step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+                diff += step >> 2
+            pred = int(np.clip(pred + (-diff if nib & 8 else diff),
+                               -32768, 32767))
+            idx = int(np.clip(idx + _IMA_INDEX[nib & 7], 0, 88))
+            nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)
+        pairs = np.array(nibs, dtype=np.uint8).reshape(-1, 2)
+        out += (pairs[:, 0] | (pairs[:, 1] << 4)).astype(np.uint8).tobytes()
+        # pad the final partial block to block_align
+        used = 4 + pairs.shape[0]
+        if used < block_align and s + spb >= len(x):
+            out += b"\x00" * (block_align - used)
+    return bytes(out)
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """RIFF/WAVE parser -> float32 mono in [-1, 1).
+
+    Walks chunks (handles extra chunks like LIST).  Formats: 1 (PCM,
+    16-bit — bit-exact with earlier rounds), 6 / 7 (G.711 A-law /
+    mu-law, 8-bit), 0x11 (IMA ADPCM, 4-bit mono).  Multi-channel PCM
+    and G.711 are averaged down to mono; anything else raises (the
+    quarantine contract)."""
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
-    n_channels, bits = 1, 16
+    n_channels, bits, block_align = 1, 16, 0
+    audio_format = 1
     fmt_seen = False
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -53,15 +236,30 @@ def decode_wav(data: bytes) -> np.ndarray:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_format, n_channels = struct.unpack("<HH", body[0:4])
+            (block_align,) = struct.unpack("<H", body[12:14])
             (bits,) = struct.unpack("<H", body[14:16])
-            if audio_format != 1 or bits != 16:
-                raise ValueError(f"unsupported wav: fmt={audio_format} bits={bits}")
+            ok = (
+                (audio_format == 1 and bits == 16)
+                or (audio_format in (6, 7) and bits == 8)
+                or (audio_format == 0x11 and bits == 4 and n_channels == 1)
+            )
+            if not ok:
+                raise ValueError(
+                    f"unsupported wav: fmt={audio_format} bits={bits}"
+                )
             fmt_seen = True
         elif cid == b"data":
             if not fmt_seen:
                 raise ValueError("wav data chunk before fmt chunk")
-            pcm = np.frombuffer(body[: len(body) - (len(body) % 2)], dtype="<i2")
-            x = pcm.astype(np.float32) / 32768.0
+            if audio_format == 0x11:
+                return decode_ima_adpcm(body, block_align)
+            if audio_format in (6, 7):
+                x = decode_g711(body, "alaw" if audio_format == 6 else "mulaw")
+            else:
+                pcm = np.frombuffer(
+                    body[: len(body) - (len(body) % 2)], dtype="<i2"
+                )
+                x = pcm.astype(np.float32) / 32768.0
             if n_channels > 1:
                 usable = (x.size // n_channels) * n_channels
                 x = x[:usable].reshape(-1, n_channels).mean(axis=1)
@@ -77,6 +275,14 @@ def decode_audio(data: bytes, codec: str) -> np.ndarray:
         return decode_pcm_s16le(data)
     if codec == "wav":
         return decode_wav(data)
+    if codec == "pcm_mulaw":
+        return decode_g711(data, "mulaw")
+    if codec == "pcm_alaw":
+        return decode_g711(data, "alaw")
+    if codec == "flac":
+        from file_dedup_rust_spark.functions.flac import decode_flac
+
+        return decode_flac(data)
     raise ValueError(f"unsupported codec: {codec}")
 
 
@@ -86,6 +292,32 @@ def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
     body = i16.tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_g711(pcm: np.ndarray, sr_hz: int, law: str = "mulaw") -> bytes:
+    """float [-1,1] -> RIFF/WAVE G.711 mono bytes (fmt 7 mu-law /
+    fmt 6 A-law) — the compressed-container test fixture."""
+    body = encode_mulaw(pcm) if law == "mulaw" else encode_alaw(pcm)
+    fmt_code = 7 if law == "mulaw" else 6
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt_code, 1, sr_hz, sr_hz, 1, 8
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_adpcm(
+    pcm: np.ndarray, sr_hz: int, block_align: int = 1024
+) -> bytes:
+    """float [-1,1] -> RIFF/WAVE IMA ADPCM mono bytes (fmt 0x11)."""
+    body = encode_ima_adpcm(pcm, block_align)
+    spb = 1 + (block_align - 4) * 2
+    hdr = b"RIFF" + struct.pack("<I", 40 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHHH", 20, 0x11, 1, sr_hz,
+        sr_hz * block_align // spb, block_align, 4, 2, spb,
+    )
     return hdr + fmt + b"data" + struct.pack("<I", len(body)) + body
 
 

@@ -357,20 +357,11 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_enc, ac_enc) -> 
     return dc
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    color: bool = False,
-    quality: int = 92,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """float32 [0,1] -> baseline JFIF bytes.
-
-    (H, W) gray -> one component; ``color=True`` (or (H, W, 3) RGB
-    input) -> YCbCr, 4:4:4 by default or 4:2:0 with
-    ``subsample=True``.  ``restart_interval`` > 0 emits DRI + RSTn
-    markers every that many MCUs (exercises the decoder's resync
-    path)."""
+def _prepare(img: np.ndarray, color: bool, quality: int, subsample: bool):
+    """Shared encoder prep: color transform, padding, DCT+quantize.
+    Returns (h, w, comps, planes, qlum_zz, qchr_zz) where comps is
+    [(id, (h, v), tq)] and planes maps id -> (nby, nbx, 64) zigzag
+    coefficient blocks."""
     if color and img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=2)
     u8 = np.clip(np.round(np.asarray(img, dtype=np.float64) * 255.0), 0, 255)
@@ -410,7 +401,56 @@ def encode_jpeg(
                 2: _plane_to_zigzag_blocks(_pad_edge(cb, 8), qchr_zz),
                 3: _plane_to_zigzag_blocks(_pad_edge(cr, 8), qchr_zz),
             }
+    return h, w, comps, planes, qlum_zz, qchr_zz
 
+
+def _frame_headers(
+    h: int, w: int, comps, qlum_zz, qchr_zz, sof_marker: bytes,
+    restart_interval: int = 0,
+) -> bytearray:
+    """SOI + APP0 + DQT(+DQT) + optional DRI + SOFn + all DHTs."""
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density 1x1, no thumbnail
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00"
+    out += bytes(qlum_zz.astype(np.uint8))
+    if len(comps) > 1:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01"
+        out += bytes(qchr_zz.astype(np.uint8))
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
+                                    len(comps))
+    for cid, (ch, cv), tq in comps:
+        out += struct.pack("BBB", cid, (ch << 4) | cv, tq)
+    for klass, tid, (bits, vals) in (
+        (0, 0, _DC_LUM), (1, 0, _AC_LUM),
+        *(((0, 1, _DC_CHR), (1, 1, _AC_CHR)) if len(comps) > 1 else ()),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals),
+                                         (klass << 4) | tid)
+        out += bits + vals
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    color: bool = False,
+    quality: int = 92,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """float32 [0,1] -> baseline JFIF bytes.
+
+    (H, W) gray -> one component; ``color=True`` (or (H, W, 3) RGB
+    input) -> YCbCr, 4:4:4 by default or 4:2:0 with
+    ``subsample=True``.  ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs (exercises the decoder's resync
+    path)."""
+    h, w, comps, planes, qlum_zz, qchr_zz = _prepare(
+        img, color, quality, subsample
+    )
     hmax = max(c[1][0] for c in comps)
     vmax = max(c[1][1] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -443,28 +483,8 @@ def encode_jpeg(
             mcu_count += 1
     bw.flush()
 
-    out = bytearray()
-    out += b"\xff\xd8"  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density 1x1, no thumbnail
-    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00"
-    out += bytes(qlum_zz.astype(np.uint8))
-    if len(comps) > 1:
-        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01"
-        out += bytes(qchr_zz.astype(np.uint8))
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
-                                     len(comps))
-    for cid, (ch, cv), tq in comps:
-        out += struct.pack("BBB", cid, (ch << 4) | cv, tq)
-    for klass, tid, (bits, vals) in (
-        (0, 0, _DC_LUM), (1, 0, _AC_LUM),
-        *(((0, 1, _DC_CHR), (1, 1, _AC_CHR)) if len(comps) > 1 else ()),
-    ):
-        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals),
-                                         (klass << 4) | tid)
-        out += bits + vals
+    out = _frame_headers(h, w, comps, qlum_zz, qchr_zz, b"\xff\xc0",
+                         restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
     for cid, _, tq in comps:
         out += struct.pack("BB", cid, (tq << 4) | tq)  # Td=Ta=tq here
@@ -475,17 +495,368 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (SOF2): spectral selection + optional successive
+# approximation — exists to test the progressive decoder without any
+# fixture files, the same role the baseline encoder plays
+# ---------------------------------------------------------------------------
+
+
+def _flat_ac_table() -> tuple[bytes, bytes]:
+    """AC Huffman table for the progressive encoder: the standard 162
+    run/size symbols PLUS the EOBn symbols 0x10..0xE0 (which baseline
+    tables never contain — only progressive scans emit EOB runs), all
+    at a flat 8 bits.  176 symbols < 255, so the single-length
+    canonical code is trivially valid; compression is worse than an
+    optimized table, which is irrelevant for a test fixture encoder.
+    The decoder reads whatever tables the file carries."""
+    syms = sorted(set(_AC_LUM[1]) | {r << 4 for r in range(1, 15)})
+    bits = bytes([0] * 7 + [len(syms)] + [0] * 8)
+    return bits, bytes(syms)
+
+
+class _EobState:
+    """Per-scan EOB-run accumulator with buffered refinement bits."""
+
+    __slots__ = ("run", "pending")
+
+    def __init__(self) -> None:
+        self.run = 0
+        self.pending: list[int] = []
+
+
+def _emit_eobrun(bw: _BitWriter, ac_enc, st: _EobState) -> None:
+    if st.run > 0:
+        nbits = st.run.bit_length() - 1
+        code, ln = ac_enc[nbits << 4]
+        bw.put(code, ln)
+        if nbits:
+            bw.put(st.run - (1 << nbits), nbits)
+        for b in st.pending:
+            bw.put(b, 1)
+        st.run = 0
+        st.pending = []
+
+
+def _enc_ac_first_block(bw, ac_enc, zz, ss, se, al, st: _EobState) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = v >> al if v >= 0 else -((-v) >> al)  # AC: truncate toward 0
+        if t == 0:
+            r += 1
+            continue
+        _emit_eobrun(bw, ac_enc, st)
+        while r > 15:
+            code, ln = ac_enc[0xF0]
+            bw.put(code, ln)
+            r -= 16
+        size = abs(t).bit_length()
+        code, ln = ac_enc[(r << 4) | size]
+        bw.put(code, ln)
+        bw.put(t if t > 0 else t + (1 << size) - 1, size)
+        r = 0
+    if r > 0:
+        st.run += 1
+        if st.run == 0x7FFF:
+            _emit_eobrun(bw, ac_enc, st)
+
+
+def _enc_ac_refine_block(bw, ac_enc, zz, ss, se, al, st: _EobState) -> None:
+    absv = []
+    eobpos = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        absv.append(t)
+        if t == 1:  # newly-significant at this precision
+            eobpos = k
+    r = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            _emit_eobrun(bw, ac_enc, st)
+            code, ln = ac_enc[0xF0]
+            bw.put(code, ln)
+            r -= 16
+            for b in br_bits:
+                bw.put(b, 1)
+            br_bits = []
+        if t > 1:  # history-nonzero: buffered correction bit
+            br_bits.append(t & 1)
+            continue
+        _emit_eobrun(bw, ac_enc, st)
+        code, ln = ac_enc[(r << 4) | 1]
+        bw.put(code, ln)
+        r = 0
+        bw.put(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in br_bits:
+            bw.put(b, 1)
+        br_bits = []
+    if r > 0 or br_bits:
+        st.run += 1
+        st.pending.extend(br_bits)
+        if st.run == 0x7FFF:
+            _emit_eobrun(bw, ac_enc, st)
+
+
+def _comp_block_dims(h, w, ch, cv, hmax, vmax) -> tuple[int, int]:
+    """A component's own (non-interleaved) block-grid dims."""
+    cw = -(-(w * ch) // hmax)
+    chh = -(-(h * cv) // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    color: bool = False,
+    quality: int = 92,
+    subsample: bool = False,
+    successive: bool = True,
+    ac_split: int = 5,
+) -> bytes:
+    """float32 [0,1] -> progressive JFIF bytes (SOF2).
+
+    Scan script: interleaved DC first, per-component AC bands split at
+    ``ac_split`` (spectral selection); ``successive=True`` additionally
+    point-transforms every scan by one bit (Al=1) and appends DC + AC
+    refinement scans (successive approximation) — together covering
+    all four progressive scan kinds the decoder implements."""
+    h, w, comps, planes, qlum_zz, qchr_zz = _prepare(
+        img, color, quality, subsample
+    )
+    hmax = max(c[1][0] for c in comps)
+    vmax = max(c[1][1] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    al1 = 1 if successive else 0
+    dc_enc = {0: _build_enc(*_DC_LUM), 1: _build_enc(*_DC_CHR)}
+    flat = _flat_ac_table()
+    ac_enc = {0: _build_enc(*flat), 1: _build_enc(*flat)}
+
+    out = _frame_headers(h, w, comps, qlum_zz, qchr_zz, b"\xff\xc2")
+    # redefine the AC table slots with the EOBn-capable flat table
+    for tid in range(2 if len(comps) > 1 else 1):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + 16 + len(flat[1]), (1 << 4) | tid
+        ) + flat[0] + flat[1]
+
+    def sos(scomps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        seg = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomps),
+                                        len(scomps))
+        for cid, td, ta in scomps:
+            seg += struct.pack("BB", cid, (td << 4) | ta)
+        return seg + struct.pack("BBB", ss, se, (ah << 4) | al)
+
+    # ---- DC first scan: interleaved over all components, Al=al1 ----
+    bw = _BitWriter()
+    preds = {cid: 0 for cid, _, _ in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, (ch, cv), tq in comps:
+                blocks = planes[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = int(blocks[my * cv + by, mx * ch + bx, 0]) >> al1
+                        diff = dc - preds[cid]
+                        preds[cid] = dc
+                        size = abs(diff).bit_length()
+                        code, ln = dc_enc[tq][size]
+                        bw.put(code, ln)
+                        if size:
+                            bw.put(
+                                diff if diff > 0 else diff + (1 << size) - 1,
+                                size,
+                            )
+    bw.flush()
+    out += sos([(cid, tq, 0) for cid, _, tq in comps], 0, 0, 0, al1) + bw.buf
+
+    # ---- AC first scans: per component, band split, Al=al1 ----
+    bands = [(1, ac_split), (ac_split + 1, 63)] if 1 <= ac_split < 63 \
+        else [(1, 63)]
+    for cid, (ch, cv), tq in comps:
+        hb, wb = _comp_block_dims(h, w, ch, cv, hmax, vmax)
+        for ss, se in bands:
+            bw = _BitWriter()
+            st = _EobState()
+            for byi in range(hb):
+                for bxi in range(wb):
+                    _enc_ac_first_block(
+                        bw, ac_enc[tq], planes[cid][byi, bxi], ss, se, al1, st
+                    )
+            _emit_eobrun(bw, ac_enc[tq], st)
+            bw.flush()
+            out += sos([(cid, 0, tq)], ss, se, 0, al1) + bw.buf
+
+    if successive:
+        # ---- DC refinement: interleaved, one raw bit per block ----
+        bw = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid, (ch, cv), tq in comps:
+                    blocks = planes[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            bw.put(
+                                int(blocks[my * cv + by, mx * ch + bx, 0]) & 1,
+                                1,
+                            )
+        bw.flush()
+        out += sos([(cid, 0, 0) for cid, _, _ in comps], 0, 0, 1, 0) + bw.buf
+        # ---- AC refinement scans ----
+        for cid, (ch, cv), tq in comps:
+            hb, wb = _comp_block_dims(h, w, ch, cv, hmax, vmax)
+            for ss, se in bands:
+                bw = _BitWriter()
+                st = _EobState()
+                for byi in range(hb):
+                    for bxi in range(wb):
+                        _enc_ac_refine_block(
+                            bw, ac_enc[tq], planes[cid][byi, bxi],
+                            ss, se, 0, st,
+                        )
+                _emit_eobrun(bw, ac_enc[tq], st)
+                bw.flush()
+                out += sos([(cid, 0, tq)], ss, se, 1, 0) + bw.buf
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W) float32 luma in [0,1].
+def _next_marker(data: bytes, p: int) -> int:
+    """Index of the 0xFF of the next REAL marker at/after p — skips
+    entropy data, stuffed 0xFF00, fill 0xFF bytes, and RST markers.
+    This is also how chroma-only progressive scans are skipped without
+    entropy-decoding them (only Y is ever reconstructed)."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] != 0xFF:
+            p += 1
+        elif data[p + 1] == 0x00:
+            p += 2
+        elif data[p + 1] == 0xFF:
+            p += 1
+        elif 0xD0 <= data[p + 1] <= 0xD7:
+            p += 2
+        else:
+            return p
+    return n
 
-    Accepts SOF0 (baseline) and SOF1 (extended sequential, identical
-    decode path at 8-bit); raises ValueError on progressive/arithmetic/
-    12-bit streams and on malformed payloads, which quarantines the
-    row upstream (image_signatures decode_ok=false)."""
+
+def _seq_block(br, blk, pred, dc_t, ac_t) -> int:
+    """One baseline-sequential block: DC diff + full AC band.  blk is
+    the Y coefficient row (written) or None (chroma: decode-and-drop)."""
+    size = _decode_sym(br, dc_t)
+    diff = _extend(br.receive(size), size) if size else 0
+    pred += diff
+    if blk is not None:
+        blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = _decode_sym(br, ac_t)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        size = rs & 0x0F
+        v = _extend(br.receive(size), size)
+        if k > 63:
+            raise ValueError("AC index overran block")
+        if blk is not None:
+            blk[k] = v
+        k += 1
+    return pred
+
+
+def _ac_first_block(br, blk, ss, se, al, ac_t, eob: list) -> None:
+    """Progressive AC first scan, one block (T.81 G.1.2.2)."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_sym(br, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eob[0] = (1 << r) - 1
+                if r:
+                    eob[0] += br.receive(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index overran band")
+        v = _extend(br.receive(s), s)
+        if blk is not None:
+            blk[k] = v * (1 << al)
+        k += 1
+
+
+def _ac_refine_block(br, blk, ss, se, al, ac_t, eob: list) -> None:
+    """Progressive AC refinement, one block (T.81 G.1.2.3): correction
+    bits for history-nonzero coefficients, new +-1<<Al insertions."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k_):
+        c = int(blk[k_])
+        if br.bit() and (c & p1) == 0:
+            blk[k_] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = _decode_sym(br, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eob[0] = 1 << r
+                    if r:
+                        eob[0] += br.receive(r)
+                    break
+            else:  # s must be 1 in a refinement scan
+                val = p1 if br.bit() else m1
+            while k <= se:
+                if int(blk[k]) != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            if int(blk[k]) != 0:
+                correct(k)
+            k += 1
+        eob[0] -= 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JFIF bytes -> (H, W) float32 luma in [0,1].
+
+    Accepts SOF0 (baseline), SOF1 (extended sequential — identical
+    decode at 8-bit), and SOF2 (PROGRESSIVE: spectral selection and
+    successive approximation, DC and AC refinement scans, multi-scan
+    accumulation — round 5).  Only the Y channel is reconstructed;
+    interleaved scans entropy-decode chroma to stay in sync, while
+    chroma-only progressive scans are skipped outright via marker
+    search.  Raises ValueError on arithmetic-coded / hierarchical /
+    12-bit streams and malformed payloads (quarantined upstream)."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -493,19 +864,150 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], object] = {}  # (class, id) -> decoder tbl
     comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
     hsize = wsize = 0
+    hmax = vmax = 1
     restart = 0
-    br = None
-    scan: list[tuple[int, int, int, object, object]] = []
+    progressive = False
+    ycid = None
+    ycoef = None
+    saw_scan = False
 
-    while pos + 4 <= len(data):
+    def decode_scan(body: bytes, start: int) -> int:
+        """Decode (or skip) one scan's entropy data; return the
+        position of the next marker."""
+        nonlocal saw_scan
+        ns = body[0]
+        bycid = {c[0]: c for c in comps}
+        scomps = []
+        for i in range(ns):
+            cid, tds = struct.unpack_from("BB", body, 1 + 2 * i)
+            if cid not in bycid:
+                raise ValueError("SOS references unknown component")
+            _, ch, cv, tq_id = bycid[cid]
+            scomps.append(
+                (cid, ch, cv, huff.get((0, tds >> 4)),
+                 huff.get((1, tds & 0x0F)))
+            )
+        if progressive:
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "malformed progressive scan (DC scan needs Se=0)"
+                )
+            if ss > 0 and (ns != 1 or not ss <= se <= 63):
+                raise ValueError(
+                    "malformed progressive AC scan (must be one component)"
+                )
+        else:
+            ss, se, ah, al = 0, 63, 0, 0
+        if not any(c[0] == ycid for c in scomps):
+            # no luma in this scan: nothing we reconstruct — skip the
+            # entropy data wholesale
+            saw_scan = True
+            return _next_marker(data, start)
+        for cid, ch, cv, dc_t, ac_t in scomps:
+            if (ss == 0 and ah == 0 and dc_t is None) or (
+                (ss > 0 or not progressive) and ac_t is None
+            ):
+                raise ValueError("SOS references missing DHT")
+        br = _BitReader(data, start)
+        eob = [0]
+        preds = {c[0]: 0 for c in scomps}
+        unit = 0  # restart counting: MCUs, or blocks when ns == 1
+
+        def maybe_restart():
+            nonlocal preds
+            if restart and unit and unit % restart == 0:
+                br.restart()
+                preds = {c[0]: 0 for c in scomps}
+                eob[0] = 0
+
+        if ns == 1:
+            cid, ch, cv, dc_t, ac_t = scomps[0]
+            hb, wb = _comp_block_dims(hsize, wsize, ch, cv, hmax, vmax)
+            is_y = cid == ycid
+            for byi in range(hb):
+                for bxi in range(wb):
+                    maybe_restart()
+                    blk = ycoef[byi, bxi] if is_y else None
+                    if not progressive:
+                        preds[cid] = _seq_block(br, blk, preds[cid],
+                                                dc_t, ac_t)
+                    elif ss == 0:
+                        if ah == 0:
+                            size = _decode_sym(br, dc_t)
+                            diff = (_extend(br.receive(size), size)
+                                    if size else 0)
+                            preds[cid] += diff
+                            if blk is not None:
+                                blk[0] = preds[cid] * (1 << al)
+                        else:
+                            b = br.bit()
+                            if b and blk is not None:
+                                blk[0] = float(int(blk[0]) | (1 << al))
+                    elif ah == 0:
+                        _ac_first_block(br, blk, ss, se, al, ac_t, eob)
+                    else:
+                        _ac_refine_block(br, blk, ss, se, al, ac_t, eob)
+                    unit += 1
+        else:
+            if progressive and ss > 0:
+                raise ValueError("interleaved progressive AC scan")
+            mcx = -(-wsize // (8 * hmax))
+            mcy = -(-hsize // (8 * vmax))
+            for my in range(mcy):
+                for mx in range(mcx):
+                    maybe_restart()
+                    for cid, ch, cv, dc_t, ac_t in scomps:
+                        is_y = cid == ycid
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blk = (
+                                    ycoef[my * cv + by, mx * ch + bx]
+                                    if is_y else None
+                                )
+                                if not progressive:
+                                    preds[cid] = _seq_block(
+                                        br, blk, preds[cid], dc_t, ac_t
+                                    )
+                                elif ah == 0:
+                                    size = _decode_sym(br, dc_t)
+                                    diff = (
+                                        _extend(br.receive(size), size)
+                                        if size else 0
+                                    )
+                                    preds[cid] += diff
+                                    if blk is not None:
+                                        blk[0] = preds[cid] * (1 << al)
+                                else:
+                                    b = br.bit()
+                                    if b and blk is not None:
+                                        blk[0] = float(
+                                            int(blk[0]) | (1 << al)
+                                        )
+                    unit += 1
+        saw_scan = True
+        return _next_marker(data, br.p)
+
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI (no scan seen)
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        if pos + 4 > len(data):
             break
         ln = struct.unpack_from(">H", data, pos + 2)[0]
         body = data[pos + 4 : pos + 2 + ln]
-        pos += 2 + ln
+        seg_start = pos + 2 + ln
+        pos = seg_start
         if marker == 0xDB:  # DQT: one or more tables per segment
             o = 0
             while o < len(body):
@@ -525,7 +1027,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = body[o + 17 : o + 17 + nv]
                 huff[(tc, th)] = _build_dec(bits, vals)
                 o += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            progressive = marker == 0xC2
             prec, hsize, wsize, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG not supported")
@@ -533,80 +1036,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq_id = struct.unpack_from("BBB", body, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            # luma is the first frame component (JFIF ordering)
+            ycid = comps[0][0]
+            mcx = -(-wsize // (8 * hmax))
+            mcy = -(-hsize // (8 * vmax))
+            ycoef = np.zeros(
+                (mcy * comps[0][2], mcx * comps[0][1], 64), dtype=np.float64
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG supported (got SOF"
-                f"{marker - 0xC0})"
+                "unsupported JPEG variant (lossless/arithmetic/"
+                f"hierarchical, SOF{marker - 0xC0})"
             )
         elif marker == 0xDD:  # DRI
             restart = struct.unpack_from(">H", body, 0)[0]
-        elif marker == 0xDA:  # SOS: map tables, then entropy data follows
-            if not comps:
+        elif marker == 0xDA:  # SOS
+            if not comps or ycoef is None:
                 raise ValueError("SOS before SOF")
-            ns = body[0]
-            bycid = {c[0]: c for c in comps}
-            scan = []
-            for i in range(ns):
-                cid, tds = struct.unpack_from("BB", body, 1 + 2 * i)
-                _, ch, cv, tq_id = bycid[cid]
-                dc_t = huff.get((0, tds >> 4))
-                ac_t = huff.get((1, tds & 0x0F))
-                if dc_t is None or ac_t is None or tq_id not in qt:
-                    raise ValueError("SOS references missing DHT/DQT")
-                scan.append((cid, ch, cv, dc_t, ac_t))
-            br = _BitReader(data, pos)
-            break
+            for cid, _, _, tq_id in comps:
+                if tq_id not in qt:
+                    raise ValueError("SOS references missing DQT")
+            pos = decode_scan(body, seg_start)
         # APPn / COM / anything else: skipped via ln
 
-    if br is None or not scan:
+    if not saw_scan or ycoef is None:
         raise ValueError("JPEG has no scan data")
 
-    hmax = max(c[1] for c in scan)
-    vmax = max(c[2] for c in scan)
-    mcus_x = -(-wsize // (8 * hmax))
-    mcus_y = -(-hsize // (8 * vmax))
-    ycid, yh, yv = scan[0][0], scan[0][1], scan[0][2]
     ytq = next(c[3] for c in comps if c[0] == ycid)
     yq = qt[ytq].astype(np.float64)
-    # Y coefficient store, zigzag order; dequant + IDCT vectorized after
-    ycoef = np.zeros((mcus_y * yv, mcus_x * yh, 64), dtype=np.float64)
-
-    preds = {cid: 0 for cid, *_ in scan}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu_count and mcu_count % restart == 0:
-                br.restart()
-                preds = {cid: 0 for cid, *_ in scan}
-            for cid, ch, cv, dc_t, ac_t in scan:
-                is_y = cid == ycid
-                for by in range(cv):
-                    for bx in range(ch):
-                        size = _decode_sym(br, dc_t)
-                        diff = _extend(br.receive(size), size) if size else 0
-                        preds[cid] += diff
-                        if is_y:
-                            blk = ycoef[my * cv + by, mx * ch + bx]
-                            blk[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_sym(br, ac_t)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            size = rs & 0x0F
-                            v = _extend(br.receive(size), size)
-                            if k > 63:
-                                raise ValueError("AC index overran block")
-                            if is_y:
-                                blk[k] = v
-                            k += 1
-            mcu_count += 1
-
     # dequantize (zigzag domain), de-zigzag, IDCT every Y block at once
     nby, nbx, _ = ycoef.shape
     raster = np.zeros((nby, nbx, 64), dtype=np.float64)

@@ -11,7 +11,8 @@ functions/audio.py.
 Sandbox constraint: no image/video codec LIBRARIES are installed, but
 four image formats decode for real anyway — uncompressed BMP and
 binary PNM (pure numpy), PNG (stdlib zlib inflate + numpy scanline
-unfilter, round 5), and baseline JPEG (pure-numpy Huffman + IDCT,
+unfilter, round 5), and JPEG — baseline AND progressive (pure-numpy
+Huffman + IDCT, spectral selection + successive approximation,
 `functions/jpeg.py`, round 5) — so uncompressed, lossless-compressed,
 and lossy-compressed real decode branches all run in every test pass.
 Remaining formats (WebP/TIFF/...) and video codecs stay
@@ -334,8 +335,9 @@ def decode_image(data: bytes, mime: str) -> np.ndarray:
     """Decode an encoded image payload -> (H, W) float32 luma in [0,1].
 
     Uncompressed BMP, binary PNM, PNG (stdlib zlib inflate + numpy
-    unfilter), and baseline JPEG (pure-numpy Huffman + IDCT,
-    `functions/jpeg.py`) — REAL compressed decode, no codec library —
+    unfilter), and JPEG, baseline and progressive (pure-numpy Huffman
+    + IDCT, `functions/jpeg.py`) — REAL compressed decode, no codec
+    library —
     are magic-byte sniffed and decode natively in the default sandbox;
     remaining formats (WebP/TIFF/...) need PIL and raise
     NotImplementedError without it, quarantining the row."""
@@ -352,10 +354,9 @@ def decode_image(data: bytes, mime: str) -> np.ndarray:
     pil = try_import_pil()
     if pil is None:
         raise NotImplementedError(
-            "image decode beyond BMP/PNM/PNG/baseline-JPEG (WebP/TIFF/"
-            "progressive JPEG) requires PIL/pillow (not in this "
-            "sandbox); fake_decode_image is the deterministic test "
-            "fallback"
+            "image decode beyond BMP/PNM/PNG/JPEG (WebP/TIFF/...) "
+            "requires PIL/pillow (not in this sandbox); "
+            "fake_decode_image is the deterministic test fallback"
         )
     import io
 

@@ -199,6 +199,8 @@ def test_container_flip_clusters_through_pcm_exact_tier(spark):
     )
     from file_dedup_rust_spark.plans.pipeline import build_edges
 
+    from file_dedup_rust_spark.functions.flac import encode_flac
+
     x = _tone(seed=21)
     y = _tone(seed=22, f=660.0)
     i16 = np.clip(np.round(x * 32767), -32768, 32767).astype("<i2")
@@ -208,6 +210,10 @@ def test_container_flip_clusters_through_pcm_exact_tier(spark):
         ("c_raw", bytearray(i16.tobytes()), 8000, 500, "pcm_s16le", "beta"),
         ("c_copy", bytearray(wav), 8000, 500, "wav", "gamma"),
         ("c_other", bytearray(A.encode_wav(y, 8000)), 8000, 500, "wav", "delta"),
+        # round 5: a COMPRESSED lossless container flip — decodes
+        # bit-identical, so the same tier must catch it
+        ("c_flac", bytearray(encode_flac(x, 8000)), 8000, 500, "flac",
+         "epsilon"),
     ]
     clips = spark.createDataFrame(
         rows,
@@ -223,14 +229,14 @@ def test_container_flip_clusters_through_pcm_exact_tier(spark):
     # member string-min picked as rep), one byte-exact star edge
     pcm_edges = {(a, b) for a, b, k in kinds if k == "pcm_exact"}
     assert pcm_edges and all(
-        {a, b} <= {"c_wav", "c_raw", "c_copy"} for a, b in pcm_edges
+        {a, b} <= {"c_wav", "c_raw", "c_copy", "c_flac"} for a, b in pcm_edges
     )
     assert any(k == "exact" for _, _, k in kinds)
     cc = connected_components(
         edges.select("a", "b"), sigs.select("clip_id")
     )
     lbl = {r["clip_id"]: r["cluster_id"] for r in cc.collect()}
-    assert lbl["c_wav"] == lbl["c_raw"] == lbl["c_copy"]
+    assert lbl["c_wav"] == lbl["c_raw"] == lbl["c_copy"] == lbl["c_flac"]
     assert lbl["c_other"] != lbl["c_wav"]
 
 
@@ -401,3 +407,380 @@ def test_audio_containment_stop_hash_cap(spark):
     }
     # the s* and loop_* clips vanish entirely (all their frames capped)
     assert edges == {("u0", "u1"): 1.0}
+
+
+# ---------------------------------------------------------------------------
+# compressed audio codecs (round 5): G.711 mu-law / A-law + IMA ADPCM
+# ---------------------------------------------------------------------------
+
+
+def _snr_db(a, b):
+    import numpy as np
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    return 10 * np.log10(
+        float(np.sum(a**2)) / max(float(np.sum((a - b) ** 2)), 1e-20)
+    )
+
+
+def test_g711_and_adpcm_roundtrip_snr():
+    """Companded (8-bit G.711) and differential (4-bit IMA ADPCM)
+    codecs round-trip at their textbook SNR regimes: ~37 dB for G.711
+    on speech-level noise, >30 dB for ADPCM on tonal content (its
+    design regime) and >12 dB on white noise (the worst case for a
+    differential coder)."""
+    import numpy as np
+
+    from file_dedup_rust_spark.functions import audio as A
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    noise = (rng.standard_normal(sr * 2) * 0.1).astype(np.float32)
+    t = np.arange(sr * 2) / sr
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t)
+            + 0.1 * np.sin(2 * np.pi * 97 * t)).astype(np.float32)
+
+    assert _snr_db(noise, A.decode_g711(A.encode_mulaw(noise), "mulaw")) > 33
+    assert _snr_db(noise, A.decode_g711(A.encode_alaw(noise), "alaw")) > 33
+    assert _snr_db(noise, A.decode_wav(A.encode_wav_g711(noise, sr))) > 33
+    assert _snr_db(
+        noise, A.decode_wav(A.encode_wav_g711(noise, sr, "alaw"))
+    ) > 33
+    assert _snr_db(tone, A.decode_wav(A.encode_wav_adpcm(tone, sr))) > 30
+    assert _snr_db(noise, A.decode_wav(A.encode_wav_adpcm(noise, sr))) > 12
+    # raw-codec dispatch
+    assert _snr_db(
+        noise, A.decode_audio(A.encode_mulaw(noise), "pcm_mulaw")
+    ) > 33
+    assert _snr_db(
+        noise, A.decode_audio(A.encode_alaw(noise), "pcm_alaw")
+    ) > 33
+    # G.711 decode is involutive under re-encode (quantization fixed
+    # points): decode(encode(decode(b))) == decode(b) for every byte
+    all_bytes = bytes(range(256))
+    for law in ("mulaw", "alaw"):
+        d1 = A.decode_g711(all_bytes, law)
+        enc = A.encode_mulaw(d1) if law == "mulaw" else A.encode_alaw(d1)
+        d2 = A.decode_g711(enc, law)
+        assert float(np.max(np.abs(d1 - d2))) <= 2.0 / 32768.0, law
+
+
+def test_wav_pcm16_path_bit_exact_and_new_fmts_gated():
+    """The PCM16 WAV path must remain BIT-EXACT (the pcm_exact tier
+    and the per-row oracle depend on it); unsupported fmt variants
+    still raise (quarantine contract); stereo ADPCM rejected."""
+    import struct
+
+    import numpy as np
+
+    from file_dedup_rust_spark.functions import audio as A
+
+    rng = np.random.default_rng(1)
+    pcm = (rng.standard_normal(8000) * 0.2).astype(np.float32)
+    d = A.decode_wav(A.encode_wav(pcm, 16000))
+    i16 = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype("<i2")
+    assert np.array_equal(d, i16.astype(np.float32) / 32768.0)
+
+    # 8-bit PCM (fmt 1 bits 8) is still unsupported -> loud reject
+    bad = bytearray(A.encode_wav(pcm, 16000))
+    struct.pack_into("<H", bad, 12 + 8 + 14, 8)  # fmt chunk bits field
+    with pytest.raises(ValueError, match="unsupported wav"):
+        A.decode_wav(bytes(bad))
+    # stereo ADPCM rejected (mono-only decoder)
+    adp = bytearray(A.encode_wav_adpcm(pcm, 16000))
+    struct.pack_into("<H", adp, 12 + 8 + 2, 2)  # n_channels
+    with pytest.raises(ValueError, match="unsupported wav"):
+        A.decode_wav(bytes(adp))
+
+
+def test_cross_codec_near_dup_via_simhash(spark, cfg):
+    """A clip re-encoded through G.711 or ADPCM is a NEAR-dup of its
+    PCM16 original: same spectral content, different bytes — the
+    signature SimHashes must land within the Hamming gate while an
+    unrelated clip stays far (the codec-invariance story one tier
+    below pcm_exact, which needs bit-identical samples).  The fixture
+    is tonal speech-band content — ADPCM's design regime (its ~14 dB
+    SNR on full-band WHITE noise is genuinely outside the 30 dB
+    near-dup budget, pinned in the SNR test above, so white noise
+    would be testing the codec outside its contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from file_dedup_rust_spark.functions import audio as A
+    from file_dedup_rust_spark.functions.udfs import compute_signatures
+
+    rng = np.random.default_rng(5)
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    base = (
+        0.3 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 97 * t)
+        + 0.01 * rng.standard_normal(sr * 2)
+    ).astype(np.float32)
+    other = (
+        0.3 * np.sin(2 * np.pi * 633 * t) + 0.1 * np.sin(2 * np.pi * 150 * t)
+        + 0.01 * rng.standard_normal(sr * 2)
+    ).astype(np.float32)
+    rows = [
+        ("orig", A.encode_wav(base, sr), "wav"),
+        ("mu", A.encode_wav_g711(base, sr, "mulaw"), "wav"),
+        ("adp", A.encode_wav_adpcm(base, sr), "wav"),
+        ("raw_mu", A.encode_mulaw(base), "pcm_mulaw"),
+        ("unrel", A.encode_wav(other, sr), "wav"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "clip_id": [r[0] for r in rows],
+            "bytes": [r[1] for r in rows],
+            "sr_hz": [sr] * len(rows),
+            "dur_ms": [2000] * len(rows),
+            "codec": [r[2] for r in rows],
+            "transcript": [""] * len(rows),
+        }
+    )
+    clips = spark.createDataFrame(
+        pdf,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    sigs = {r.clip_id: r for r in compute_signatures(clips, cfg).collect()}
+    assert all(s.decode_ok for s in sigs.values())
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    for cid in ("mu", "adp", "raw_mu"):
+        assert ham(sigs[cid].simhash, sigs["orig"].simhash) <= cfg.hamming_max, cid
+    assert ham(sigs["unrel"].simhash, sigs["orig"].simhash) > cfg.hamming_max
+
+
+# ---------------------------------------------------------------------------
+# FLAC (round 5): real lossless compressed decode -> pcm_exact across
+# containers
+# ---------------------------------------------------------------------------
+
+
+def test_flac_roundtrip_is_lossless():
+    """encode_flac -> decode_flac reproduces the int16 quantization
+    EXACTLY (losslessness is the whole point: it is what lets the
+    pcm_exact tier see through the container)."""
+    import numpy as np
+
+    from file_dedup_rust_spark.functions import flac as FL
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    for sig in (
+        (rng.standard_normal(sr * 2) * 0.1).astype(np.float32),
+        (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr * 2) / sr)).astype(
+            np.float32
+        ),
+        (rng.standard_normal(100) * 0.05).astype(np.float32),  # < 1 block
+        (rng.standard_normal(sr) * 0.9).astype(np.float32),    # near-full
+    ):
+        i16 = np.clip(np.round(sig * 32767.0), -32768, 32767)
+        want = (i16 / 32768.0).astype(np.float32)
+        got = FL.decode_flac(FL.encode_flac(sig, sr))
+        assert np.array_equal(got, want)
+
+
+def test_flac_crc_and_malformed_reject():
+    import numpy as np
+
+    from file_dedup_rust_spark.functions import flac as FL
+
+    sig = (np.random.default_rng(1).standard_normal(5000) * 0.1).astype(
+        np.float32
+    )
+    data = bytearray(FL.encode_flac(sig, 16000))
+    with pytest.raises(ValueError):
+        FL.decode_flac(b"not flac at all")
+    # flip one audio byte: CRC-16 must catch it
+    data[-40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        FL.decode_flac(bytes(data))
+
+
+def _flac_stream(frames_bits, n_total, channels=1, bits_per=16,
+                 sr=16000):
+    """Hand-build a FLAC stream from raw frame payload builders —
+    exercises decoder paths the fixture encoder never emits."""
+    import struct
+
+    from file_dedup_rust_spark.functions import flac as FL
+
+    out = bytearray(b"fLaC")
+    si = bytearray()
+    si += struct.pack(">HH", 4096, 4096)
+    si += b"\x00\x00\x00" * 2
+    si += bytes([
+        (sr >> 12) & 0xFF, (sr >> 4) & 0xFF,
+        ((sr & 0x0F) << 4) | ((channels - 1) << 1) | ((bits_per - 1) >> 4),
+        (((bits_per - 1) & 0x0F) << 4) | 0,
+    ])
+    si += struct.pack(">I", n_total)
+    si += b"\x00" * 16
+    out += bytes([0x80]) + struct.pack(">I", len(si))[1:] + si
+    for fb in frames_bits:
+        out += fb
+    return bytes(out)
+
+
+def _flac_frame(fi, blocksize, ch_code, depth, write_subframes):
+    """One hand-built frame: header + subframes + CRCs."""
+    import struct
+
+    from file_dedup_rust_spark.functions import flac as FL
+
+    hdr = FL._BitW()
+    hdr.write(0x3FFE, 14)
+    hdr.write(0, 2)
+    hdr.write(7, 4)            # 16-bit blocksize form
+    hdr.write(0, 4)            # sr from STREAMINFO
+    hdr.write(ch_code, 4)
+    hdr.write(4, 3)            # 16-bit samples
+    hdr.write(0, 1)
+    hdr.align()
+    head = bytes(hdr.buf) + FL._utf8_number(fi)
+    head += struct.pack(">H", blocksize - 1)
+    head += bytes([FL._crc8(head)])
+    body = FL._BitW()
+    write_subframes(body)
+    body.align()
+    frame = head + bytes(body.buf)
+    return frame + struct.pack(">H", FL._crc16(frame))
+
+
+def test_flac_decoder_covers_nonencoder_paths():
+    """CONSTANT and VERBATIM subframes, wasted bits, LPC prediction,
+    5-bit Rice method, multi-partition residuals, and all three stereo
+    decorrelation modes — none of which the fixture encoder emits —
+    decode correctly from hand-built conformant streams."""
+    import numpy as np
+
+    from file_dedup_rust_spark.functions import flac as FL
+
+    bs = 16
+
+    # --- CONSTANT + wasted bits (value 100 << 1 stored at eff-1 bits)
+    def const_sub(b):
+        b.write(0, 1)
+        b.write(0, 6)          # CONSTANT
+        b.write(1, 1)          # wasted flag
+        b.write(1, 1)          # unary 0 -> wasted = 1
+        b.write(100 & 0x7FFF, 15)  # eff = 16 - 1
+
+    got = FL.decode_flac(_flac_stream(
+        [_flac_frame(0, bs, 0, 16, const_sub)], bs))
+    assert np.array_equal(got, np.full(bs, 200.0, dtype=np.float32) / 32768)
+
+    # --- VERBATIM with 5-bit Rice method marker unused; plain samples
+    vals = np.arange(bs, dtype=np.int64) * 3 - 20
+
+    def verb_sub(b):
+        b.write(0, 1)
+        b.write(1, 6)          # VERBATIM
+        b.write(0, 1)
+        for v in vals:
+            b.write(int(v) & 0xFFFF, 16)
+
+    got = FL.decode_flac(_flac_stream(
+        [_flac_frame(0, bs, 0, 16, verb_sub)], bs))
+    assert np.array_equal(got, (vals / 32768.0).astype(np.float32))
+
+    # --- LPC order 1, coef 1, shift 0 == repeat-previous + residuals,
+    #     residuals in the 5-bit Rice method with 2 partitions
+    target = np.array([7, 9, 6, 6, 8, 5, 5, 5, 9, 12, 4, 4, 0, -3, -3, 2],
+                      dtype=np.int64)
+
+    def lpc_sub(b):
+        b.write(0, 1)
+        b.write(32, 6)         # LPC order 1 (0b100000)
+        b.write(0, 1)
+        b.write(int(target[0]) & 0xFFFF, 16)  # warm-up
+        b.write(3, 4)          # precision-1 -> 4 bits
+        b.write(0, 5)          # shift 0
+        b.write(1, 4)          # coef = 1
+        res = target[1:] - target[:-1]
+        b.write(1, 2)          # 5-bit Rice method
+        b.write(1, 4)          # partition order 1 -> 2 partitions
+        for part in (res[: bs // 2 - 1], res[bs // 2 - 1 :]):
+            b.write(2, 5)      # rice param 2
+            for r in part:
+                u = (abs(int(r)) << 1) - (1 if r < 0 else 0)
+                for _ in range(u >> 2):
+                    b.write(0, 1)
+                b.write(1, 1)
+                b.write(u & 3, 2)
+
+    got = FL.decode_flac(_flac_stream(
+        [_flac_frame(0, bs, 0, 16, lpc_sub)], bs))
+    assert np.array_equal(got, (target / 32768.0).astype(np.float32))
+
+    # --- stereo: left/side, right/side, mid/side with CONSTANT sides
+    left_v, right_v = 1000, 400
+
+    def mk_stereo(ch_code):
+        def subs(b):
+            if ch_code == 8:      # left + side(left - right)
+                a, bb, da, db = left_v, left_v - right_v, 16, 17
+            elif ch_code == 9:    # side + right
+                a, bb, da, db = left_v - right_v, right_v, 17, 16
+            else:                 # mid/side
+                a, bb = (left_v + right_v) >> 1, left_v - right_v
+                da, db = 16, 17
+            for v, d in ((a, da), (bb, db)):
+                b.write(0, 1)
+                b.write(0, 6)
+                b.write(0, 1)
+                b.write(int(v) & ((1 << d) - 1), d)
+        return subs
+
+    want = np.full(bs, (left_v + right_v) / 2.0 / 32768.0, dtype=np.float32)
+    for ch_code in (8, 9, 10):
+        got = FL.decode_flac(_flac_stream(
+            [_flac_frame(0, bs, ch_code, 16, mk_stereo(ch_code))], bs))
+        assert np.allclose(got, want, atol=1e-7), ch_code
+
+
+def test_flac_container_flip_decodes_bit_identical():
+    """The dedup-relevant invariant: the SAME audio shipped as wav and
+    as flac decodes to the SAME float samples through decode_audio —
+    the pcm_exact tier's equality, across a genuinely compressed
+    container."""
+    import numpy as np
+
+    from file_dedup_rust_spark.functions import audio as A
+    from file_dedup_rust_spark.functions.flac import encode_flac
+
+    rng = np.random.default_rng(3)
+    sr = 16000
+    sig = (rng.standard_normal(sr) * 0.2).astype(np.float32)
+    wav_pcm = A.decode_audio(A.encode_wav(sig, sr), "wav")
+    flac_pcm = A.decode_audio(encode_flac(sig, sr), "flac")
+    assert np.array_equal(wav_pcm, flac_pcm)
+
+
+def test_flac_roundtrip_property():
+    """Property-based: any length (incl. < order, exactly one block,
+    block+1), any amplitude, any seed — encode/decode is lossless."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from file_dedup_rust_spark.functions import flac as FL
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.sampled_from([1, 2, 3, 100, 4096, 4097, 9000]),
+        amp=st.floats(min_value=0.001, max_value=1.2),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, amp, seed):
+        rng = np.random.default_rng(seed)
+        sig = (rng.standard_normal(n) * amp).astype(np.float32)
+        i16 = np.clip(np.round(sig * 32767.0), -32768, 32767)
+        want = (i16 / 32768.0).astype(np.float32)
+        got = FL.decode_flac(FL.encode_flac(sig, 16000))
+        assert np.array_equal(got, want)
+
+    check()

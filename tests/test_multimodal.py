@@ -401,20 +401,57 @@ def test_jpeg_roundtrip_property():
     check()
 
 
-def test_jpeg_rejects_progressive_and_malformed():
+def test_jpeg_rejects_unsupported_and_malformed():
     from file_dedup_rust_spark.functions import jpeg as J
 
     img = _blocky(16, 16, 2)
     data = J.encode_jpeg(img)
-    # patch SOF0 -> SOF2 (progressive): must reject loudly, not
-    # mis-decode — the quarantine contract for unsupported variants
+    # patch SOF0 -> SOF2: the full-band interleaved scan is ILLEGAL in
+    # progressive mode — must reject loudly, not mis-decode
     prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive"):
         J.decode_jpeg(prog)
+    # arithmetic-coded SOF9: unsupported variant
+    with pytest.raises(ValueError, match="variant"):
+        J.decode_jpeg(data.replace(b"\xff\xc0", b"\xff\xc9", 1))
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x00\x01not a jpeg")
     with pytest.raises(ValueError):
         J.decode_jpeg(data[: len(data) // 2])  # truncated entropy data
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """The progressive decoder (SOF2: spectral selection + successive
+    approximation, DC/AC refinement, EOB runs, chroma-scan skipping)
+    must reconstruct BIT-IDENTICAL luma to the baseline decoder for
+    the same quantized coefficients — progressive is a transmission
+    reordering, not a different image."""
+    from file_dedup_rust_spark.functions import jpeg as J
+
+    img = _blocky(37, 51, 3)
+    noise = np.random.default_rng(4).random((24, 33)).astype(np.float32)
+    for src in (img, noise):
+        for kw in (
+            dict(),
+            dict(successive=False),       # spectral selection only
+            dict(color=True),
+            dict(color=True, subsample=True),
+            dict(color=True, subsample=True, successive=False),
+        ):
+            prog = J.decode_jpeg(J.encode_jpeg_progressive(src, **kw))
+            base = J.decode_jpeg(J.encode_jpeg(
+                src, color=kw.get("color", False),
+                subsample=kw.get("subsample", False),
+            ))
+            assert np.array_equal(prog, base), kw
+    # shape preservation incl. degenerate dims
+    rng = np.random.default_rng(5)
+    for h, w in ((1, 1), (8, 8), (9, 17), (40, 3)):
+        im = rng.random((h, w)).astype(np.float32)
+        o = J.decode_jpeg(J.encode_jpeg_progressive(
+            im, color=True, subsample=True
+        ))
+        assert o.shape == (h, w)
 
 
 def test_jpeg_through_image_signatures(spark):

@@ -148,7 +148,7 @@ def main() -> int:
             F.col("doc_id").alias("clip_id")
         )
         connected_components(
-            doc_edges, doc_verts, driver_threshold=0
+            doc_edges, doc_verts, driver_threshold=0, coded_threshold=0
         ).write.mode("overwrite").format("noop").save()
         p_timings["cc_distributed"] = round(time.monotonic() - t0, 2)
 

@@ -62,6 +62,10 @@ def candidate_pairs(
     else:
         ok, _ = bucket_stats(posting, cap)
         p = posting.join(ok, "key")  # prune singleton + hot buckets first
+    # (unlike verify.simhash_edges_in_bucket, this stage does NOT need
+    # a pinned partition count: the MinHash branch's cost is dominated
+    # by the downstream signature re-join in verify_minhash, and
+    # pinning was measured neutral-to-slightly-negative at 1.28M clips)
     grouped = p.groupBy("key").agg(
         F.sort_array(F.collect_list("clip_id")).alias("ids")
     )

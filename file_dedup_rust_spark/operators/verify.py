@@ -92,6 +92,17 @@ def simhash_edges_in_bucket(
     )
     ok, _ = bucket_stats(posting.select("key", "clip_id"), cap)
     p = posting.join(ok, "key")
+    # the bucket stage's cost is QUADRATIC in bucket size (the pair
+    # explode below) while its shuffle BYTES are tiny (8-byte simhash
+    # rows) — AQE's bytes-based coalescing therefore packs it onto far
+    # too few tasks (measured at 1.28M clips / local[8]: the stage ran
+    # 0.52-efficient vs 2 cores).  An explicit user repartition by key
+    # pins the partition count (AQE never coalesces user-specified
+    # counts) and the groupBy reuses the hash partitioning, so this
+    # adds NO extra exchange — it just sizes the one that exists.
+    spark = reps.sparkSession
+    n_part = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = p.repartition(n_part, "key")
     grouped = p.groupBy("key").agg(
         F.sort_array(
             F.collect_list(F.struct("clip_id", "simhash"))

@@ -584,6 +584,27 @@ def test_flac_roundtrip_is_lossless():
         assert np.array_equal(got, want)
 
 
+def test_flac_unknown_total_samples_decodes():
+    """STREAMINFO total_samples == 0 means UNKNOWN length (spec; what
+    piped/streamed encoders emit) — the decoder must decode every
+    frame, not reject the stream as frameless."""
+    import numpy as np
+
+    from file_dedup_rust_spark.functions import flac as FL
+
+    sig = (np.random.default_rng(3).standard_normal(5000) * 0.1).astype(
+        np.float32
+    )
+    data = bytearray(FL.encode_flac(sig, 8000))
+    # STREAMINFO body starts at byte 8; total_samples is the low nibble
+    # of body[13] plus body[14:18]
+    data[8 + 13] &= 0xF0
+    data[8 + 14 : 8 + 18] = b"\x00\x00\x00\x00"
+    got = FL.decode_flac(bytes(data))
+    want = FL.decode_flac(FL.encode_flac(sig, 8000))
+    assert np.array_equal(got, want)
+
+
 def test_flac_crc_and_malformed_reject():
     import numpy as np
 

@@ -55,7 +55,16 @@ def test_driver_path(spark, edges, verts, want):
 
 @pytest.mark.parametrize("edges,verts,want", CASES)
 def test_distributed_path(spark, edges, verts, want):
-    # driver_threshold=0 forces the iterative label propagation
+    # zero thresholds force the iterative label propagation
+    got = _run(spark, edges, verts, driver_threshold=0, coded_threshold=0)
+    assert got == want
+
+
+@pytest.mark.parametrize("edges,verts,want", CASES)
+def test_coded_driver_path(spark, edges, verts, want):
+    # driver_threshold=0 with the default coded_threshold forces the
+    # int64-coded middle tier (Spark-side factorize + numpy solve +
+    # distributed min-clip_id recovery)
     got = _run(spark, edges, verts, driver_threshold=0)
     assert got == want
 
@@ -67,8 +76,10 @@ def test_paths_agree_on_random_graph(spark):
     ids = [f"v{i:03d}" for i in range(120)]
     edges = [tuple(sorted(rng.sample(ids, 2))) for _ in range(150)]
     a = _run(spark, edges, ids)
-    b = _run(spark, edges, ids, driver_threshold=0)
+    b = _run(spark, edges, ids, driver_threshold=0, coded_threshold=0)
     assert a == b
+    c = _run(spark, edges, ids, driver_threshold=0)
+    assert a == c
     # labels are component minima
     for v, lbl in a.items():
         assert lbl <= v
@@ -99,8 +110,9 @@ def test_paths_agree_on_chain_heavy_graphs(spark, seed):
     rest = perm[pos:]
     edges += [tuple(rng.sample(rest, 2)) for _ in range(40)]
     a = _run(spark, edges, ids)
-    b = _run(spark, edges, ids, driver_threshold=0)
+    b = _run(spark, edges, ids, driver_threshold=0, coded_threshold=0)
     assert a == b
+    assert a == _run(spark, edges, ids, driver_threshold=0)
     for v, lbl in a.items():
         assert lbl <= v
     # the 60-chain really is one component

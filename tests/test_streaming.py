@@ -237,9 +237,10 @@ def test_streaming_matches_batch_pipeline_parity(spark, cfg, tmp_path):
     t_norm, which the exact-transcript stars fold into identical
     components).  Round 4: containment probes stream too (both
     arrival orders).  Round 5: pcm_exact streams too — planted
-    container FLIPS (same audio re-uploaded raw after arriving as
-    wav, in a LATER drop, with a different transcript) must match at
-    ingest, completing modality parity with build_edges."""
+    container FLIPS (same audio re-uploaded raw — and, round-5, as
+    lossless FLAC — after arriving as wav, in a LATER drop, with a
+    different transcript) must match at ingest, completing modality
+    parity with build_edges."""
     import pandas as pd
 
     from file_dedup_rust_spark import datagen
@@ -262,22 +263,30 @@ def test_streaming_matches_batch_pipeline_parity(spark, cfg, tmp_path):
     import numpy as np
 
     first_third = pdf.iloc[: n // 3]
-    wavs = first_third[first_third["codec"] == "wav"].iloc[:2]
+    wavs = first_third[first_third["codec"] == "wav"].iloc[:3]
     flips = []
     for j, r in enumerate(wavs.itertuples(index=False)):
         pcm = decode_wav(bytes(r.bytes))
-        raw = (
-            np.clip(np.round(pcm * 32768.0), -32768, 32767)
-            .astype("<i2")
-            .tobytes()
-        )
+        i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767)
+        if j == 2:
+            # round 5: a COMPRESSED lossless flip — wav re-shipped as
+            # FLAC.  encode_flac quantizes at *32767, decode_flac
+            # normalizes at /32768 (the decode_wav convention), so
+            # feed i16/32767 to store exactly the wav's samples.
+            from file_dedup_rust_spark.functions.flac import encode_flac
+
+            payload = encode_flac(i16 / 32767.0, int(r.sr_hz))
+            codec = "flac"
+        else:
+            payload = i16.astype("<i2").tobytes()
+            codec = "pcm_s16le"
         flips.append(
             {
                 "clip_id": f"flip_{j}_{r.clip_id}",
-                "bytes": raw,
+                "bytes": payload,
                 "sr_hz": r.sr_hz,
                 "dur_ms": r.dur_ms,
-                "codec": "pcm_s16le",
+                "codec": codec,
                 "transcript": f"container flip resend number {j} "
                               "with its own unrelated transcript text",
             }

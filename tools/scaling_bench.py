@@ -115,6 +115,12 @@ def main() -> int:
                          "to [16, 256] — exactly like a production job, and "
                          "held constant across the two cluster sizes)")
     args = ap.parse_args()
+    if args.input:
+        # size partitions to the ACTUAL input, not the --clips flag
+        # (parquet metadata only — no Spark, no data read)
+        import pyarrow.dataset as ds
+
+        args.clips = ds.dataset(args.input, format="parquet").count_rows()
     if args.parts is None:
         # ~20k clips per shuffle partition keeps partitions well under
         # executor memory while avoiding tiny-task scheduling waves

@@ -117,20 +117,32 @@ def text_reps(signatures: DataFrame) -> DataFrame:
     )
 
 
-def build_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def build_edges(
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    treps: DataFrame | None = None,
+    areps: DataFrame | None = None,
+) -> DataFrame:
     """All verified dup edges from a signatures table (no checkpoints —
     the checkpointing variant is run_pipeline).
 
     The rep tables feed three branches each (posting explode, verify
     attach, containment/dropped-bucket accounting), so they are
     persisted — without it every union branch would recompute the
-    dedup-to-representatives shuffle."""
+    dedup-to-representatives shuffle.  Callers that also need the reps
+    AFTER the edge derivation (run_pipeline's dropped_buckets
+    accounting re-counts the same posting lists) pass their own
+    persisted `treps`/`areps` and own the cache lifecycle — measured
+    at 2.56 M clips the rep recompute was most of a 59.6 s manifest
+    stage."""
     sigs = signatures
     e_exact = exact_dup_edges(sigs)
     e_ttext = exact_transcript_edges(sigs)
 
-    treps = text_reps(sigs).persist()
-    areps = audio_reps(sigs).persist()
+    if treps is None:
+        treps = text_reps(sigs).persist()
+    if areps is None:
+        areps = audio_reps(sigs).persist()
 
     mh_posting = C.explode_keys(treps, "mh_bands")
     mh_pairs = C.candidate_pairs(mh_posting, cfg.band_cap)
@@ -269,8 +281,17 @@ def run_pipeline(
     if done("signatures"):
         return None
 
+    # rep tables are shared between the edges derivation and the
+    # dropped-bucket accounting below — one contraction shuffle, two
+    # consumers (lazy persist: a fully-resumed run never materializes
+    # them)
+    treps = text_reps(sigs).persist()
+    areps = audio_reps(sigs).persist()
+
     edges, r = io.stage(
-        "edges", fp, lambda: build_edges(sigs, cfg), parents=["signatures"],
+        "edges", fp,
+        lambda: build_edges(sigs, cfg, treps=treps, areps=areps),
+        parents=["signatures"],
         resume=resume,
     )
     stages.append(r)
@@ -315,9 +336,9 @@ def run_pipeline(
         frames.unpersist()
         edges = edges.unionByName(ac_edges)
 
-    # dropped-bucket accounting (manifest metrics; SURVEY.md 7.3.2)
+    # dropped-bucket accounting (manifest metrics; SURVEY.md 7.3.2) —
+    # reuses the persisted rep tables from the edges stage above
     if not (resume and io.is_committed("dropped_buckets", fp)):
-        treps, areps = text_reps(sigs), audio_reps(sigs)
         dropped = (
             C.dropped_buckets(C.explode_keys(treps, "mh_bands"), cfg.band_cap)
             .withColumn("path", F.lit("minhash"))
@@ -337,6 +358,8 @@ def run_pipeline(
             resume=resume,
         )
         stages.append(r)
+    treps.unpersist()
+    areps.unpersist()
 
     def build_assignments() -> DataFrame:
         verts = sigs.select("clip_id")

@@ -2324,6 +2324,131 @@ FROM ranked WHERE copy_rank <= {REPEAT_CAP}
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style repetition quality flags (Rae et al. 2021 §A1.1).
+# The reference has no text-quality stage (its dedup is hash + k-NN,
+# deduplication_service.rs:300-372); this is the corpus-curation
+# companion a training pipeline runs beside the dedup tiers.
+# ---------------------------------------------------------------------------
+
+REP_WORD_PLANT_MOD = 11      # every 11th doc gets a one-word-repeated twin
+REP_PHRASE_PLANT_MOD = 13    # every 13th doc gets a 3-word-phrase-repeated twin
+REP_WORD_PLANT_OFFSET = 3_000_000
+REP_PHRASE_PLANT_OFFSET = 4_000_000
+REP_WORD_REPEATS = 30
+REP_PHRASE_REPEATS = 20
+
+
+def corpus_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted repetition-heavy twins.
+
+    documents.parquet is natural-ish text (measured sf0.01 maxima:
+    top_word_frac 0.30, top_bigram_frac 0.167, dup_bigram_frac 0.267),
+    so no row would ever trip the Gopher flags.  Two deterministic
+    plants create flaggable rows, mirrored exactly in the oracle SQL:
+      * word plant  (id+3e6): first token repeated 30× → flags all
+        three measures (top_word_frac = 1.0);
+      * phrase plant (id+4e6): first three tokens repeated 20× →
+        top_word 1/3 (below the 0.5 cut) but top_bigram 20/59 ≈ 0.339
+        and dup_bigram ≈ 1.0 → flags only the bigram measures.
+    """
+    d = docs_corpus(spark, sf_dir).select(
+        "doc_id", "t", F.split("t", " ").alias("w")
+    )
+    word_plant = d.filter(F.col("doc_id") % REP_WORD_PLANT_MOD == 0).select(
+        (F.col("doc_id") + REP_WORD_PLANT_OFFSET).alias("doc_id"),
+        F.rtrim(
+            F.repeat(F.concat(F.element_at("w", 1), F.lit(" ")), REP_WORD_REPEATS)
+        ).alias("t"),
+    )
+    phrase_plant = d.filter(F.col("doc_id") % REP_PHRASE_PLANT_MOD == 0).select(
+        (F.col("doc_id") + REP_PHRASE_PLANT_OFFSET).alias("doc_id"),
+        F.rtrim(
+            F.repeat(
+                F.concat(F.concat_ws(" ", F.slice("w", 1, 3)), F.lit(" ")),
+                REP_PHRASE_REPEATS,
+            )
+        ).alias("t"),
+    )
+    return d.select("doc_id", "t").unionByName(word_plant).unionByName(phrase_plant)
+
+
+SQL_CORPUS_REP = f"""
+corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + {REP_WORD_PLANT_OFFSET},
+         rtrim(repeat(string_split(lower(coalesce(text, '')), ' ')[1] || ' ',
+                      {REP_WORD_REPEATS}))
+  FROM documents WHERE doc_id % {REP_WORD_PLANT_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {REP_PHRASE_PLANT_OFFSET},
+         rtrim(repeat(
+           array_to_string(
+             (string_split(lower(coalesce(text, '')), ' '))[1:3], ' ') || ' ',
+           {REP_PHRASE_REPEATS}))
+  FROM documents WHERE doc_id % {REP_PHRASE_PLANT_MOD} = 0
+)
+"""
+
+
+def q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters: per-doc modal-word fraction, modal
+    2-gram fraction, duplicated-2-gram fraction, and the composite
+    keep/drop flag (Rae et al. 2021 §A1.1; thresholds documented in
+    operators/repetition.py).
+
+    Plan shape: ZERO shuffle — the per-doc mode/duplicate counts are
+    one `array_sort` + one JVM `aggregate` run-length pass inside a
+    single projection (operators/repetition.py:run_stats), so at
+    100 TB the stage pipelines straight off the scan instead of
+    shuffling the whole corpus token stream twice the way an
+    explode → groupBy(doc_id, word) plan would.  The flag compares the
+    RAW ratios (identical integer operands on both engines → identical
+    IEEE doubles) so 4-dp rounding can never flip it."""
+    from file_dedup_rust_spark.operators.repetition import repetition_stats
+
+    return repetition_stats(corpus_rep(spark, sf_dir))
+
+
+from file_dedup_rust_spark.operators.repetition import (  # noqa: E402
+    DUP_BIGRAM_T as _REP_DUP_BIGRAM_T,
+    TOP_BIGRAM_T as _REP_TOP_BIGRAM_T,
+    TOP_WORD_T as _REP_TOP_WORD_T,
+)
+
+SQL_REPETITION_FLAGS = f"""
+WITH {SQL_CORPUS_REP},
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+words AS (SELECT doc_id, u.x AS word FROM toks, unnest(w) AS u(x)),
+wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
+wagg AS (
+  SELECT doc_id, max(c) AS topw, sum(c) AS n FROM wc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i)
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bagg AS (
+  SELECT doc_id, max(c) AS topb,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupb,
+         sum(c) AS nb
+  FROM bc GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(w.n AS INT) AS n_tokens,
+       round(w.topw * 1.0 / greatest(w.n, 1), 4) AS top_word_frac,
+       round(b.topb * 1.0 / greatest(b.nb, 1), 4) AS top_bigram_frac,
+       round(b.dupb * 1.0 / greatest(b.nb, 1), 4) AS dup_bigram_frac,
+       CAST(w.topw * 1.0 / greatest(w.n, 1) >= {_REP_TOP_WORD_T}
+            OR b.topb * 1.0 / greatest(b.nb, 1) >= {_REP_TOP_BIGRAM_T}
+            OR b.dupb * 1.0 / greatest(b.nb, 1) >= {_REP_DUP_BIGRAM_T}
+            AS INT) AS rep_flag
+FROM wagg w JOIN bagg b USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2369,6 +2494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keep_capped_copies": q_keep_capped_copies,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+    "repetition_flags": q_repetition_flags,
 }
 
 ORACLES: dict[str, str] = {
@@ -2419,4 +2545,5 @@ ORACLES: dict[str, str] = {
     # recall-gated in tests/test_ann_quality.py
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_ivf_pq_topk": SQL_ANN_IVF_TOPK,
+    "repetition_flags": SQL_REPETITION_FLAGS,
 }

@@ -2449,6 +2449,68 @@ FROM wagg w JOIN bagg b USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# ExactSubstr-lite duplicated-span census (Lee et al. 2021).
+# Corpus-level: a gram position is duplicated iff its 8-token gram
+# occurs >1 time anywhere in the corpus; a token is covered iff any
+# duplicated gram window contains it.  Runs over corpus_exact so every
+# 3rd doc (and its planted byte-identical twin) is fully covered while
+# natural docs carry only whatever 8-gram overlap the synthetic text
+# genuinely has.
+# ---------------------------------------------------------------------------
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span census (operators/dup_spans.py).
+
+    Plan shape: gram identities cross the shuffle as 8-byte xxhash64
+    values (never strings) → count with map-side partial agg →
+    hash-keyed join back → per-doc agg; the covered-token interval
+    union is a JVM `aggregate` over the sorted duplicated-position
+    list, bounded by the doc's own token count.  The oracle computes
+    coverage by a completely different algorithm (position-range
+    semi-join on gram STRINGS) — two independent derivations of the
+    same semantics."""
+    from file_dedup_rust_spark.operators.dup_spans import dup_span_stats
+
+    return dup_span_stats(corpus_exact(spark, sf_dir).select("doc_id", "t"))
+
+
+SQL_DUP_SPAN_STATS = f"""
+WITH {SQL_CORPUS_EXACT},
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+gpos AS (
+  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS g, len(w) AS n_tokens
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
+),
+cnt AS (SELECT g, count(*) AS c FROM gpos GROUP BY 1),
+jd AS (SELECT doc_id, i, n_tokens, c FROM gpos JOIN cnt USING (g)),
+perdoc AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens, count(*) AS n_grams,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_grams
+  FROM jd GROUP BY 1
+),
+dpos AS (SELECT doc_id, i FROM jd WHERE c > 1),
+tokpos AS (
+  SELECT doc_id, u.j FROM toks, unnest(generate_series(1, len(w))) AS u(j)
+),
+cov AS (
+  SELECT doc_id, count(*) AS covered FROM (
+    SELECT DISTINCT t.doc_id, t.j
+    FROM tokpos t JOIN dpos d
+      ON d.doc_id = t.doc_id AND d.i BETWEEN t.j - 7 AND t.j
+  ) GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(p.n_tokens AS INT) AS n_tokens,
+       p.n_grams AS n_grams,
+       p.dup_grams AS dup_grams,
+       round(p.dup_grams * 1.0 / p.n_grams, 4) AS dup_fraction,
+       coalesce(c.covered, 0) AS covered_tokens,
+       round(coalesce(c.covered, 0) * 1.0 / p.n_tokens, 4) AS covered_frac
+FROM perdoc p LEFT JOIN cov c USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2495,6 +2557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "repetition_flags": q_repetition_flags,
+    "dup_span_stats": q_dup_span_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -2546,4 +2609,5 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_ivf_pq_topk": SQL_ANN_IVF_TOPK,
     "repetition_flags": SQL_REPETITION_FLAGS,
+    "dup_span_stats": SQL_DUP_SPAN_STATS,
 }

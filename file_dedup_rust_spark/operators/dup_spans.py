@@ -1,0 +1,97 @@
+"""Corpus-level duplicated-span census (ExactSubstr-lite).
+
+Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+Better") remove every substring that occurs more than once ANYWHERE in
+the corpus — a different operation from this engine's pairwise tiers
+(whole-doc hash, MinHash, containment): boilerplate shared by thousands
+of otherwise-distinct documents never forms a near-dup PAIR yet still
+dominates training data.  The suffix-array formulation is the
+within-pair containment tier (operators/containment.py); at corpus
+scale the standard distributed relaxation is a fixed-length token-gram
+census, as in Gopher's "duplicated n-gram fraction" (Rae et al. 2021)
+and Dolma/RefinedWeb-style pipelines:
+
+  * a gram POSITION is duplicated iff its L-token gram occurs > 1 time
+    corpus-wide (counting every occurrence, same-doc repeats included);
+  * a TOKEN is covered iff any duplicated gram window contains it (the
+    interval union of [i, i+L) over duplicated positions i — the exact
+    mass ExactSubstr would cut).
+
+Scale design.  Gram identities cross the shuffle as 8-byte xxhash64
+values, never strings: positions → hash → count (map-side partial agg)
+→ hash-keyed join back → per-doc agg.  Two shuffles total on ~16-byte
+rows, linear in corpus tokens.  The per-doc interval union runs inside
+a JVM `aggregate` over the SORTED duplicated-position list — bounded by
+the document's own token count, the same bound as holding its text.
+Collision note: two distinct grams sharing an xxhash64 (p ≈ n²/2⁶⁵)
+would overcount one duplicated position; the oracle groups by the gram
+string itself and agrees at every tested scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DUP_SPAN_L = 8  # tokens per gram (Lee et al. use 50 BPE tokens; the
+                # synthetic docs are 10-99 words, so 8 keeps multiple
+                # windows per doc while staying selective)
+
+
+def dup_span_stats(docs_with_t: DataFrame, l: int = DUP_SPAN_L) -> DataFrame:
+    """(doc_id, t) -> per-doc duplicated-span census.
+
+    Columns: doc_id, n_tokens, n_grams, dup_grams, dup_fraction,
+    covered_tokens, covered_frac.  Docs with fewer than `l` tokens
+    have no gram positions and are omitted (mirrored in the oracle).
+    """
+    toks = docs_with_t.select(
+        "doc_id", F.split("t", " ").alias("w")
+    ).select("doc_id", "w", F.size("w").alias("n_tokens"))
+
+    grams = F.expr(
+        f"CASE WHEN size(w) >= {l} THEN "
+        f"transform(sequence(1, size(w) - {l - 1}), "
+        f"i -> xxhash64(concat_ws(' ', slice(w, i, {l})))) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    pos = toks.select(
+        "doc_id", "n_tokens", F.posexplode(grams).alias("p0", "gh")
+    ).select("doc_id", "n_tokens", (F.col("p0") + 1).alias("i"), "gh")
+
+    cnt = pos.groupBy("gh").agg(F.count("*").alias("c"))
+    per_doc = (
+        pos.join(cnt, "gh")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("c") > 1).cast("long")).alias("dup_grams"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("c") > 1, F.col("i")))
+            ).alias("dps"),
+        )
+    )
+    covered = F.expr(
+        f"""
+        CASE WHEN size(dps) = 0 THEN CAST(0 AS BIGINT)
+        ELSE aggregate(
+          slice(dps, 2, size(dps) - 1),
+          named_struct('prev', element_at(dps, 1),
+                       'cov', CAST({l} AS BIGINT)),
+          (acc, p) -> named_struct(
+            'prev', p,
+            'cov', acc.cov + least(CAST({l} AS BIGINT),
+                                   CAST(p - acc.prev AS BIGINT))),
+          acc -> acc.cov)
+        END
+        """
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_grams",
+        "dup_grams",
+        F.round(F.col("dup_grams") / F.col("n_grams"), 4).alias("dup_fraction"),
+        covered.alias("covered_tokens"),
+        F.round(covered / F.col("n_tokens"), 4).alias("covered_frac"),
+    )

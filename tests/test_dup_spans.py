@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+from collections import Counter
+
+from file_dedup_rust_spark.operators.dup_spans import dup_span_stats
+
+
+def _brute(docs: dict[int, str], l: int) -> dict[int, dict]:
+    grams: dict[int, list[tuple[int, str]]] = {}
+    census: Counter = Counter()
+    for did, t in docs.items():
+        w = t.split(" ")
+        g = [(i + 1, " ".join(w[i : i + l])) for i in range(len(w) - l + 1)]
+        grams[did] = g
+        census.update(s for _, s in g)
+    out = {}
+    for did, t in docs.items():
+        w = t.split(" ")
+        g = grams[did]
+        if not g:
+            continue
+        dup_pos = [i for i, s in g if census[s] > 1]
+        covered = set()
+        for i in dup_pos:
+            covered.update(range(i, i + l))
+        out[did] = {
+            "n_tokens": len(w),
+            "n_grams": len(g),
+            "dup_grams": len(dup_pos),
+            "covered_tokens": len(covered),
+        }
+    return out
+
+
+def test_dup_span_stats_matches_bruteforce(spark):
+    shared = "the cat sat on the mat by the red door"  # 10 tokens
+    docs = {
+        1: shared + " and slept all afternoon quietly",
+        2: "yesterday i saw that " + shared,
+        3: "completely unrelated words with no overlap at all here today",
+        4: "too short for grams",  # < 8 tokens -> omitted
+        5: "x y " + shared + " x y " + shared,  # within-doc repeat
+    }
+    df = dup_span_stats(
+        spark.createDataFrame(list(docs.items()), "doc_id long, t string"), l=8
+    )
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    want = _brute(docs, 8)
+    assert set(got) == set(want)
+    for did, w in want.items():
+        for k, v in w.items():
+            assert got[did][k] == v, (did, k, got[did], w)
+        assert got[did]["dup_fraction"] == round(w["dup_grams"] / w["n_grams"], 4)
+        assert got[did]["covered_frac"] == round(
+            w["covered_tokens"] / w["n_tokens"], 4
+        )
+    # doc 3 shares no 8-gram with anything: zero coverage
+    assert got[3]["dup_grams"] == 0 and got[3]["covered_tokens"] == 0
+    # doc 5 repeats a span internally: its copies are duplicated even
+    # if no other doc matched them
+    assert got[5]["dup_grams"] > 0
+
+
+def test_dup_span_interval_union_handles_gaps(spark):
+    # two disjoint duplicated spans inside one long doc: coverage is
+    # the union, not 2*l blindly, and not merged across the gap
+    span_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    span_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    filler = " ".join(f"f{i}" for i in range(10))
+    docs = {
+        1: f"{span_a} {filler} {span_b}",
+        2: span_a,
+        3: span_b,
+    }
+    df = dup_span_stats(
+        spark.createDataFrame(list(docs.items()), "doc_id long, t string"), l=8
+    )
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    assert got[1]["covered_tokens"] == 16  # 8 + 8, gap untouched
+    assert got[2]["covered_tokens"] == 8 and got[3]["covered_tokens"] == 8

@@ -88,6 +88,13 @@ class DedupConfig:
     ac_min_matches: int = 4        # absolute vote floor per (a, b, offset)
     ac_post_cap: int = 2000        # drop hashes with more posting rows than this
 
+    # ---- audio quality gates (operators/audio_quality.py; metrics
+    # ride the single signature decode pass) ----
+    q_silence_max: float = 0.95    # flag clips that are >= this frac silent
+    q_clip_max: float = 0.10       # flag clips with >= this frac full-scale samples
+    q_min_rms_dbfs: float = -45.0  # flag clips quieter than this overall
+    q_max_dc_offset: float = 0.02  # flag clips with |mean sample| above this
+
     # ---- skew handling ----
     band_cap: int = 200         # max posting-list size per (band, hash)
     salt_partitions: int = 0    # 0 = let AQE handle it

@@ -286,6 +286,30 @@ def decode_audio(data: bytes, codec: str) -> np.ndarray:
     raise ValueError(f"unsupported codec: {codec}")
 
 
+# full-scale int16 magnitude after the /32768 decode normalization:
+# +32767 decodes to 32767/32768; -32768 decodes to -1.0 — both count
+CLIP_FULL_SCALE = 32767.0 / 32768.0
+SILENCE_EPS = 1e-3  # |sample| below ~-60 dBFS (|int16| < 33) is "silent"
+
+
+def quality_metrics(pcm: np.ndarray) -> tuple[float, float, float]:
+    """(clip_ratio, silence_ratio, dc_offset) of decoded float PCM.
+
+    The corpus-quality companions to the dedup tiers: recordings that
+    are mostly digital silence, hard-clipped at full scale, or carry a
+    DC bias are low-value (often broken) training audio.  Pure numpy
+    over the ALREADY-decoded samples — rides the single signature
+    decode pass, never a second bytes scan.  Empty PCM reads as all
+    silence."""
+    if pcm.size == 0:
+        return 0.0, 1.0, 0.0
+    a = np.abs(pcm.astype(np.float64, copy=False))
+    clip_ratio = float(np.count_nonzero(a >= CLIP_FULL_SCALE)) / pcm.size
+    silence_ratio = float(np.count_nonzero(a < SILENCE_EPS)) / pcm.size
+    dc_offset = float(np.mean(pcm.astype(np.float64, copy=False)))
+    return clip_ratio, silence_ratio, dc_offset
+
+
 def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
     """float [-1,1] -> RIFF/WAVE PCM16 mono bytes (datagen + tests)."""
     i16 = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype("<i2")

@@ -35,13 +35,15 @@ from file_dedup_rust_spark.functions import text as TX
 SIGNATURE_SCHEMA = (
     "clip_id string, sha256 string, pcm_sha string, simhash long, "
     "decode_ok boolean, n_samples long, pcm_rms double, "
+    "clip_ratio double, silence_ratio double, dc_offset double, "
     "minhash array<int>, mh_bands array<long>, sim_keys array<long>, "
     "fps array<long>, t_norm string, t_len int"
 )
 
 SIGNATURE_COLUMNS = [
     "clip_id", "sha256", "pcm_sha", "simhash", "decode_ok", "n_samples",
-    "pcm_rms", "minhash", "mh_bands", "sim_keys", "fps", "t_norm", "t_len",
+    "pcm_rms", "clip_ratio", "silence_ratio", "dc_offset",
+    "minhash", "mh_bands", "sim_keys", "fps", "t_norm", "t_len",
 ]
 
 # fused audio-containment variant: the per-frame Haitsma-Kalker
@@ -109,6 +111,10 @@ def signature_batch(
             out["decode_ok"].append(True)
             out["n_samples"].append(int(pcm.size))
             out["pcm_rms"].append(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if pcm.size else 0.0)
+            clip_r, sil_r, dc = A.quality_metrics(pcm)
+            out["clip_ratio"].append(clip_r)
+            out["silence_ratio"].append(sil_r)
+            out["dc_offset"].append(dc)
             out["pcm_sha"].append(canonical_pcm_sha(pcm, int(row.sr_hz)))
             if with_frames:
                 out["frame_fps"].append(
@@ -122,6 +128,9 @@ def signature_batch(
             out["decode_ok"].append(False)
             out["n_samples"].append(0)
             out["pcm_rms"].append(0.0)
+            out["clip_ratio"].append(None)
+            out["silence_ratio"].append(None)
+            out["dc_offset"].append(None)
             out["pcm_sha"].append("")
             if with_frames:
                 out["frame_fps"].append(None)

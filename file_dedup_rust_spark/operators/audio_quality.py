@@ -1,0 +1,95 @@
+"""Audio quality gates over the signature table.
+
+The audio analog of the Gopher text filters (operators/repetition.py):
+before training, drop clips that are digital silence, hard-clipped,
+too quiet, DC-biased, or undecodable.  The reference repo ingests any
+file whose hash is new (deduplicator.rs:61-84) and has no quality
+stage; a 10^12-clip training pipeline cannot afford to embed garbage.
+
+Scale design.  The raw metrics (clip_ratio, silence_ratio, dc_offset,
+pcm_rms) are computed inside the ONE Arrow decode pass that already
+produces every other signature (functions/udfs.py:signature_batch) —
+this module never touches bytes.  Flagging is pure JVM expressions
+over the signatures table: a narrow projection, zero shuffle, zero
+Python.  The report aggregation is one partial-agg groupBy over a
+handful of flag strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from file_dedup_rust_spark.config import DedupConfig
+
+QUALITY_FLAG_NAMES = ("undecodable", "silent", "clipped", "too_quiet", "dc_bias")
+
+
+def quality_flags(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """signatures -> (clip_id, rms_dbfs, clip_ratio, silence_ratio,
+    dc_offset, flags array<string>, q_pass boolean).
+
+    A clip passes iff it decodes and trips no gate.  Undecodable rows
+    (decode_ok = false, metric columns null) flag as `undecodable`
+    only — the quarantine convention, never a job failure."""
+    rms_dbfs = F.round(
+        F.lit(20.0) * F.log10(F.greatest(F.col("pcm_rms"), F.lit(1e-10))), 4
+    )
+    gates = [
+        (F.lit("undecodable"), ~F.col("decode_ok")),
+        (
+            F.lit("silent"),
+            F.col("decode_ok") & (F.col("silence_ratio") >= cfg.q_silence_max),
+        ),
+        (
+            F.lit("clipped"),
+            F.col("decode_ok") & (F.col("clip_ratio") >= cfg.q_clip_max),
+        ),
+        (
+            F.lit("too_quiet"),
+            F.col("decode_ok")
+            & (F.col("silence_ratio") < cfg.q_silence_max)
+            & (rms_dbfs < cfg.q_min_rms_dbfs),
+        ),
+        (
+            F.lit("dc_bias"),
+            F.col("decode_ok")
+            & (F.abs(F.col("dc_offset")) > cfg.q_max_dc_offset),
+        ),
+    ]
+    flags = F.filter(
+        F.array(*[F.when(cond, name).otherwise(F.lit(None)) for name, cond in gates]),
+        lambda x: x.isNotNull(),
+    )
+    return signatures.select(
+        "clip_id",
+        rms_dbfs.alias("rms_dbfs"),
+        "clip_ratio",
+        "silence_ratio",
+        "dc_offset",
+        flags.alias("flags"),
+        (F.size(flags) == 0).alias("q_pass"),
+    )
+
+
+def quality_report(flagged: DataFrame) -> dict:
+    """Aggregate gate counts for the pipeline summary JSON: total,
+    passed, and clips per flag (a clip tripping two gates counts in
+    both).  One groupBy over exploded flag names — tiny output."""
+    total = flagged.count()
+    passed = flagged.filter("q_pass").count()
+    per_flag = {
+        r["flag"]: r["n"]
+        for r in (
+            flagged.select(F.explode("flags").alias("flag"))
+            .groupBy("flag")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    return {
+        "clips": total,
+        "q_passed": passed,
+        "q_flagged": total - passed,
+        "flags": {k: per_flag.get(k, 0) for k in QUALITY_FLAG_NAMES if k in per_flag},
+    }

@@ -57,6 +57,9 @@ class PipelineResult:
     clusters: DataFrame
     edges: DataFrame
     stages: list[StageResult] = field(default_factory=list)
+    # checkpointed signatures table (quality gates, tier reports, and
+    # other post-hoc consumers read it without re-decoding bytes)
+    signatures: DataFrame | None = None
 
 
 def exact_transcript_edges(signatures: DataFrame) -> DataFrame:
@@ -382,4 +385,4 @@ def run_pipeline(
     )
     stages.append(r)
 
-    return PipelineResult(assignments, clusters, edges, stages)
+    return PipelineResult(assignments, clusters, edges, stages, signatures=sigs)

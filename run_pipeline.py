@@ -31,6 +31,11 @@ def main() -> int:
     p.add_argument("--no-resume", action="store_true", help="ignore existing checkpoints")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--band-cap", type=int, default=None)
+    p.add_argument("--quality-report", action="store_true",
+                   help="add audio quality-gate counts (silent / "
+                        "clipped / too-quiet / dc-bias / undecodable) "
+                        "to the summary; metrics ride the signature "
+                        "decode pass, no extra bytes scan")
     p.add_argument("--tier-report", action="store_true",
                    help="add per-tier edge counts + cheapest-tier "
                         "marginal pair attribution to the summary")
@@ -95,6 +100,13 @@ def main() -> int:
     }
     if args.tier_report:
         summary["tiers"] = tier_report(res.edges)
+    if args.quality_report:
+        from file_dedup_rust_spark.operators.audio_quality import (
+            quality_flags,
+            quality_report,
+        )
+
+        summary["quality"] = quality_report(quality_flags(res.signatures, cfg))
     print(json.dumps(summary))
     spark.stop()
     return 0

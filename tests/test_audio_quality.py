@@ -1,0 +1,112 @@
+from __future__ import annotations
+
+import numpy as np
+
+from file_dedup_rust_spark.config import DedupConfig
+from file_dedup_rust_spark.functions import audio as A
+from file_dedup_rust_spark.functions.udfs import compute_signatures
+from file_dedup_rust_spark.operators.audio_quality import (
+    quality_flags,
+    quality_report,
+)
+
+CFG = DedupConfig()
+
+
+def _tone(sr=8000, dur_s=0.5, amp=0.5, f=440.0):
+    t = np.arange(int(sr * dur_s)) / sr
+    return amp * np.sin(2 * np.pi * f * t)
+
+
+def test_quality_metrics_numpy():
+    # digital silence
+    c, s, d = A.quality_metrics(np.zeros(1000))
+    assert (c, s, d) == (0.0, 1.0, 0.0)
+    # full-scale square wave: every sample clipped, none silent
+    sq = np.where(np.arange(1000) % 2 == 0, 32767, -32768) / 32768.0
+    c, s, d = A.quality_metrics(sq)
+    assert c == 1.0 and s == 0.0
+    # healthy tone: nothing clipped, tiny silence at zero crossings
+    c, s, d = A.quality_metrics(_tone())
+    assert c == 0.0 and s < 0.05 and abs(d) < 1e-3
+    # DC-biased signal
+    c, s, d = A.quality_metrics(_tone(amp=0.3) + 0.1)
+    assert abs(d - 0.1) < 1e-3
+    # empty
+    assert A.quality_metrics(np.zeros(0)) == (0.0, 1.0, 0.0)
+
+
+def test_quality_gates_end_to_end(spark):
+    sr = 8000
+    rows = [
+        ("ok", bytearray(A.encode_wav(_tone(), sr)), sr, 500, "wav", "fine clip"),
+        ("silent", bytearray(A.encode_wav(np.zeros(4000), sr)), sr, 500, "wav", "s"),
+        (
+            "clipped",
+            bytearray(
+                A.encode_wav(np.clip(_tone(amp=4.0), -1.0, 32767 / 32768), sr)
+            ),
+            sr,
+            500,
+            "wav",
+            "c",
+        ),
+        (
+            "quiet",
+            bytearray(A.encode_wav(_tone(amp=0.002), sr)),
+            sr,
+            500,
+            "wav",
+            "q",
+        ),
+        (
+            "biased",
+            bytearray(A.encode_wav(_tone(amp=0.3) + 0.1, sr)),
+            sr,
+            500,
+            "wav",
+            "b",
+        ),
+        ("broken", bytearray(b"not audio at all"), sr, 500, "wav", "x"),
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    flagged = quality_flags(compute_signatures(clips, CFG), CFG)
+    got = {r["clip_id"]: r.asDict() for r in flagged.collect()}
+    assert got["ok"]["q_pass"] and got["ok"]["flags"] == []
+    assert got["silent"]["flags"] == ["silent"]
+    assert "clipped" in got["clipped"]["flags"]
+    assert got["quiet"]["flags"] == ["too_quiet"]
+    assert got["biased"]["flags"] == ["dc_bias"]
+    assert got["broken"]["flags"] == ["undecodable"]
+    assert got["broken"]["clip_ratio"] is None  # quarantine, not zeroed
+
+    rep = quality_report(flagged)
+    assert rep["clips"] == 6 and rep["q_passed"] == 1 and rep["q_flagged"] == 5
+    assert rep["flags"] == {
+        "undecodable": 1,
+        "silent": 1,
+        "clipped": 1,
+        "too_quiet": 1,
+        "dc_bias": 1,
+    }
+
+
+def test_quality_flags_plan_is_narrow(spark):
+    rows = [("a", bytearray(A.encode_wav(_tone(), 8000)), 8000, 500, "wav", "t")]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    sigs = compute_signatures(clips, CFG)
+    plan = (
+        quality_flags(sigs, CFG)._jdf.queryExecution().executedPlan().toString()
+    )
+    # flagging adds no shuffle and no further Python stage beyond the
+    # signature pass itself
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") <= 1

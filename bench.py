@@ -158,7 +158,8 @@ def main() -> int:
         p_extras = {}
         for name in ["lsh_cosine_neardup_pairs", "tier_dedup_summary",
                      "semdedup_prune", "decontam_hits",
-                     "stratified_sample", "corpus_build_funnel"]:
+                     "stratified_sample", "corpus_build_funnel",
+                     "repetition_flags", "dup_span_stats"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

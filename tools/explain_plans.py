@@ -167,6 +167,24 @@ def main() -> int:
     ))
 
     sections.append((
+        "repetition_flags (Gopher repetition quality signals: "
+        "array_sort + aggregate run-length pass inside ONE projection "
+        "— zero Exchange, zero Python; the explode->groupBy plan this "
+        "replaces would shuffle the corpus token stream twice)",
+        plan_text(Q.q_repetition_flags(spark, args.sf_dir)),
+        ["Union"],
+    ))
+
+    sections.append((
+        "dup_span_stats (ExactSubstr-lite duplicated-span census: gram "
+        "identities shuffle as 8-byte xxhash64, map-side partial agg "
+        "on the census, per-doc interval union as a JVM aggregate — "
+        "two shuffles, linear in corpus tokens)",
+        plan_text(Q.q_dup_span_stats(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate"],
+    ))
+
+    sections.append((
         "embedding_neardup_pairs (blocked all-pairs cosine: packed-block "
         "grid cartesian, per-tile BLAS + threshold reduce — no "
         "BroadcastNestedLoopJoin, no packed-corpus broadcast)",

@@ -375,6 +375,12 @@ def incremental_near_dedup(
       * ``{store_dir}/fp_posting`` — the winnowing-fingerprint index:
         (key, clip_id) rows, EVERY fingerprint per stored clip — the
         container side of the substring-containment probe
+      * ``{store_dir}/quality_flags`` — ingest-time audio quality
+        gates (operators/audio_quality.py, identical thresholds to the
+        batch ``--quality-report``): (clip_id, flags) for every
+        NON-passing arriving clip — silent / clipped / too-quiet /
+        dc-bias / undecodable; the metrics ride the same signature
+        decode pass, a clean batch writes nothing
       * ``{store_dir}/fp_pat``     — ONE designated fingerprint per
         stored pattern-eligible clip (its rarest within-arrival-batch
         fp).  Winnowing self-consistency makes a single-fp probe a
@@ -429,6 +435,10 @@ def incremental_near_dedup(
     ).select(
         "clip_id", "sha256", "pcm_sha", "simhash", "sim_keys", "decode_ok",
         "minhash", "mh_bands", "fps", "t_norm", "t_len",
+        # quality-gate inputs ride the same decode pass (batch parity:
+        # run_pipeline --quality-report); flagged clips are recorded
+        # per batch in {store_dir}/quality_flags at ingest
+        "pcm_rms", "clip_ratio", "silence_ratio", "dc_offset",
         *(("frame_fps",) if audio_containment else ()),
     )
     d_max = cfg.hamming_max
@@ -883,6 +893,20 @@ def incremental_near_dedup(
                     )
                     matches = matches.unionByName(ac_cross)
             store_write(matches, out_dir, batch_id)
+            # ingest-time audio quality gates (same thresholds + flag
+            # semantics as the batch --quality-report path; only
+            # non-passing clips are recorded — a clean batch writes
+            # nothing)
+            from file_dedup_rust_spark.operators.audio_quality import (
+                quality_flags,
+            )
+
+            store_write(
+                quality_flags(b, cfg)
+                .filter(~F.col("q_pass"))
+                .select("clip_id", "flags"),
+                f"{store_dir}/quality_flags", batch_id,
+            )
             store_write(
                 b.select(
                     "clip_id", "sha256", "pcm_sha", "simhash", "minhash",

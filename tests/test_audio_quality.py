@@ -95,6 +95,41 @@ def test_quality_gates_end_to_end(spark):
     }
 
 
+def test_streaming_flags_bad_clips_at_ingest(spark, tmp_path):
+    """A silent clip arriving via the stream is recorded in the
+    quality_flags store in the SAME micro-batch, with batch-identical
+    flag semantics; clean clips write nothing."""
+    from file_dedup_rust_spark.streaming.incremental import (
+        incremental_near_dedup,
+        read_store,
+    )
+
+    sr = 8000
+    rows = [
+        ("s_ok", bytearray(A.encode_wav(_tone(), sr)), sr, 500, "wav",
+         "a perfectly fine clip"),
+        ("s_silent", bytearray(A.encode_wav(np.zeros(4000), sr)), sr, 500,
+         "wav", "dead air"),
+        ("s_broken", bytearray(b"xx"), sr, 500, "wav", "junk"),
+    ]
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    ).coalesce(1).write.mode("append").parquet(landing)
+    q = incremental_near_dedup(
+        spark, landing, str(tmp_path / "store"), str(tmp_path / "out"),
+        str(tmp_path / "ck"), CFG,
+    )
+    q.awaitTermination(180)
+    flagged = {
+        r["clip_id"]: list(r["flags"])
+        for r in read_store(spark, str(tmp_path / "store") + "/quality_flags").collect()
+    }
+    assert flagged == {"s_silent": ["silent"], "s_broken": ["undecodable"]}
+
+
 def test_quality_flags_plan_is_narrow(spark):
     rows = [("a", bytearray(A.encode_wav(_tone(), 8000)), 8000, 500, "wav", "t")]
     clips = spark.createDataFrame(

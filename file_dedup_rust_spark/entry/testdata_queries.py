@@ -2511,6 +2511,145 @@ FROM perdoc p LEFT JOIN cov c USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style unigram language-model scoring (Wenzek et al. 2020).
+# CCNet ranks web documents by LM perplexity and keeps the head of the
+# distribution; the distributed proxy is the corpus's OWN unigram
+# model: score = mean over tokens of -ln p(w), p(w) = c_w / T.  Low
+# scores = common-word boilerplate, high scores = rare-token soup —
+# the score column feeds stratified_sample / corpus_build_funnel for
+# the actual head/middle/tail cut.
+# ---------------------------------------------------------------------------
+
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram negative log-likelihood under the corpus
+    unigram distribution (no smoothing needed: every scored token is
+    in the corpus by construction).
+
+    Plan shape: tokens shuffle ONCE as 8-byte xxhash64 word keys for
+    the census (map-side partial agg), join back on the hash, one
+    per-doc agg; the corpus total T broadcasts as a 1-row literal.
+    Same two-shuffle linear shape as dup_span_stats — no strings
+    through any exchange.  mean(-ln p(w)) = ln T - mean(ln c_w), so
+    the join carries only the count."""
+    toks = docs_corpus(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("t", " ")).alias("wd")
+    ).select("doc_id", F.xxhash64("wd").alias("wh"))
+    cnt = toks.groupBy("wh").agg(F.count("*").alias("c"))
+    total = cnt.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(cnt, "wh")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(
+                F.log(F.first("t")) - F.avg(F.log("c")), 4
+            ).alias("unigram_nll"),
+        )
+    )
+
+
+SQL_UNIGRAM_NLL = """
+WITH corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+toks AS (
+  SELECT doc_id, u.x AS wd
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM corpus), unnest(w) AS u(x)
+),
+cnt AS (SELECT wd, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM toks)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       round(ln((SELECT t FROM tot)) - avg(ln(c)), 4) AS unigram_nll
+FROM toks JOIN cnt USING (wd)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails + phone numbers) — the standard pre-training
+# scrub (e.g. the C4 / Dolma pipelines).  Patterns are restricted to
+# constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, no backrefs.
+# ---------------------------------------------------------------------------
+
+PII_PLANT_MOD = 17
+PII_PLANT_OFFSET = 5_000_000
+PII_EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_PAT = r"\d{3}-\d{3}-\d{4}"
+
+
+def corpus_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted PII-bearing twins (id+5e6, every 17th doc):
+    the twin appends one email (derived from doc_id) and one phone
+    number (digits from doc_id) — deterministic, mirrored in SQL."""
+    d = docs_corpus(spark, sf_dir)
+    plant = d.filter(F.col("doc_id") % PII_PLANT_MOD == 0).select(
+        (F.col("doc_id") + PII_PLANT_OFFSET).alias("doc_id"),
+        F.concat(
+            "t",
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example-mail.org or call 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("t"),
+    )
+    return d.unionByName(plant)
+
+
+SQL_CORPUS_PII = f"""
+corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + {PII_PLANT_OFFSET},
+         lower(coalesce(text, '')) || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example-mail.org or call 415-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+  FROM documents WHERE doc_id % {PII_PLANT_MOD} = 0
+)
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails and phone numbers; emit the scrubbed text plus
+    per-doc match counts.
+
+    Plan shape: one narrow projection — regexp_replace /
+    regexp_extract_all are JVM expressions inside whole-stage codegen,
+    zero shuffle, linear in corpus bytes (same shape the scrub has in
+    a 100-TB pass: it pipelines off the scan and into the writer)."""
+    d = corpus_pii(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("t", F.lit(PII_EMAIL_PAT), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all("t", F.lit(PII_PHONE_PAT), F.lit(0))
+        ).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", PII_EMAIL_PAT, "<EMAIL>"),
+            PII_PHONE_PAT,
+            "<PHONE>",
+        ).alias("t_redacted"),
+    )
+
+
+SQL_PII_REDACTION = f"""
+WITH {SQL_CORPUS_PII}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_PAT}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE_PAT}')) AS INT) AS n_phones,
+       regexp_replace(
+         regexp_replace(t, '{PII_EMAIL_PAT}', '<EMAIL>', 'g'),
+         '{PII_PHONE_PAT}', '<PHONE>', 'g') AS t_redacted
+FROM corpus
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2558,6 +2697,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "repetition_flags": q_repetition_flags,
     "dup_span_stats": q_dup_span_stats,
+    "unigram_nll": q_unigram_nll,
+    "pii_redaction": q_pii_redaction,
 }
 
 ORACLES: dict[str, str] = {
@@ -2610,4 +2751,6 @@ ORACLES: dict[str, str] = {
     "ann_ivf_pq_topk": SQL_ANN_IVF_TOPK,
     "repetition_flags": SQL_REPETITION_FLAGS,
     "dup_span_stats": SQL_DUP_SPAN_STATS,
+    "unigram_nll": SQL_UNIGRAM_NLL,
+    "pii_redaction": SQL_PII_REDACTION,
 }

@@ -159,7 +159,8 @@ def main() -> int:
         for name in ["lsh_cosine_neardup_pairs", "tier_dedup_summary",
                      "semdedup_prune", "decontam_hits",
                      "stratified_sample", "corpus_build_funnel",
-                     "repetition_flags", "dup_span_stats"]:
+                     "repetition_flags", "dup_span_stats",
+                     "unigram_nll", "pii_redaction"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -185,6 +185,22 @@ def main() -> int:
     ))
 
     sections.append((
+        "unigram_nll (CCNet-style corpus unigram scoring: word tokens "
+        "shuffle once as xxhash64 keys with map-side partial agg, the "
+        "1-row corpus total broadcasts — no strings through exchanges)",
+        plan_text(Q.q_unigram_nll(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial", "BroadcastNestedLoopJoin|BroadcastExchange"],
+    ))
+
+    sections.append((
+        "pii_redaction (email/phone scrub: regexp_replace + "
+        "regexp_extract_all inside one codegen projection — zero "
+        "Exchange, zero Python)",
+        plan_text(Q.q_pii_redaction(spark, args.sf_dir)),
+        [r"\* Project"],  # '*' = whole-stage-codegen node in formatted explain
+    ))
+
+    sections.append((
         "embedding_neardup_pairs (blocked all-pairs cosine: packed-block "
         "grid cartesian, per-tile BLAS + threshold reduce — no "
         "BroadcastNestedLoopJoin, no packed-corpus broadcast)",

@@ -61,6 +61,31 @@ def test_dup_span_stats_matches_bruteforce(spark):
     assert got[5]["dup_grams"] > 0
 
 
+def test_dup_span_stats_property_random_corpora(spark):
+    """Randomized corpora (tiny vocab forces heavy gram collisions,
+    within-doc and cross-doc) against the brute-force reference."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    l = 3
+    for trial in range(4):
+        docs = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+            for i in range(12)
+        }
+        df = dup_span_stats(
+            spark.createDataFrame(list(docs.items()), "doc_id long, t string"),
+            l=l,
+        )
+        got = {r["doc_id"]: r.asDict() for r in df.collect()}
+        want = _brute(docs, l)
+        assert set(got) == set(want), trial
+        for did, w in want.items():
+            for k, v in w.items():
+                assert got[did][k] == v, (trial, did, k, got[did], w)
+
+
 def test_dup_span_interval_union_handles_gaps(spark):
     # two disjoint duplicated spans inside one long doc: coverage is
     # the union, not 2*l blindly, and not merged across the gap

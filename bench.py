@@ -160,7 +160,8 @@ def main() -> int:
                      "semdedup_prune", "decontam_hits",
                      "stratified_sample", "corpus_build_funnel",
                      "repetition_flags", "dup_span_stats",
-                     "unigram_nll", "pii_redaction"]:
+                     "unigram_nll", "pii_redaction",
+                     "bpe_token_counts"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -2650,6 +2650,53 @@ FROM corpus
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish regex token counting — the GPT-2-family pre-tokenizer shape
+# (letter runs | single digits | single punctuation), restricted to
+# constructs with identical Java-regex/RE2 semantics (no lookahead).
+# Complements the whitespace tokenizer in token_counts: this is the
+# count a BPE budget planner actually needs (digits and punctuation
+# tokenize separately), and the two diverge hard on numeric/punct-heavy
+# docs.
+# ---------------------------------------------------------------------------
+
+BPE_TOKEN_PAT = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE-ish token counts + the fertility ratio vs whitespace
+    words (tokens per word — the planner's cost multiplier).
+
+    Plan shape: one codegen projection (regexp_extract_all + size),
+    zero shuffle, linear in corpus bytes."""
+    d = docs_corpus(spark, sf_dir)
+    toks = F.regexp_extract_all("t", F.lit(BPE_TOKEN_PAT), F.lit(0))
+    n_words = F.size(F.split("t", " "))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+        F.round(F.size(toks) / F.greatest(n_words, F.lit(1)), 4).alias(
+            "fertility"
+        ),
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = f"""
+WITH corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{BPE_TOKEN_PAT}')) AS INT)
+         AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(t, '{BPE_TOKEN_PAT}'))) AS INT)
+         AS n_distinct_bpe_tokens,
+       round(len(regexp_extract_all(t, '{BPE_TOKEN_PAT}')) * 1.0
+             / greatest(len(string_split(t, ' ')), 1), 4) AS fertility
+FROM corpus
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2699,6 +2746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_stats": q_dup_span_stats,
     "unigram_nll": q_unigram_nll,
     "pii_redaction": q_pii_redaction,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -2753,4 +2801,5 @@ ORACLES: dict[str, str] = {
     "dup_span_stats": SQL_DUP_SPAN_STATS,
     "unigram_nll": SQL_UNIGRAM_NLL,
     "pii_redaction": SQL_PII_REDACTION,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
 }

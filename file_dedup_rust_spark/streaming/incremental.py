@@ -943,7 +943,7 @@ def incremental_near_dedup(
                 )
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
                 subs = ["sigs", "posting", "mh_posting", "fp_posting",
-                        "fp_pat"]
+                        "fp_pat", "quality_flags"]
                 if audio_containment:
                     subs.append("ac_posting")
                 for sub in subs:

@@ -2697,6 +2697,83 @@ FROM corpus
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-3 terms per doc.  The corpus-analytics
+# op behind "what is this document about" dashboards and keyword-based
+# sampling.  Ordering is (round(tfidf,4) DESC, term ASC) in BOTH
+# engines: rounding first makes mathematically-equal scores that libms
+# may place one ulp apart (e.g. 2·ln2 vs ln4, reachable with integer
+# tf/df) compare EQUAL on both sides, so the term tie-break decides
+# identically.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc: score = tf · ln(N/df).
+
+    Plan shape: one explode → (doc_id, term) partial-agg count (tf) →
+    term-keyed census for df (map-side combine; the term string is the
+    output payload so it rides the shuffle by necessity) → 1-row N
+    broadcast → per-doc window top-k.  Three shuffles, all linear; no
+    Python anywhere."""
+    d = docs_corpus(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("t", " ")).alias("term")
+    )
+    tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs_corpus(spark, sf_dir).agg(
+        F.count("*").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "tfidf")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+words AS (
+  SELECT doc_id, u.x AS term
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM corpus), unnest(w) AS u(x)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM corpus),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln((SELECT n_docs FROM nd) * 1.0 / df), 4) AS tfidf
+  FROM tf JOIN dfc USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2747,6 +2824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_nll": q_unigram_nll,
     "pii_redaction": q_pii_redaction,
     "bpe_token_counts": q_bpe_token_counts,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -2802,4 +2880,5 @@ ORACLES: dict[str, str] = {
     "unigram_nll": SQL_UNIGRAM_NLL,
     "pii_redaction": SQL_PII_REDACTION,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
 }

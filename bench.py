@@ -161,7 +161,8 @@ def main() -> int:
                      "stratified_sample", "corpus_build_funnel",
                      "repetition_flags", "dup_span_stats",
                      "unigram_nll", "pii_redaction",
-                     "bpe_token_counts", "tfidf_top_terms"]:
+                     "bpe_token_counts", "tfidf_top_terms",
+                     "redacted_dup_groups"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -2774,6 +2774,87 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# Redaction-invariant dedup: normalize (PII-scrub) THEN hash.  The C4 /
+# Dolma normalize-before-dedup pattern — two mails that differ only in
+# the recipient's address are the same document.  The corpus plants TWO
+# PII twins per selected doc carrying DIFFERENT emails/phones: the byte
+# hash sees three distinct texts, the redacted hash collapses the twins
+# into one group while leaving the original (no " contact …" suffix)
+# alone.
+# ---------------------------------------------------------------------------
+
+def q_redacted_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups over xxhash64(redacted text): one row per
+    group with >1 member — (group_rep, n_members, members).
+
+    Plan shape: the redaction is the same zero-shuffle codegen
+    projection as pii_redaction; grouping keys on the 8-byte
+    xxhash64 of the scrubbed text (never the text itself), one
+    shuffle — identical to exact_dup_groups with a normalize step
+    fused in front."""
+    d = corpus_pii(spark, sf_dir)
+    twin2 = docs_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % PII_PLANT_MOD == 0
+    ).select(
+        (F.col("doc_id") + 2 * PII_PLANT_OFFSET).alias("doc_id"),
+        F.concat(
+            "t",
+            F.lit(" contact user"),
+            (F.col("doc_id") * 7 + 13).cast("string"),
+            F.lit("@example-mail.org or call 415-555-"),
+            F.lpad(((F.col("doc_id") + 1234) % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("t"),
+    )
+    red = d.unionByName(twin2).select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("t", PII_EMAIL_PAT, "<EMAIL>"),
+            PII_PHONE_PAT,
+            "<PHONE>",
+        ).alias("tr"),
+    )
+    return (
+        red.groupBy(F.xxhash64("tr").alias("k"))
+        .agg(
+            F.min("doc_id").alias("group_rep"),
+            F.count("*").cast("int").alias("n_members"),
+            F.array_join(
+                F.array_sort(F.collect_list("doc_id")), ","
+            ).alias("members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select("group_rep", "n_members", "members")
+    )
+
+
+SQL_REDACTED_DUP_GROUPS = f"""
+WITH {SQL_CORPUS_PII},
+corpus3 AS (
+  SELECT * FROM corpus
+  UNION ALL
+  SELECT doc_id + {2 * PII_PLANT_OFFSET},
+         lower(coalesce(text, '')) || ' contact user'
+           || CAST(doc_id * 7 + 13 AS VARCHAR)
+           || '@example-mail.org or call 415-555-'
+           || lpad(CAST((doc_id + 1234) % 10000 AS VARCHAR), 4, '0') || ' now'
+  FROM documents WHERE doc_id % {PII_PLANT_MOD} = 0
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(t, '{PII_EMAIL_PAT}', '<EMAIL>', 'g'),
+           '{PII_PHONE_PAT}', '<PHONE>', 'g') AS tr
+  FROM corpus3
+)
+SELECT min(doc_id) AS group_rep,
+       CAST(count(*) AS INT) AS n_members,
+       array_to_string(list_sort(list(doc_id)), ',') AS members
+FROM red GROUP BY tr HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2825,6 +2906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "bpe_token_counts": q_bpe_token_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "redacted_dup_groups": q_redacted_dup_groups,
 }
 
 ORACLES: dict[str, str] = {
@@ -2881,4 +2963,5 @@ ORACLES: dict[str, str] = {
     "pii_redaction": SQL_PII_REDACTION,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "redacted_dup_groups": SQL_REDACTED_DUP_GROUPS,
 }

@@ -201,6 +201,22 @@ def main() -> int:
     ))
 
     sections.append((
+        "tfidf_top_terms (tf census -> df census -> broadcast N -> "
+        "per-doc window top-k; rank on the ROUNDED score so libm ulp "
+        "skew cannot flip cross-engine ordering)",
+        plan_text(Q.q_tfidf_top_terms(spark, args.sf_dir)),
+        ["HashAggregate", "partial", "Window", "BroadcastNestedLoopJoin|BroadcastExchange"],
+    ))
+
+    sections.append((
+        "redacted_dup_groups (normalize-then-hash dedup: PII scrub "
+        "fused in front of the exact-dedup groupBy on "
+        "xxhash64(scrubbed) — ONE shuffle, 8-byte keys)",
+        plan_text(Q.q_redacted_dup_groups(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "regexp_replace"],
+    ))
+
+    sections.append((
         "embedding_neardup_pairs (blocked all-pairs cosine: packed-block "
         "grid cartesian, per-tile BLAS + threshold reduce — no "
         "BroadcastNestedLoopJoin, no packed-corpus broadcast)",

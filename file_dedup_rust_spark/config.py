@@ -94,6 +94,8 @@ class DedupConfig:
     q_clip_max: float = 0.10       # flag clips with >= this frac full-scale samples
     q_min_rms_dbfs: float = -45.0  # flag clips quieter than this overall
     q_max_dc_offset: float = 0.02  # flag clips with |mean sample| above this
+    q_meta_tol_ms: float = 50.0    # flag clips whose decoded length disagrees
+                                   # with the claimed dur_ms by more than this
 
     # ---- skew handling ----
     band_cap: int = 200         # max posting-list size per (band, hash)

@@ -27,6 +27,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from file_dedup_rust_spark.config import DedupConfig
 from file_dedup_rust_spark.functions import audio as A
@@ -36,13 +37,14 @@ SIGNATURE_SCHEMA = (
     "clip_id string, sha256 string, pcm_sha string, simhash long, "
     "decode_ok boolean, n_samples long, pcm_rms double, "
     "clip_ratio double, silence_ratio double, dc_offset double, "
+    "sr_hz int, dur_ms int, "
     "minhash array<int>, mh_bands array<long>, sim_keys array<long>, "
     "fps array<long>, t_norm string, t_len int"
 )
 
 SIGNATURE_COLUMNS = [
     "clip_id", "sha256", "pcm_sha", "simhash", "decode_ok", "n_samples",
-    "pcm_rms", "clip_ratio", "silence_ratio", "dc_offset",
+    "pcm_rms", "clip_ratio", "silence_ratio", "dc_offset", "sr_hz", "dur_ms",
     "minhash", "mh_bands", "sim_keys", "fps", "t_norm", "t_len",
 ]
 
@@ -100,6 +102,12 @@ def signature_batch(
         data: bytes = bytes(row.bytes) if row.bytes is not None else b""
         out["clip_id"].append(row.clip_id)
         out["sha256"].append(hashlib.sha256(data).hexdigest())
+        # claimed metadata rides along so the quality gates can check
+        # it against the decoded reality (meta_mismatch); dur_ms is
+        # optional input (see compute_signatures)
+        out["sr_hz"].append(int(row.sr_hz))
+        dur = getattr(row, "dur_ms", None)
+        out["dur_ms"].append(None if dur is None or pd.isna(dur) else int(dur))
 
         # ---- audio: decode -> features -> simhash ----
         try:
@@ -165,6 +173,13 @@ def compute_signatures(
         for pdf in batches:
             yield signature_batch(pdf, cfg, planes, with_frames)
 
-    cols = ["clip_id", "bytes", "sr_hz", "codec", "transcript"]
+    # dur_ms is the CLAIMED duration — consumed only by the
+    # meta_mismatch quality gate, so a table without it still ingests
+    # (the gate is null-safe and simply never fires)
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    sel = [
+        F.col(c) if c in clips.columns else F.lit(None).cast("int").alias(c)
+        for c in cols
+    ]
     schema = FRAMES_SIGNATURE_SCHEMA if with_frames else SIGNATURE_SCHEMA
-    return clips.select(*cols).mapInPandas(run, schema=schema)
+    return clips.select(*sel).mapInPandas(run, schema=schema)

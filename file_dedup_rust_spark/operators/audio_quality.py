@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 from file_dedup_rust_spark.config import DedupConfig
 
-QUALITY_FLAG_NAMES = ("undecodable", "silent", "clipped", "too_quiet", "dc_bias")
+QUALITY_FLAG_NAMES = (
+    "undecodable", "silent", "clipped", "too_quiet", "dc_bias", "meta_mismatch"
+)
 
 
 def quality_flags(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -55,6 +57,21 @@ def quality_flags(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             F.lit("dc_bias"),
             F.col("decode_ok")
             & (F.abs(F.col("dc_offset")) > cfg.q_max_dc_offset),
+        ),
+        (
+            # claimed metadata vs decoded reality: a container whose
+            # header length disagrees with its payload is corrupt (or
+            # mislabeled) even when every sample decodes cleanly
+            F.lit("meta_mismatch"),
+            F.col("decode_ok")
+            & (
+                F.abs(
+                    F.col("n_samples") * 1000.0
+                    / F.greatest(F.col("sr_hz"), F.lit(1))
+                    - F.col("dur_ms")
+                )
+                > cfg.q_meta_tol_ms
+            ),
         ),
     ]
     flags = F.filter(

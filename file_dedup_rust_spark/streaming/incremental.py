@@ -439,6 +439,7 @@ def incremental_near_dedup(
         # run_pipeline --quality-report); flagged clips are recorded
         # per batch in {store_dir}/quality_flags at ingest
         "pcm_rms", "clip_ratio", "silence_ratio", "dc_offset",
+        "n_samples", "sr_hz", "dur_ms",
         *(("frame_fps",) if audio_containment else ()),
     )
     d_max = cfg.hamming_max

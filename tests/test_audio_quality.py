@@ -68,6 +68,8 @@ def test_quality_gates_end_to_end(spark):
             "b",
         ),
         ("broken", bytearray(b"not audio at all"), sr, 500, "wav", "x"),
+        # decodes cleanly but the header CLAIMS 5 s for 0.5 s of audio
+        ("mislabeled", bytearray(A.encode_wav(_tone(), sr)), sr, 5000, "wav", "m"),
     ]
     clips = spark.createDataFrame(
         rows,
@@ -83,15 +85,17 @@ def test_quality_gates_end_to_end(spark):
     assert got["biased"]["flags"] == ["dc_bias"]
     assert got["broken"]["flags"] == ["undecodable"]
     assert got["broken"]["clip_ratio"] is None  # quarantine, not zeroed
+    assert got["mislabeled"]["flags"] == ["meta_mismatch"]
 
     rep = quality_report(flagged)
-    assert rep["clips"] == 6 and rep["q_passed"] == 1 and rep["q_flagged"] == 5
+    assert rep["clips"] == 7 and rep["q_passed"] == 1 and rep["q_flagged"] == 6
     assert rep["flags"] == {
         "undecodable": 1,
         "silent": 1,
         "clipped": 1,
         "too_quiet": 1,
         "dc_bias": 1,
+        "meta_mismatch": 1,
     }
 
 

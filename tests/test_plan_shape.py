@@ -85,18 +85,25 @@ def test_cosine_backbone_has_no_rowlevel_theta_join(spark):
 
 def test_signature_scan_prunes_unused_columns(spark, tmp_path):
     """The signature operator must read only the columns it consumes —
-    dur_ms is not part of the signature inputs and must be pruned from
-    the parquet ReadSchema (Catalyst column pruning through
-    mapInPandas)."""
+    an extra table column (here a planted annotation) must be pruned
+    from the parquet ReadSchema (Catalyst column pruning through
+    mapInPandas).  All six input-hint columns ARE consumed since the
+    quality gates joined the pass (dur_ms feeds meta_mismatch), so the
+    pruning guarantee is demonstrated on a 7th column."""
+    from pyspark.sql import functions as F
+
     from file_dedup_rust_spark import datagen
 
     clips_path = str(tmp_path / "clips")
-    datagen.generate_clips(spark, 200, seed=42).write.parquet(clips_path)
+    datagen.generate_clips(spark, 200, seed=42).withColumn(
+        "annotation", F.lit("not a signature input")
+    ).write.parquet(clips_path)
     sigs = compute_signatures(spark.read.parquet(clips_path), DEFAULT_CONFIG)
     text = _plan(sigs)
     read_schema = [ln for ln in text.splitlines() if "ReadSchema" in ln]
     assert read_schema, text
-    assert "dur_ms" not in read_schema[0]
+    assert "annotation" not in read_schema[0]
+    assert "dur_ms" in read_schema[0]  # meta_mismatch gate input
     assert "bytes" in read_schema[0]  # consumed here, nowhere else
 
 

@@ -379,7 +379,7 @@ def incremental_near_dedup(
         gates (operators/audio_quality.py, identical thresholds to the
         batch ``--quality-report``): (clip_id, flags) for every
         NON-passing arriving clip — silent / clipped / too-quiet /
-        dc-bias / undecodable; the metrics ride the same signature
+        dc-bias / undecodable / meta-mismatch; the metrics ride the same signature
         decode pass, a clean batch writes nothing
       * ``{store_dir}/fp_pat``     — ONE designated fingerprint per
         stored pattern-eligible clip (its rarest within-arrival-batch

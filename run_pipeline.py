@@ -33,7 +33,8 @@ def main() -> int:
     p.add_argument("--band-cap", type=int, default=None)
     p.add_argument("--quality-report", action="store_true",
                    help="add audio quality-gate counts (silent / "
-                        "clipped / too-quiet / dc-bias / undecodable) "
+                        "clipped / too-quiet / dc-bias / undecodable / "
+                        "meta-mismatch) "
                         "to the summary; metrics ride the signature "
                         "decode pass, no extra bytes scan")
     p.add_argument("--tier-report", action="store_true",

@@ -415,14 +415,17 @@ def q_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     return (
         cosine_sims_histogram(e)
-        .groupBy(F.round("sim", 1).alias("bucket"))
+        # + 0.0 folds IEEE -0.0 into +0.0: a sim that rounds to zero
+        # from below would otherwise label its bucket "-0" on one
+        # engine and "0" on the other (bit at sf0.1)
+        .groupBy((F.round("sim", 1) + 0.0).alias("bucket"))
         .agg(F.sum("n").alias("n"))
     )
 
 
 SQL_SIM_HISTOGRAM = f"""
 WITH {SQL_COSINE_PAIRS}
-SELECT round(sim, 1) AS bucket, CAST(count(*) AS BIGINT) AS n
+SELECT round(sim, 1) + 0.0 AS bucket, CAST(count(*) AS BIGINT) AS n
 FROM pairs GROUP BY 1
 """
 
@@ -1229,13 +1232,26 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator Structured Streaming uses, so the batch oracle pins the
     streaming aggregation semantics): hourly counts + mean value per
     event type.  F.window aligns tumbling windows to the epoch, which
-    for whole hours equals date_trunc('hour')."""
+    for whole hours equals date_trunc('hour').
+
+    The mean is hardened against two cross-engine divergences sf0.1
+    exposed (24-row groups averaging to EXACT 4-dp ties like
+    51.51125): (a) double summation is order-dependent, so the sum is
+    an exact associative decimal(30,6); (b) Spark's round() rounds the
+    SHORTEST-DECIMAL rendering of the double (BigDecimal.valueOf →
+    51.5113) while DuckDB rounds the binary value (51.511249… →
+    51.5112), so rounding is spelled as the explicit IEEE expression
+    floor(x·10⁴ + 0.5)/10⁴ on BOTH sides — identical ops on identical
+    doubles give identical results everywhere."""
     e = _events(spark, sf_dir)
+    mean = F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count(
+        "*"
+    )
     return (
         e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.floor(mean * 10000 + F.lit(0.5)) / 10000).alias("avg_value"),
         )
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -1248,7 +1264,8 @@ SQL_EVENTS_WINDOW_AGG = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(value), 4) AS avg_value
+       floor((CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*))
+             * 10000 + 0.5) / 10000 AS avg_value
 FROM events
 GROUP BY 1, 2
 """

@@ -2872,6 +2872,54 @@ FROM red GROUP BY tr HAVING count(*) > 1
 
 
 # ---------------------------------------------------------------------------
+# pack_chunks — concatenate-then-chunk sequence packing (GPT-style):
+# deterministic corpus order, exclusive global prefix sum over token
+# counts, fixed 256-token blocks.  The prefix sum is the interesting
+# part at scale: the naive plan (Window.orderBy with no partitionBy)
+# is a SINGLE-TASK sort of the whole corpus; operators/packing.py does
+# the two-pass bucketed scan instead (per-bucket totals -> driver
+# prefix over <=64 rows -> broadcast offsets -> per-bucket window).
+# Block ids use integer `div`, never float floor — exact at any scale.
+# ---------------------------------------------------------------------------
+
+PACK_BLOCK_TOKENS = 256
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc block span under pack-and-chunk training layout:
+    (doc_id, n_tok, tok_offset, first_block, last_block)."""
+    from file_dedup_rust_spark.operators.packing import pack_blocks
+
+    d = docs_corpus(spark, sf_dir).select(
+        "doc_id", F.size(F.split("t", " ")).alias("n_tok")
+    )
+    return pack_blocks(
+        d, "doc_id", "n_tok", block_size=PACK_BLOCK_TOKENS
+    )
+
+
+SQL_PACK_CHUNKS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(coalesce(text, '')), ' ')) AS INT)
+           AS n_tok
+  FROM documents
+), scan AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM tok
+)
+SELECT doc_id, n_tok, tok_offset,
+       CAST(tok_offset // {PACK_BLOCK_TOKENS} AS BIGINT) AS first_block,
+       CAST((tok_offset + n_tok - 1) // {PACK_BLOCK_TOKENS} AS BIGINT)
+         AS last_block
+FROM scan
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2924,6 +2972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
     "redacted_dup_groups": q_redacted_dup_groups,
+    "pack_chunks": q_pack_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -2981,4 +3030,5 @@ ORACLES: dict[str, str] = {
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "redacted_dup_groups": SQL_REDACTED_DUP_GROUPS,
+    "pack_chunks": SQL_PACK_CHUNKS,
 }

@@ -1,0 +1,123 @@
+"""Sequence packing: concatenate-then-chunk block assignment.
+
+LLM pre-training consumes documents as fixed-length token blocks: the
+corpus is laid out in one deterministic order, token counts are
+prefix-summed, and every document learns which context-window blocks
+it lands in (GPT-2/3 style pack-and-chunk; Brown et al. 2020 §2.2).
+The whole operator reduces to an EXCLUSIVE GLOBAL PREFIX SUM over the
+per-document token counts — which is exactly the thing a naive Spark
+plan gets catastrophically wrong: `Window.orderBy(id)` with no
+partitionBy collapses the entire corpus into ONE task.
+
+This module implements the scale-honest version as a classic two-pass
+distributed scan:
+
+  pass 1  deterministic fixed-width buckets over the id domain (at
+          production scale the boundaries come from a committed range
+          sample instead; the fixed-width rule keeps the operator
+          replayable and oracle-checkable on the dense synthetic ids),
+          then per-bucket totals — ONE partial-aggregated shuffle whose
+          output is `n_buckets` rows, collected to the driver (bounded
+          by construction, not by luck).
+  driver  exclusive prefix over the <= n_buckets totals (trivial).
+  pass 2  broadcast the bucket offsets back (map-side join, no
+          shuffle), intra-bucket window cumsum partitioned BY BUCKET —
+          all buckets scan in parallel; no single-partition stage
+          anywhere in the plan.
+
+Reference analog: the reference processes files strictly one at a time
+(/root/reference/backend/src/worker/deduplication_service.rs:69-101),
+so corpus layout for training never arises there; this operator is
+part of the training-data surface layered on top (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Add `_prefix` = sum of `weight_col` over all rows with a smaller
+    `id_col` (exclusive scan in `id_col` order).
+
+    Ids must be unique; weights must be non-negative.  Output carries
+    every input column plus `_prefix` (long).  See the module docstring
+    for the two-pass plan; the only full-data shuffle is the
+    bucket-partitioned window sort.
+    """
+    bounds = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:  # empty input: scan of nothing
+        return df.withColumn("_prefix", F.lit(0).cast("long"))
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, -(-(hi - lo + 1) // n_buckets))  # ceil div
+
+    b = df.withColumn(
+        "_bkt", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long")
+    )
+
+    # pass 1: per-bucket totals — bounded collect (<= n_buckets rows)
+    totals = (
+        b.groupBy("_bkt")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("_tot"))
+        .collect()
+    )
+    totals.sort(key=lambda r: r["_bkt"])
+    offsets, running = [], 0
+    for r in totals:
+        offsets.append((int(r["_bkt"]), running))
+        running += int(r["_tot"])
+
+    off_df = df.sparkSession.createDataFrame(offsets, "_bkt long, _off long")
+
+    # pass 2: broadcast offsets back; window per bucket (parallel)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(off_df), "_bkt")
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum(F.col(weight_col).cast("long")).over(w), F.lit(0)
+            )
+            + F.col("_off"),
+        )
+        .drop("_bkt", "_off")
+    )
+
+
+def pack_blocks(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    block_size: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign each row its [first_block, last_block] span under
+    concatenate-then-chunk packing with `block_size`-token blocks.
+
+    Output: id_col, weight_col, tok_offset (exclusive prefix sum),
+    first_block, last_block.  Block arithmetic stays in integer
+    domain (`div`) — no doubles, so the result is exact at any corpus
+    size (a 100-TB corpus overflows float53 token offsets).
+    """
+    p = exclusive_prefix_sum(df, id_col, weight_col, n_buckets=n_buckets)
+    return p.select(
+        id_col,
+        weight_col,
+        F.col("_prefix").alias("tok_offset"),
+        F.expr(f"_prefix div {int(block_size)}").alias("first_block"),
+        F.expr(
+            f"(_prefix + cast({weight_col} as long) - 1L) div {int(block_size)}"
+        ).alias("last_block"),
+    )

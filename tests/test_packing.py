@@ -1,0 +1,72 @@
+"""Sequence packing (operators/packing.py): the two-pass distributed
+prefix sum must equal a single-machine exclusive cumsum for any
+bucketing and any input partitioning, and the plan must never collapse
+to a single-partition global window."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from file_dedup_rust_spark.operators.packing import (
+    exclusive_prefix_sum,
+    pack_blocks,
+)
+
+
+def _expected(ids, weights):
+    order = np.argsort(ids)
+    pref = np.zeros(len(ids), dtype=np.int64)
+    run = 0
+    out = {}
+    for i in order:
+        out[ids[i]] = run
+        run += weights[i]
+    return out
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 64])
+def test_prefix_sum_matches_local_cumsum(spark, n_buckets):
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(5000)[:1200].tolist()  # sparse, shuffled ids
+    weights = rng.integers(0, 400, size=1200).tolist()
+    df = spark.createDataFrame(
+        list(zip(ids, weights)), "doc_id long, n_tok int"
+    ).repartition(7)  # arbitrary physical layout
+    got = {
+        r["doc_id"]: r["_prefix"]
+        for r in exclusive_prefix_sum(
+            df, "doc_id", "n_tok", n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == _expected(ids, weights)
+
+
+def test_pack_blocks_spans(spark):
+    # 3 docs, block=10: offsets 0,4,16 -> spans [0,0],[0,1],[1,2]
+    df = spark.createDataFrame(
+        [(1, 4), (2, 12), (3, 13)], "doc_id long, n_tok int"
+    )
+    rows = {
+        r["doc_id"]: (r["tok_offset"], r["first_block"], r["last_block"])
+        for r in pack_blocks(df, "doc_id", "n_tok", block_size=10).collect()
+    }
+    assert rows == {1: (0, 0, 0), 2: (4, 0, 1), 3: (16, 1, 2)}
+
+
+def test_pack_blocks_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, n_tok int")
+    assert pack_blocks(df, "doc_id", "n_tok", block_size=10).count() == 0
+
+
+def test_no_single_partition_window(spark):
+    """The scan must be partitioned by bucket — a global orderBy window
+    would show an Exchange SinglePartition in the plan."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), F.lit(3).alias("n_tok")
+    )
+    plan = exclusive_prefix_sum(
+        df, "doc_id", "n_tok", n_buckets=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -96,6 +96,14 @@ class DedupConfig:
     q_max_dc_offset: float = 0.02  # flag clips with |mean sample| above this
     q_meta_tol_ms: float = 50.0    # flag clips whose decoded length disagrees
                                    # with the claimed dur_ms by more than this
+    # cross-modal speech-rate gate: transcript words per second of
+    # claimed audio.  Real speech sits ~0.5-4 wps; a 3-word transcript
+    # on 60 s of audio (or an essay on a 1 s clip) is a mispaired row.
+    # q_max_wps = 0 DISABLES the gate — the default, because the
+    # synthetic datagen corpus is deliberately not timing-realistic
+    # (10-80 tokens over 0.2-1.2 s); real corpora set e.g. (0.3, 5.0).
+    q_min_wps: float = 0.0
+    q_max_wps: float = 0.0
 
     # ---- skew handling ----
     band_cap: int = 200         # max posting-list size per (band, hash)

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from file_dedup_rust_spark.config import DedupConfig
 
 QUALITY_FLAG_NAMES = (
-    "undecodable", "silent", "clipped", "too_quiet", "dc_bias", "meta_mismatch"
+    "undecodable", "silent", "clipped", "too_quiet", "dc_bias",
+    "meta_mismatch", "speech_rate",
 )
 
 
@@ -71,6 +72,32 @@ def quality_flags(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
                     - F.col("dur_ms")
                 )
                 > cfg.q_meta_tol_ms
+            ),
+        ),
+        (
+            # cross-modal pairing gate: transcript words per second of
+            # claimed audio.  Disabled when q_max_wps == 0 — the
+            # F.lit(False) constant-folds the whole branch out of the
+            # plan, so the default config pays nothing.
+            F.lit("speech_rate"),
+            F.lit(cfg.q_max_wps > 0)
+            & F.col("decode_ok")
+            & (F.col("t_len") > 0)
+            & F.col("dur_ms").isNotNull()
+            & (F.col("dur_ms") > 0)
+            & (
+                (
+                    F.size(F.split(F.col("t_norm"), " "))
+                    * 1000.0
+                    / F.col("dur_ms")
+                    < cfg.q_min_wps
+                )
+                | (
+                    F.size(F.split(F.col("t_norm"), " "))
+                    * 1000.0
+                    / F.col("dur_ms")
+                    > cfg.q_max_wps
+                )
             ),
         ),
     ]

@@ -99,6 +99,46 @@ def test_quality_gates_end_to_end(spark):
     }
 
 
+def test_speech_rate_gate(spark):
+    """Cross-modal pairing gate: words-per-second of claimed audio.
+    Off by default (q_max_wps == 0); with realistic bounds a 20-word
+    transcript on 0.5 s of audio (40 wps) and a 1-word transcript on
+    5 s (0.2 wps) both flag, while 4 wps passes."""
+    sr = 8000
+    rows = [
+        ("paced", bytearray(A.encode_wav(_tone(), sr)), sr, 500, "wav",
+         "two words"),
+        ("fast", bytearray(A.encode_wav(_tone(), sr)), sr, 500, "wav",
+         " ".join(["tok"] * 20)),
+        ("slow", bytearray(A.encode_wav(_tone(dur_s=5.0), sr)), sr, 5000,
+         "wav", "word"),
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    # default config: gate disabled, everything passes
+    got0 = {
+        r["clip_id"]: list(r["flags"])
+        for r in quality_flags(compute_signatures(clips, CFG), CFG).collect()
+    }
+    assert got0 == {"paced": [], "fast": [], "slow": []}
+    # realistic speech bounds
+    cfgr = DedupConfig(q_min_wps=0.3, q_max_wps=5.0)
+    got = {
+        r["clip_id"]: list(r["flags"])
+        for r in quality_flags(
+            compute_signatures(clips, cfgr), cfgr
+        ).collect()
+    }
+    assert got == {
+        "paced": [],
+        "fast": ["speech_rate"],
+        "slow": ["speech_rate"],
+    }
+
+
 def test_streaming_flags_bad_clips_at_ingest(spark, tmp_path):
     """A silent clip arriving via the stream is recorded in the
     quality_flags store in the SAME micro-batch, with batch-identical

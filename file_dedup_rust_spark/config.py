@@ -105,6 +105,21 @@ class DedupConfig:
     q_min_wps: float = 0.0
     q_max_wps: float = 0.0
 
+    # ---- canonical sample rate (opt-in cross-rate dedup) ----
+    # 0 = off (the default; preserves bit-stable outputs across
+    # rounds).  When set (e.g. 16000), every decoded clip is linearly
+    # resampled to this rate BEFORE the exact pcm hash, the SimHash
+    # spectral features, and the containment frame fingerprints — so
+    # the same recording distributed at 8/16/44.1 kHz dedups across
+    # rates: exactly when the variants derive from one master via the
+    # canonical chain — this resampler + the canonical x32768
+    # quantizer (pcm_exact tier) — and approximately (same SimHash
+    # band geometry, small Hamming) for variants from ANY foreign
+    # resampler or quantizer.  Off, the spectral bands are Nyquist-
+    # relative and cross-rate duplicates are invisible to every
+    # audio tier (functions/audio.py:406-408).
+    cr_hz: int = 0
+
     # ---- skew handling ----
     band_cap: int = 200         # max posting-list size per (band, hash)
     salt_partitions: int = 0    # 0 = let AQE handle it

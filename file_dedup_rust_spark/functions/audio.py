@@ -286,6 +286,32 @@ def decode_audio(data: bytes, codec: str) -> np.ndarray:
     raise ValueError(f"unsupported codec: {codec}")
 
 
+def resample_linear(pcm: np.ndarray, sr_hz: int, out_hz: int) -> np.ndarray:
+    """Deterministic linear-interpolation resample to `out_hz`.
+
+    Identity (same array) when rates match — the canonical-rate tier
+    must be a no-op for clips already at the canonical rate.  Output
+    length is ((n-1) * out) // sr + 1 (integer domain: the last output
+    sample never reads past the input).  Sample positions are computed
+    as (i * sr) / out in float64 — the products are exact for any clip
+    under ~2^53 / sr seconds, so the mapping is bit-reproducible
+    everywhere, which is what lets one master resampled once and
+    shipped at the low rate hash identically to the high-rate master
+    canonicalized at ingest (see DedupConfig.cr_hz)."""
+    if out_hz == sr_hz or pcm.size == 0:
+        return pcm
+    if pcm.size == 1:
+        return pcm.astype(np.float32, copy=True)
+    n_out = ((pcm.size - 1) * int(out_hz)) // int(sr_hz) + 1
+    pos = (np.arange(n_out, dtype=np.float64) * float(sr_hz)) / float(out_hz)
+    i0 = np.floor(pos).astype(np.int64)
+    np.clip(i0, 0, pcm.size - 2, out=i0)
+    frac = pos - i0
+    x = pcm.astype(np.float64, copy=False)
+    out = x[i0] * (1.0 - frac) + x[i0 + 1] * frac
+    return out.astype(np.float32)
+
+
 # full-scale int16 magnitude after the /32768 decode normalization:
 # +32767 decodes to 32767/32768; -32768 decodes to -1.0 — both count
 CLIP_FULL_SCALE = 32767.0 / 32768.0

@@ -110,26 +110,43 @@ def signature_batch(
         out["dur_ms"].append(None if dur is None or pd.isna(dur) else int(dur))
 
         # ---- audio: decode -> features -> simhash ----
+        # everything is computed into locals first and appended only
+        # after the whole row succeeds — a throw anywhere lands in the
+        # quarantine branch with column lengths intact
         try:
             pcm = A.decode_audio(data, row.codec)
-            feats = A.spectral_features(pcm, int(row.sr_hz), cfg)
+            # quality metrics describe the audio AS STORED — always on
+            # the native-rate samples, independent of canonicalization
+            n_samples = int(pcm.size)
+            pcm_rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if pcm.size else 0.0
+            clip_r, sil_r, dc = A.quality_metrics(pcm)
+            # content identity (exact hash, SimHash features, frame
+            # fingerprints) runs at the canonical rate when cr_hz is
+            # set, so the same recording shipped at different sample
+            # rates collides; cr_hz=0 keeps the native-rate semantics
+            c_sr = int(row.sr_hz)
+            c_pcm = pcm
+            if cfg.cr_hz:
+                c_pcm = A.resample_linear(pcm, c_sr, cfg.cr_hz)
+                c_sr = cfg.cr_hz
+            feats = A.spectral_features(c_pcm, c_sr, cfg)
             sim = A.simhash64(feats, planes)
+            frame_fps = (
+                A.frame_fingerprints(c_pcm, c_sr, cfg, A.FP_BANDS).tolist()
+                if with_frames
+                else None
+            )
             out["simhash"].append(sim)
             out["sim_keys"].append(A.simhash_band_keys(sim, cfg).tolist())
             out["decode_ok"].append(True)
-            out["n_samples"].append(int(pcm.size))
-            out["pcm_rms"].append(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if pcm.size else 0.0)
-            clip_r, sil_r, dc = A.quality_metrics(pcm)
+            out["n_samples"].append(n_samples)
+            out["pcm_rms"].append(pcm_rms)
             out["clip_ratio"].append(clip_r)
             out["silence_ratio"].append(sil_r)
             out["dc_offset"].append(dc)
-            out["pcm_sha"].append(canonical_pcm_sha(pcm, int(row.sr_hz)))
+            out["pcm_sha"].append(canonical_pcm_sha(c_pcm, c_sr))
             if with_frames:
-                out["frame_fps"].append(
-                    A.frame_fingerprints(
-                        pcm, int(row.sr_hz), cfg, A.FP_BANDS
-                    ).tolist()
-                )
+                out["frame_fps"].append(frame_fps)
         except Exception:
             out["simhash"].append(None)
             out["sim_keys"].append([])

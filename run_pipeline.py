@@ -55,6 +55,12 @@ def main() -> int:
     p.add_argument("--ac-post-cap", type=int, default=None,
                    help="containment: drop hashes with more posting "
                         "rows than this")
+    p.add_argument("--canonical-rate", type=int, default=None, dest="cr_hz",
+                   metavar="HZ",
+                   help="resample decoded audio to this rate before the "
+                        "exact pcm hash / SimHash features / frame "
+                        "fingerprints, enabling cross-sample-rate dedup "
+                        "(default: off, native-rate semantics)")
     args = p.parse_args()
 
     from file_dedup_rust_spark.config import DedupConfig
@@ -65,7 +71,7 @@ def main() -> int:
     overrides = {
         k: getattr(args, k)
         for k in ("band_cap", "ac_min_coverage", "ac_max_df",
-                  "ac_min_matches", "ac_post_cap")
+                  "ac_min_matches", "ac_post_cap", "cr_hz")
         if getattr(args, k) is not None
     }
     cfg = DedupConfig(seed=args.seed, **overrides)

@@ -162,7 +162,7 @@ def main() -> int:
                      "repetition_flags", "dup_span_stats",
                      "unigram_nll", "pii_redaction",
                      "bpe_token_counts", "tfidf_top_terms",
-                     "redacted_dup_groups"]:
+                     "redacted_dup_groups", "pack_chunks"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

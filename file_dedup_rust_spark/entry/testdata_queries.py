@@ -2919,6 +2919,114 @@ FROM scan
 """
 
 
+BLOCK_DEDUP_L = 8  # words per disjoint dedup block (operators.dup_spans)
+
+
+def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level dedup with global first-occurrence retention
+    (operators.dup_spans.dedup_blocks): the remove-side counterpart of
+    dup_span_stats — per-doc kept/dropped block counts plus the sha256
+    of the reassembled kept text, so the oracle checks the actual
+    reconstruction, not just the bookkeeping."""
+    from file_dedup_rust_spark.operators.dup_spans import dedup_blocks
+
+    return dedup_blocks(docs_corpus(spark, sf_dir), l=BLOCK_DEDUP_L)
+
+
+SQL_BLOCK_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS w
+  FROM documents
+), b AS (
+  SELECT doc_id, CAST(gs.i AS INT) AS idx,
+         array_to_string(
+           w[gs.i * {BLOCK_DEDUP_L} + 1 : (gs.i + 1) * {BLOCK_DEDUP_L}],
+           ' ') AS blk
+  FROM d, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(w) / {BLOCK_DEDUP_L}.0) AS BIGINT)))
+      AS i
+  ) gs
+), k AS (
+  SELECT doc_id, idx, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY doc_id, idx) AS rn
+  FROM b
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(coalesce(sum(CASE WHEN rn = 1
+                          THEN len(string_split(blk, ' ')) END), 0)
+            AS BIGINT) AS kept_tokens,
+       sha256(coalesce(
+         string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY idx), ''))
+         AS kept_sha
+FROM k
+GROUP BY doc_id
+"""
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ordered corpus selection under a token budget
+    (half the corpus's tokens): rank docs by stopword hits (an
+    integer quality proxy — exact cross-engine ordering, no float
+    ties) descending with doc_id tiebreak, admit while the running
+    token total stays within budget.  The data-mixing step after
+    dedup/quality filtering: fill a training-token budget with the
+    best-scoring documents first.
+
+    Scale shape: the running total is operators.packing's two-pass
+    distributed prefix sum ordered by (-stop_hits, doc_id) — no
+    single-task global window; the budget itself is one partial-agg
+    scalar."""
+    from file_dedup_rust_spark.operators.packing import exclusive_prefix_sum
+
+    d = docs_corpus(spark, sf_dir).select(
+        "doc_id", F.split("t", " ").alias("w")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    d = d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tok"),
+        F.size(
+            F.filter("w", lambda x: F.array_contains(stop_arr, x))
+        ).cast("long").alias("stop_hits"),
+    )
+    budget = int(d.agg(F.sum("n_tok")).first()[0] or 0) // 2
+    p = exclusive_prefix_sum(
+        d.withColumn("_ord", -F.col("stop_hits")),
+        "doc_id", "n_tok", order_col="_ord",
+    )
+    return p.filter(
+        F.col("_prefix") + F.col("n_tok") <= F.lit(budget)
+    ).select(
+        "doc_id", "n_tok", "stop_hits",
+        F.col("_prefix").alias("tok_before"),
+    )
+
+
+SQL_TOKEN_BUDGET_SELECT = f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(w, x -> list_contains({_SQL_STOPLIST}, x)))
+              AS BIGINT) AS stop_hits
+  FROM d
+), c AS (
+  SELECT doc_id, n_tok, stop_hits,
+         CAST(coalesce(SUM(n_tok) OVER (
+           ORDER BY stop_hits DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tok_before
+  FROM s
+)
+SELECT doc_id, n_tok, stop_hits, tok_before
+FROM c
+WHERE tok_before + n_tok <= (SELECT sum(n_tok) // 2 FROM s)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2973,6 +3081,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "redacted_dup_groups": q_redacted_dup_groups,
     "pack_chunks": q_pack_chunks,
+    "block_dedup": q_block_dedup,
+    "token_budget_select": q_token_budget_select,
 }
 
 ORACLES: dict[str, str] = {
@@ -3031,4 +3141,6 @@ ORACLES: dict[str, str] = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "redacted_dup_groups": SQL_REDACTED_DUP_GROUPS,
     "pack_chunks": SQL_PACK_CHUNKS,
+    "block_dedup": SQL_BLOCK_DEDUP,
+    "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
 }

@@ -37,6 +37,9 @@ DUP_SPAN_L = 8  # tokens per gram (Lee et al. use 50 BPE tokens; the
                 # synthetic docs are 10-99 words, so 8 keeps multiple
                 # windows per doc while staying selective)
 
+BLOCK_L = 8     # tokens per dedup block (dedup_blocks) — disjoint
+                # windows, unlike the census's overlapping grams
+
 
 def dup_span_stats(docs_with_t: DataFrame, l: int = DUP_SPAN_L) -> DataFrame:
     """(doc_id, t) -> per-doc duplicated-span census.
@@ -94,4 +97,77 @@ def dup_span_stats(docs_with_t: DataFrame, l: int = DUP_SPAN_L) -> DataFrame:
         F.round(F.col("dup_grams") / F.col("n_grams"), 4).alias("dup_fraction"),
         covered.alias("covered_tokens"),
         F.round(covered / F.col("n_tokens"), 4).alias("covered_frac"),
+    )
+
+
+def dedup_blocks(docs_with_t: DataFrame, l: int = BLOCK_L) -> DataFrame:
+    """(doc_id, t) -> block-level dedup under GLOBAL first-occurrence
+    retention: partition each document's tokens into disjoint l-token
+    blocks, keep every block's first occurrence corpus-wide (ordered by
+    (doc_id, block index)), drop the rest, and reassemble what remains.
+
+    This is the REMOVE side of the census above — the operation
+    CCNet/RefinedWeb-style pipelines actually run (line-level dedup;
+    Penedo et al. 2023 §4.2) re-expressed over this corpus's
+    newline-free word soup as fixed-width blocks.  Whole-doc exact
+    tiers (operators/exact.py, reference analog
+    backend/src/worker/deduplication_service.rs:69-101) cannot cut
+    boilerplate shared by thousands of otherwise-distinct docs; this
+    removes exactly that mass while keeping one canonical copy.
+
+    Columns: doc_id, n_blocks, n_dropped, kept_tokens, kept_sha
+    (sha256 hex of the reassembled kept text — '' hashes if everything
+    was dropped).  Deterministic for a fixed corpus.
+
+    Scale design.  One explode (n_tokens / l rows), block identities
+    cross the shuffle as 8-byte xxhash64 values; first occurrences via
+    min(struct(doc_id, idx)) — a declarative aggregate, so map-side
+    partial agg bounds any hot boilerplate block's reduce-side group;
+    join back is hash-keyed with ONE row per distinct block on the
+    build side (AQE handles the hot-key probe skew); reassembly is a
+    per-doc sort bounded by the document's own block count.  Same
+    xxhash64 collision note as the census: the oracle groups by the
+    block STRING and agrees at every tested scale.
+    """
+    toks = docs_with_t.select("doc_id", F.split("t", " ").alias("w"))
+    blocks = F.expr(
+        f"transform(sequence(0, int(ceil(size(w) / {l}.0)) - 1), "
+        f"i -> concat_ws(' ', slice(w, i * {l} + 1, {l})))"
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode(blocks).alias("idx", "blk")
+    ).withColumn("bh", F.xxhash64("blk"))
+
+    firsts = pos.groupBy("bh").agg(
+        F.min(F.struct("doc_id", "idx")).alias("f")
+    )
+    keep = (F.col("doc_id") == F.col("f.doc_id")) & (
+        F.col("idx") == F.col("f.idx")
+    )
+    tagged = pos.join(firsts, "bh").select(
+        "doc_id", "idx", "blk", keep.alias("keep")
+    )
+    # collect_list drops the NULLs the unmatched when() produces, so
+    # only kept blocks reach the sort
+    kept_txt = F.concat_ws(
+        " ",
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("keep"), F.struct("idx", "blk"))
+                )
+            ),
+            lambda x: x["blk"],
+        ),
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("keep"), F.size(F.split("blk", " ")).cast("long"))
+            ),
+            F.lit(0).cast("long"),
+        ).alias("kept_tokens"),
+        F.sha2(kept_txt, 256).alias("kept_sha"),
     )

@@ -42,25 +42,29 @@ def exclusive_prefix_sum(
     id_col: str,
     weight_col: str,
     n_buckets: int = 64,
+    order_col: str | None = None,
 ) -> DataFrame:
-    """Add `_prefix` = sum of `weight_col` over all rows with a smaller
-    `id_col` (exclusive scan in `id_col` order).
+    """Add `_prefix` = sum of `weight_col` over all rows that sort
+    earlier (exclusive scan).  Scan order is `id_col` alone, or —
+    when `order_col` is given — (order_col, id_col): the buckets
+    partition the ORDER column's integer domain and `id_col` breaks
+    ties, so equal order keys land in one bucket and the scan stays
+    globally consistent.
 
-    Ids must be unique; weights must be non-negative.  Output carries
-    every input column plus `_prefix` (long).  See the module docstring
-    for the two-pass plan; the only full-data shuffle is the
-    bucket-partitioned window sort.
+    Ids must be unique; weights must be non-negative; order_col (if
+    given) must be integral.  Output carries every input column plus
+    `_prefix` (long).  See the module docstring for the two-pass plan;
+    the only full-data shuffle is the bucket-partitioned window sort.
     """
-    bounds = df.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-    ).first()
+    key = order_col or id_col
+    bounds = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
     if bounds["lo"] is None:  # empty input: scan of nothing
         return df.withColumn("_prefix", F.lit(0).cast("long"))
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     width = max(1, -(-(hi - lo + 1) // n_buckets))  # ceil div
 
     b = df.withColumn(
-        "_bkt", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long")
+        "_bkt", ((F.col(key) - F.lit(lo)) / F.lit(width)).cast("long")
     )
 
     # pass 1: per-bucket totals — bounded collect (<= n_buckets rows)
@@ -78,9 +82,10 @@ def exclusive_prefix_sum(
     off_df = df.sparkSession.createDataFrame(offsets, "_bkt long, _off long")
 
     # pass 2: broadcast offsets back; window per bucket (parallel)
+    order = [order_col, id_col] if order_col else [id_col]
     w = (
         Window.partitionBy("_bkt")
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (

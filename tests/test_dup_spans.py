@@ -103,3 +103,81 @@ def test_dup_span_interval_union_handles_gaps(spark):
     got = {r["doc_id"]: r.asDict() for r in df.collect()}
     assert got[1]["covered_tokens"] == 16  # 8 + 8, gap untouched
     assert got[2]["covered_tokens"] == 8 and got[3]["covered_tokens"] == 8
+
+
+def _brute_blocks(docs: dict[int, str], l: int) -> dict[int, dict]:
+    import hashlib
+
+    blocks: dict[int, list[str]] = {}
+    first: dict[str, tuple[int, int]] = {}
+    for did in sorted(docs):
+        w = docs[did].split(" ")
+        bs = [" ".join(w[i : i + l]) for i in range(0, len(w), l)]
+        blocks[did] = bs
+        for idx, b in enumerate(bs):
+            first.setdefault(b, (did, idx))
+    out = {}
+    for did, bs in blocks.items():
+        kept = [b for i, b in enumerate(bs) if first[b] == (did, i)]
+        txt = " ".join(kept)
+        out[did] = {
+            "n_blocks": len(bs),
+            "n_dropped": len(bs) - len(kept),
+            "kept_tokens": sum(len(b.split(" ")) for b in kept),
+            "kept_sha": hashlib.sha256(txt.encode()).hexdigest(),
+        }
+    return out
+
+
+def test_dedup_blocks_matches_bruteforce(spark):
+    from file_dedup_rust_spark.operators.dup_spans import dedup_blocks
+
+    shared = "the cat sat on the mat by th"  # exactly one 8-token block
+    docs = {
+        1: shared,
+        2: shared + " plus eight more trailing words here now ok",
+        3: "totally distinct words that no other document carries at all",
+        5: shared + " " + shared,  # within-doc repeated block
+    }
+    df = dedup_blocks(
+        spark.createDataFrame(list(docs.items()), "doc_id long, t string"), l=8
+    )
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    want = _brute_blocks(docs, 8)
+    assert set(got) == set(want)
+    for did, w in want.items():
+        for k, v in w.items():
+            assert got[did][k] == v, (did, k, got[did], w)
+    # doc 1 owns the shared block (smallest doc_id); docs 2/5 drop it
+    assert got[1]["n_dropped"] == 0
+    assert got[2]["n_dropped"] == 1
+    # doc 5 = the shared 8-token block twice; both copies lose to
+    # doc 1, leaving an empty doc (kept_sha = sha256(''))
+    assert got[5]["n_dropped"] == 2 and got[5]["kept_tokens"] == 0
+
+
+def test_dedup_blocks_property_random_corpora(spark):
+    """Randomized tiny-vocab corpora (heavy block collisions, ragged
+    tails, empty-after-dedup docs) against the brute-force reference."""
+    import random
+
+    from file_dedup_rust_spark.operators.dup_spans import dedup_blocks
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c"]
+    l = 3
+    for trial in range(4):
+        docs = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20)))
+            for i in range(14)
+        }
+        df = dedup_blocks(
+            spark.createDataFrame(list(docs.items()), "doc_id long, t string"),
+            l=l,
+        )
+        got = {r["doc_id"]: r.asDict() for r in df.collect()}
+        want = _brute_blocks(docs, l)
+        assert set(got) == set(want), trial
+        for did, w in want.items():
+            for k, v in w.items():
+                assert got[did][k] == v, (trial, did, k, got[did], w)

@@ -70,3 +70,41 @@ def test_no_single_partition_window(spark):
         df, "doc_id", "n_tok", n_buckets=64
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 64])
+def test_prefix_sum_with_order_col(spark, n_buckets):
+    """order_col scan: prefix in (order, id) order, ties broken by id,
+    negative order values (the quality-descending trick) included."""
+    rng = np.random.default_rng(13)
+    n = 900
+    ids = rng.permutation(4000)[:n].tolist()
+    weights = rng.integers(0, 50, size=n).tolist()
+    order = rng.integers(-8, 8, size=n).tolist()  # heavy ties
+    df = spark.createDataFrame(
+        list(zip(ids, weights, order)), "doc_id long, n_tok int, q long"
+    ).repartition(5)
+    got = {
+        r["doc_id"]: r["_prefix"]
+        for r in exclusive_prefix_sum(
+            df, "doc_id", "n_tok", n_buckets=n_buckets, order_col="q"
+        ).collect()
+    }
+    rows = sorted(zip(order, ids, weights))
+    run, want = 0, {}
+    for _, did, wt in rows:
+        want[did] = run
+        run += wt
+    assert got == want
+
+
+def test_prefix_sum_order_col_no_single_partition(spark):
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(3).alias("n_tok"),
+        (F.col("id") % 17).alias("q"),
+    )
+    plan = exclusive_prefix_sum(
+        df, "doc_id", "n_tok", n_buckets=64, order_col="q"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

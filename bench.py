@@ -162,7 +162,8 @@ def main() -> int:
                      "repetition_flags", "dup_span_stats",
                      "unigram_nll", "pii_redaction",
                      "bpe_token_counts", "tfidf_top_terms",
-                     "redacted_dup_groups", "pack_chunks"]:
+                     "redacted_dup_groups", "pack_chunks",
+                     "block_dedup", "token_budget_select"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -264,6 +264,26 @@ def main() -> int:
         ["HashAggregate", "partial"],
     ))
 
+    sections.append((
+        "block_dedup (global first-occurrence block retention: block "
+        "identities shuffle as 8-byte xxhash64, first-occurrence via "
+        "min(struct) with map-side partial agg, hash join back, per-doc "
+        "reassembly bounded by the doc's own block count)",
+        plan_text(Q.q_block_dedup(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+    ))
+
+    sections.append((
+        "token_budget_select (quality-ordered greedy budget fill: "
+        "two-pass distributed prefix sum over (_ord, doc_id) buckets — "
+        "the window partitions by bucket, never SinglePartition)",
+        plan_text(Q.q_token_budget_select(spark, args.sf_dir)),
+        # the prefix-sum's two bounded aggregates run eagerly at build
+        # time (driver collects <= n_buckets rows), so the returned
+        # plan is scan -> broadcast offset join -> bucket window
+        ["Window", "BroadcastExchange"],
+    ))
+
     failures = []
     out_lines = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text, must in sections:

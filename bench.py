@@ -163,7 +163,8 @@ def main() -> int:
                      "unigram_nll", "pii_redaction",
                      "bpe_token_counts", "tfidf_top_terms",
                      "redacted_dup_groups", "pack_chunks",
-                     "block_dedup", "token_budget_select"]:
+                     "block_dedup", "token_budget_select",
+                     "cluster_best_rep", "bucketed_batches"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -3027,6 +3027,123 @@ WHERE tok_before + n_tok <= (SELECT sum(n_tok) // 2 FROM s)
 """
 
 
+def q_cluster_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy over near-dup clusters: from every multi-doc
+    connected component (same edges/labels as cc_clusters) keep the
+    highest-quality copy — stopword hits descending (an integer
+    quality proxy, exact cross-engine ordering), doc_id tiebreak —
+    and report what the policy drops.  First-occurrence retention
+    (exact_dup_groups, block_dedup) keeps the SMALLEST id; real
+    corpus builds keep the BEST copy (FineWeb/CCNet keep one
+    canonical per cluster by quality), which is this query.
+
+    Scale shape: cluster labels come from the adaptive CC operator;
+    the pick is two window functions over ONE cluster_id-partitioned
+    shuffle (clusters are bounded by the dedup structure, not the
+    corpus)."""
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = _doc_edges(spark, sf_dir).select("a", "b")
+    verts = corpus_exact(spark, sf_dir).select(F.col("doc_id").alias("clip_id"))
+    cc = connected_components(edges, verts).select(
+        F.col("clip_id").alias("doc_id"), "cluster_id"
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    qual = corpus_exact(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("t", " "), lambda x: F.array_contains(stop_arr, x))
+        ).cast("long").alias("stop_hits"),
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = (
+        cc.join(qual, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("stop_hits"), "doc_id")),
+        )
+        .withColumn("size", F.count("*").over(w))
+    )
+    return ranked.filter((F.col("size") > 1) & (F.col("rn") == 1)).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("stop_hits").alias("rep_stop_hits"),
+        F.col("size").cast("long").alias("size"),
+        (F.col("size") - 1).cast("long").alias("n_dropped"),
+    )
+
+
+SQL_CLUSTER_BEST_REP = f"""
+WITH RECURSIVE {SQL_DOC_EDGES},
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+verts AS (SELECT DISTINCT doc_id FROM corpus),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(t, ' '),
+                              x -> list_contains({_SQL_STOPLIST}, x)))
+              AS BIGINT) AS stop_hits
+  FROM corpus
+),
+r AS (
+  SELECT cc.cluster_id, q.doc_id, q.stop_hits,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY q.stop_hits DESC, q.doc_id) AS rn,
+         count(*) OVER (PARTITION BY cc.cluster_id) AS sz
+  FROM cc JOIN q ON q.doc_id = cc.id
+)
+SELECT cluster_id, doc_id AS rep_doc_id, stop_hits AS rep_stop_hits,
+       CAST(sz AS BIGINT) AS size, CAST(sz - 1 AS BIGINT) AS n_dropped
+FROM r WHERE sz > 1 AND rn = 1
+"""
+
+
+BATCH_BUCKET_W = 16   # length-bucket width (chars here; dur_ms for audio)
+BATCH_ROWS = 8        # rows per training batch within a bucket
+
+
+def q_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed training-batch assembly with padding-waste
+    accounting (operators.packing.bucketed_batches): the ASR/TTS
+    loader step that groups similar-length sequences so per-batch
+    padding to the longest member stays small.  Here over the
+    documents table's n_chars; the operator is column-generic (clip
+    dur_ms in the audio tests)."""
+    from file_dedup_rust_spark.operators.packing import bucketed_batches
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return bucketed_batches(
+        d, "doc_id", "n_chars",
+        bucket_width=BATCH_BUCKET_W, batch_rows=BATCH_ROWS,
+    )
+
+
+SQL_BUCKETED_BATCHES = f"""
+WITH s AS (
+  SELECT doc_id, n_chars, n_chars // {BATCH_BUCKET_W} AS bucket
+  FROM documents
+),
+r AS (
+  SELECT bucket, n_chars,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY n_chars, doc_id) - 1 AS idx
+  FROM s
+)
+SELECT bucket, idx // {BATCH_ROWS} AS batch_idx,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(n_chars) AS BIGINT) AS max_len,
+       CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS pad_waste
+FROM r GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3083,6 +3200,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_chunks": q_pack_chunks,
     "block_dedup": q_block_dedup,
     "token_budget_select": q_token_budget_select,
+    "cluster_best_rep": q_cluster_best_rep,
+    "bucketed_batches": q_bucketed_batches,
 }
 
 ORACLES: dict[str, str] = {
@@ -3143,4 +3262,6 @@ ORACLES: dict[str, str] = {
     "pack_chunks": SQL_PACK_CHUNKS,
     "block_dedup": SQL_BLOCK_DEDUP,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
+    "cluster_best_rep": SQL_CLUSTER_BEST_REP,
+    "bucketed_batches": SQL_BUCKETED_BATCHES,
 }

@@ -101,6 +101,69 @@ def exclusive_prefix_sum(
     )
 
 
+def bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    bucket_width: int,
+    batch_rows: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Length-bucketed batch assembly with padding-waste accounting.
+
+    ASR/TTS training pads every batch member to the batch's longest
+    sequence, so loaders group clips of similar duration first
+    (bucketed batching).  Rows land in fixed-width length buckets
+    (`len div bucket_width`); within a bucket rows are taken in
+    deterministic (len, id) order, `batch_rows` at a time; each batch
+    reports its padded length (the max) and the padding it wastes.
+    Works over any integral length column — clip `dur_ms` for audio,
+    token counts for text.
+
+    Output: one row per batch — bucket, batch_idx, n_rows, max_len,
+    pad_waste (= n_rows * max_len - sum(len)).
+
+    Scale shape.  The within-bucket index is NOT a per-length-bucket
+    window (a hot bucket would serialize into one task).  Because
+    buckets partition the length DOMAIN and the scan order is
+    (len, id), each bucket's rows are contiguous in the global
+    (len, id) rank, so the two-pass distributed prefix COUNT above
+    doubles as the per-bucket index after subtracting the bucket's
+    first rank — a bounded one-row-per-bucket aggregate broadcast
+    back.  Parallelism is the prefix sum's `n_buckets` over the
+    length domain, independent of how coarse `bucket_width` is.
+    """
+    p = exclusive_prefix_sum(
+        df.withColumn("_one", F.lit(1)),
+        id_col,
+        "_one",
+        n_buckets=n_buckets,
+        order_col=len_col,
+    ).drop("_one")
+    b = p.withColumn(
+        "_bucket",
+        F.expr(f"cast({len_col} as long) div {int(bucket_width)}"),
+    )
+    # one row per non-empty length bucket — bounded by the length
+    # domain / bucket_width, broadcast back
+    first = b.groupBy("_bucket").agg(F.min("_prefix").alias("_first"))
+    batch = (
+        b.join(F.broadcast(first), "_bucket")
+        .withColumn(
+            "_batch", F.expr(f"(_prefix - _first) div {int(batch_rows)}")
+        )
+    )
+    return batch.groupBy(
+        F.col("_bucket").alias("bucket"), F.col("_batch").alias("batch_idx")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.max(len_col).cast("long").alias("max_len"),
+        (F.count("*") * F.max(len_col) - F.sum(len_col))
+        .cast("long")
+        .alias("pad_waste"),
+    )
+
+
 def pack_blocks(
     df: DataFrame,
     id_col: str,

@@ -108,3 +108,78 @@ def test_prefix_sum_order_col_no_single_partition(spark):
         df, "doc_id", "n_tok", n_buckets=64, order_col="q"
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def _brute_batches(rows, bucket_width, batch_rows):
+    """rows: list of (id, length) — reference batch assembly."""
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, ln in rows:
+        buckets[ln // bucket_width].append((ln, i))
+    want = {}
+    for bkt, members in buckets.items():
+        members.sort()
+        for b0 in range(0, len(members), batch_rows):
+            chunk = members[b0 : b0 + batch_rows]
+            mx = max(ln for ln, _ in chunk)
+            want[(bkt, b0 // batch_rows)] = (
+                len(chunk),
+                mx,
+                len(chunk) * mx - sum(ln for ln, _ in chunk),
+            )
+    return want
+
+
+@pytest.mark.parametrize("bucket_width,batch_rows", [(16, 8), (50, 3), (1, 4)])
+def test_bucketed_batches_matches_bruteforce(spark, bucket_width, batch_rows):
+    from file_dedup_rust_spark.operators.packing import bucketed_batches
+
+    rng = np.random.default_rng(19)
+    ids = rng.permutation(3000)[:800].tolist()
+    lens = rng.integers(1, 300, size=800).tolist()
+    df = spark.createDataFrame(
+        list(zip(ids, lens)), "doc_id long, n_tok int"
+    ).repartition(6)
+    got = {
+        (r["bucket"], r["batch_idx"]): (r["n_rows"], r["max_len"], r["pad_waste"])
+        for r in bucketed_batches(
+            df, "doc_id", "n_tok", bucket_width, batch_rows
+        ).collect()
+    }
+    assert got == _brute_batches(list(zip(ids, lens)), bucket_width, batch_rows)
+
+
+def test_bucketed_batches_audio_durations(spark):
+    """The ASR use: bucket synthetic clips by dur_ms (string clip_id
+    tiebreak); padding waste within a bucket is bounded by
+    n_rows * (bucket_width - 1)."""
+    from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.operators.packing import bucketed_batches
+
+    clips = datagen.generate_clips(spark, 400, seed=42).select(
+        "clip_id", "dur_ms"
+    )
+    width, bsz = 100, 16
+    rows = [(r["clip_id"], r["dur_ms"]) for r in clips.collect()]
+    got = {
+        (r["bucket"], r["batch_idx"]): (r["n_rows"], r["max_len"], r["pad_waste"])
+        for r in bucketed_batches(
+            clips, "clip_id", "dur_ms", width, bsz
+        ).collect()
+    }
+    assert got == _brute_batches(rows, width, bsz)
+    for (_, _), (n, _, waste) in got.items():
+        assert waste <= n * (width - 1)
+
+
+def test_bucketed_batches_no_single_partition(spark):
+    from file_dedup_rust_spark.operators.packing import bucketed_batches
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 311).alias("n_tok")
+    )
+    plan = bucketed_batches(
+        df, "doc_id", "n_tok", 16, 8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -274,6 +274,26 @@ def main() -> int:
     ))
 
     sections.append((
+        "cluster_best_rep (keep-best-copy retention over near-dup "
+        "clusters: CC labels joined to integer quality, pick via two "
+        "window functions over ONE cluster_id-partitioned shuffle)",
+        plan_text(Q.q_cluster_best_rep(spark, args.sf_dir)),
+        # at sf0.01 the adaptive CC solves on the driver, so labels
+        # arrive as a broadcast local relation (no aggregate to pin);
+        # the retention pick itself is Sort -> Exchange -> Window x2
+        ["Window", "BroadcastHashJoin"],
+    ))
+
+    sections.append((
+        "bucketed_batches (ASR-style length-bucketed batch assembly: "
+        "global (len,id) rank via the two-pass prefix count, bucket "
+        "first-rank broadcast back, batch agg with map-side combine "
+        "— no per-length-bucket window, no SinglePartition)",
+        plan_text(Q.q_bucketed_batches(spark, args.sf_dir)),
+        ["Window", "BroadcastExchange", "HashAggregate", "partial"],
+    ))
+
+    sections.append((
         "token_budget_select (quality-ordered greedy budget fill: "
         "two-pass distributed prefix sum over (_ord, doc_id) buckets — "
         "the window partitions by bucket, never SinglePartition)",

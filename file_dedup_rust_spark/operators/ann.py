@@ -240,6 +240,155 @@ def train_codebook(
     return cents
 
 
+def kmeans_parallel_codebook(
+    e: DataFrame,
+    k: int,
+    rounds: int = 4,
+    oversample: int | None = None,
+    iters: int = 8,
+    seed: int = 12345,
+) -> np.ndarray:
+    """Distributed k-means|| codebook (Bahmani, Moseley, Vattani,
+    Kumar, Vassilvitskii — "Scalable k-means++", VLDB 2012): the
+    production centroid path for when even a 262k bounded sample
+    under-represents the corpus (a 10^12-row table with rare tail
+    modes).
+
+    `train_codebook` above sketches the data ONCE and clusters the
+    sketch; a uniform sketch can miss a small far-out mode entirely.
+    k-means|| instead runs `rounds` full distributed passes, each
+    sampling points with probability proportional to their squared
+    distance from the current candidate set (far regions are found
+    BECAUSE they are far), then solves weighted k-means on the
+    bounded candidate set locally.
+
+    Scale shape — every non-scan artifact is bounded by construction:
+      * per-round cost pass: one mapInPandas BLAS scan against the
+        broadcast candidate matrix (<= (1 + rounds*4l) * d * 8 bytes);
+      * per-round candidate collect: expectation `l` rows, hard-capped
+        at 4l by taking the smallest acceptance ratios first;
+      * weights: one groupBy over candidate indices (<= |C| rows).
+    Determinism: the Bernoulli draws are hash-uniforms
+    u = pmod(xxhash64(vec_id, round_salt), 2^31) / 2^31 — replayable
+    for a fixed corpus, no RNG state on executors; the local finish
+    is seeded numpy.  Returns unit-norm float64 (k, d) — the same
+    contract as `train_codebook`, so `build_ivf_index(init=...)`
+    swaps trainers without touching assignment or probe semantics.
+    """
+    l = oversample or 2 * k
+    spark = e.sparkSession
+    base = e.select("vec_id", "embedding")
+
+    first = base.orderBy(F.xxhash64("vec_id"), "vec_id").limit(1).collect()
+    if not first:
+        raise ValueError("kmeans_parallel_codebook: empty input")
+    c0 = np.asarray(first[0]["embedding"], dtype=np.float64)
+    c0 /= max(np.linalg.norm(c0), 1e-300)
+    cand = [c0]
+
+    def _cost_df(C: np.ndarray) -> DataFrame:
+        bc = spark.sparkContext.broadcast(C)
+
+        def costs(batches):
+            M = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                V /= np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+                )
+                sim = (V @ M.T).max(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "d2": np.maximum(2.0 - 2.0 * sim, 0.0),
+                    }
+                )
+
+        return base.mapInPandas(costs, "vec_id long, d2 double")
+
+    for r in range(rounds):
+        dcost = _cost_df(np.stack(cand))
+        psi = dcost.agg(F.sum("d2")).first()[0] or 0.0
+        if psi <= 0:  # every point coincides with a candidate
+            break
+        # accept iff u < l * d2 / psi; rank by u/d2 so a pathological
+        # round overshooting its expectation of l stays hard-capped
+        u = (
+            F.pmod(
+                F.xxhash64("vec_id", F.lit(seed + 7919 * (r + 1))),
+                F.lit(2**31),
+            ).cast("double")
+            / F.lit(float(2**31))
+        )
+        picked = (
+            dcost.withColumn("u", u)
+            .filter(
+                F.col("u") * F.lit(float(psi)) < F.lit(float(l)) * F.col("d2")
+            )
+            .withColumn(
+                "ratio",
+                F.col("u")
+                * F.lit(float(psi))
+                / F.greatest(F.col("d2"), F.lit(1e-300)),
+            )
+            .orderBy("ratio", "vec_id")
+            .limit(4 * l)
+            .select("vec_id")
+        )
+        for row in picked.join(base, "vec_id").orderBy("vec_id").collect():
+            v = np.asarray(row["embedding"], dtype=np.float64)
+            v /= max(np.linalg.norm(v), 1e-300)
+            cand.append(v)
+
+    C = np.stack(cand)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        M = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            yield pd.DataFrame(
+                {"a": (V @ M.T).argmax(axis=1).astype(np.int64)}
+            )
+
+    w = np.zeros(len(C))
+    for row in base.mapInPandas(assign, "a long").groupBy("a").count().collect():
+        w[row["a"]] = float(row["count"])
+
+    # local finish: weighted k-means++ seeding + weighted Lloyd over
+    # the bounded candidate set (|C| ~ 1 + rounds*l rows)
+    rng = np.random.default_rng(seed)
+    k_eff = min(k, len(C))
+    probs = w / w.sum() if w.sum() > 0 else np.full(len(C), 1.0 / len(C))
+    centers = [C[rng.choice(len(C), p=probs)]]
+    for _ in range(1, k_eff):
+        d2 = np.maximum(2.0 - 2.0 * (C @ np.stack(centers).T).max(axis=1), 0.0)
+        pw = d2 * w
+        tot = pw.sum()
+        if tot <= 0:
+            centers.append(C[rng.choice(len(C), p=probs)])
+            continue
+        centers.append(C[rng.choice(len(C), p=pw / tot)])
+    cents = np.stack(centers)
+    for _ in range(iters):
+        a = np.argmax(C @ cents.T, axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, a, C * w[:, None])
+        cnt = np.zeros(k_eff)
+        np.add.at(cnt, a, w)
+        nz = cnt > 0
+        upd = sums[nz] / cnt[nz, None]
+        cents[nz] = upd / np.maximum(
+            np.linalg.norm(upd, axis=1, keepdims=True), 1e-300
+        )
+    return cents
+
+
 # ---------------------------------------------------------------------------
 # product quantization: the petabyte swap for the inverted lists
 # (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
@@ -310,6 +459,21 @@ def default_k(n: int, cap: int = 4096) -> int:
     return max(4, min(int(math.ceil(3.0 * math.sqrt(max(n, 1)))), cap))
 
 
+def _train(
+    e: DataFrame, k: int, init: str, sample_cap: int, seed: int
+) -> np.ndarray:
+    """Codebook trainer dispatch for the persistent index builders:
+    'sample' = bounded-sketch Lloyd (default; one scan), 'kmeans||' =
+    distributed k-means|| (rounds+2 scans, finds rare far-out modes a
+    uniform sketch misses).  Same (k, d) unit-norm contract, so
+    assignment and probing are untouched either way."""
+    if init == "kmeans||":
+        return kmeans_parallel_codebook(e, k, seed=seed)
+    if init != "sample":
+        raise ValueError(f"unknown codebook init {init!r}")
+    return train_codebook(e, k, sample_cap=sample_cap, seed=seed)
+
+
 def build_ivf_index(
     e: DataFrame,
     io,
@@ -318,6 +482,7 @@ def build_ivf_index(
     assign_m: int = 8,
     sample_cap: int = 262_144,
     seed: int = 12345,
+    init: str = "sample",
 ):
     """Build + checkpoint a persistent IVF index — the batch analog of
     the reference's OpenSearch HNSW index that outlives any one query
@@ -337,13 +502,14 @@ def build_ivf_index(
     n = e.count()
     k = k_cells or default_k(n)
     fp = json.dumps(
-        {"k": k, "m": assign_m, "cap": sample_cap, "seed": seed, "n": n},
+        {"k": k, "m": assign_m, "cap": sample_cap, "seed": seed, "n": n,
+         "init": init},
         sort_keys=True,
     )
     spark = e.sparkSession
 
     def build_codebook() -> DataFrame:
-        cb = train_codebook(e, k, sample_cap=sample_cap, seed=seed)
+        cb = _train(e, k, init, sample_cap, seed)
         return spark.createDataFrame(
             [(i, row.tolist()) for i, row in enumerate(cb)],
             "cell int, centroid array<double>",
@@ -373,6 +539,7 @@ def build_ivf_pq_index(
     n_cent: int = 256,
     sample_cap: int = 262_144,
     seed: int = 12345,
+    init: str = "sample",
 ):
     """Build + checkpoint a PQ-compressed IVF index: same layout as
     `build_ivf_index` but the inverted lists store n_sub-byte PQ codes
@@ -391,13 +558,13 @@ def build_ivf_pq_index(
     k = k_cells or default_k(n)
     fp = json.dumps(
         {"k": k, "m": assign_m, "cap": sample_cap, "seed": seed, "n": n,
-         "pq": [n_sub, n_cent]},
+         "pq": [n_sub, n_cent], "init": init},
         sort_keys=True,
     )
     spark = e.sparkSession
 
     def build_codebook() -> DataFrame:
-        cb = train_codebook(e, k, sample_cap=sample_cap, seed=seed)
+        cb = _train(e, k, init, sample_cap, seed)
         return spark.createDataFrame(
             [(i, row.tolist()) for i, row in enumerate(cb)],
             "cell int, centroid array<double>",

@@ -17,7 +17,9 @@ the embeddings of the ``n_seeds`` smallest vec_ids — one assignment
 step against fixed seeds, no iterative refinement — so a SQL oracle
 can reproduce the assignment bit-for-bit.  The PRODUCTION centroid
 path is wired too (VERDICT r4 item 7): pass ``centroids=`` a trained
-codebook — e.g. operators.ann.train_codebook output or the codebook
+codebook — operators.ann.train_codebook (bounded-sketch Lloyd),
+operators.ann.kmeans_parallel_codebook (distributed k-means||, finds
+rare far-out modes a uniform sketch misses), or the codebook
 persisted by build_ivf_index — and the same assignment kernel and
 prune run against it (tests/test_semdedup.py compares prune sets at
 equal k on the clustered fixture).  Only the seed path is the oracle

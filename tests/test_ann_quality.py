@@ -14,6 +14,7 @@ ranking fail loudly.
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 
@@ -175,3 +176,105 @@ def test_ivf_planted_clustered_is_exact(spark, sf_dir):
             assert got == exact, fn.__name__
     finally:
         corpus.unpersist()
+
+
+def test_kmeans_parallel_deterministic(spark):
+    """k-means|| is replayable: hash-uniform Bernoulli draws + seeded
+    local finish -> bit-identical codebooks across runs."""
+    from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.operators.ann import kmeans_parallel_codebook
+
+    e = datagen.clustered_embeddings(spark, 2000).select(
+        "vec_id", "embedding"
+    ).persist()
+    try:
+        a = kmeans_parallel_codebook(e, 16, rounds=3)
+        b = kmeans_parallel_codebook(e, 16, rounds=3)
+        assert a.shape == (16, a.shape[1])
+        assert (a == b).all()
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+    finally:
+        e.unpersist()
+
+
+def test_kmeans_parallel_finds_rare_far_mode(spark):
+    """The reason k-means|| exists: a small far-out mode (1% of rows)
+    attracts candidates BECAUSE it is far (d2-proportional sampling),
+    so a centroid lands on it.  Planted: 3960 rows on one direction,
+    40 on an orthogonal one."""
+    import pandas as pd
+
+    from file_dedup_rust_spark.operators.ann import kmeans_parallel_codebook
+
+    rng = np.random.default_rng(5)
+    d = 32
+    main_dir = np.zeros(d); main_dir[0] = 1.0
+    rare_dir = np.zeros(d); rare_dir[1] = 1.0
+    rows = []
+    for i in range(3960):
+        v = main_dir + 0.05 * rng.standard_normal(d)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for i in range(40):
+        v = rare_dir + 0.05 * rng.standard_normal(d)
+        rows.append((10_000 + i, (v / np.linalg.norm(v)).tolist()))
+    e = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    cb = kmeans_parallel_codebook(e, 8, rounds=3)
+    assert (cb @ rare_dir).max() >= 0.95, "no centroid near the rare mode"
+    assert (cb @ main_dir).max() >= 0.95
+
+
+def test_ivf_kmeans_parallel_init_holds_clustered_recall(spark):
+    """build path parity: IVF probing with a k-means|| codebook holds
+    the same clustered-geometry recall gate as the sampled trainer
+    (assign_m=4 / nprobe=4 >= 0.97)."""
+    from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.operators.ann import (
+        default_k,
+        ivf_topk,
+        kmeans_parallel_codebook,
+        knn_topk_blocked,
+    )
+
+    n = 4000
+    e = datagen.clustered_embeddings(spark, n).select(
+        "vec_id", "embedding"
+    ).persist()
+    try:
+        brute = {
+            (r.vec_id, r.neighbor_id)
+            for r in knn_topk_blocked(e, top_k=10).collect()
+        }
+        cb = kmeans_parallel_codebook(e, default_k(n))
+        ivf = {
+            (r.vec_id, r.neighbor_id)
+            for r in ivf_topk(
+                e, top_k=10, assign_m=4, nprobe=4, codebook=cb
+            ).collect()
+        }
+        recall = len(brute & ivf) / len(brute)
+        assert recall >= 0.97, f"kmeans|| IVF recall@10 = {recall:.3f}"
+    finally:
+        e.unpersist()
+
+
+def test_ivf_index_init_in_fingerprint(spark, tmp_path):
+    """init participates in the stage fingerprint: switching trainers
+    on the same checkpoint dir rebuilds instead of resuming a stale
+    codebook (the ADVICE-r4 schema-token convention)."""
+    from file_dedup_rust_spark.operators import ann
+    from file_dedup_rust_spark.sources.table_io import TableIO
+    from file_dedup_rust_spark import datagen
+
+    e = datagen.clustered_embeddings(spark, 1500).select(
+        "vec_id", "embedding"
+    )
+    io = TableIO(spark, str(tmp_path / "idx"))
+    cb_s, _ = ann.build_ivf_index(e, io, k_cells=12)
+    cb_k, _ = ann.build_ivf_index(e, io, k_cells=12, init="kmeans||")
+    assert cb_s.shape == cb_k.shape
+    assert not (cb_s == cb_k).all(), "kmeans|| resumed the sample codebook"
+    # same init again -> resume, bit-identical
+    cb_k2, _ = ann.build_ivf_index(e, io, k_cells=12, init="kmeans||")
+    assert (cb_k == cb_k2).all()

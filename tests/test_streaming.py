@@ -797,3 +797,95 @@ def test_streaming_audio_containment_probe(spark, cfg, tmp_path):
         ).collect()
     }
     assert pairs == batch_pairs
+
+
+def test_streaming_canonical_rate_catches_cross_rate_reupload(
+    spark, tmp_path
+):
+    """Round-5 canonical-rate tier at ingest: with cfg.cr_hz set, the
+    SAME recording re-uploaded at a DIFFERENT sample rate (canonical
+    resampler chain, fresh transcript, later drop) matches via the
+    streaming pcm_sha probe — parity with the batch pcm_exact tier
+    holds because the stream shares compute_signatures(cfg).  With
+    cr_hz=0 the probe must NOT connect them (the documented
+    native-rate gap)."""
+    import numpy as np
+    import pandas as pd
+
+    from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.config import DedupConfig
+    from file_dedup_rust_spark.functions import audio as A
+    from file_dedup_rust_spark.streaming.incremental import (
+        incremental_near_dedup,
+        read_store,
+    )
+
+    def master_pcm(sr, seed=5, f1=380.0, f2=1150.0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(sr * 1.0)) / sr
+        x = (
+            0.4 * np.sin(2 * np.pi * f1 * t)
+            + 0.2 * np.sin(2 * np.pi * f2 * t)
+            + 0.05 * rng.standard_normal(t.size)
+        )
+        return np.clip(x, -0.999, 0.999).astype(np.float32)
+
+    sr_hi, sr_lo = 16000, 8000
+    hi_bytes = A.encode_wav(master_pcm(sr_hi), sr_hi)
+    lo_pcm = A.resample_linear(A.decode_audio(hi_bytes, "wav"), sr_hi, sr_lo)
+    lo_bytes = (
+        np.clip(np.round(lo_pcm.astype(np.float64) * 32768.0), -32768, 32767)
+        .astype("<i2")
+        .tobytes()
+    )
+    filler = datagen.generate_clips_pandas(40, seed=47)
+    drop1 = pd.concat(
+        [
+            filler.iloc[:20],
+            pd.DataFrame(
+                [{
+                    "clip_id": "master_hi", "bytes": hi_bytes,
+                    "sr_hz": sr_hi, "dur_ms": 1000, "codec": "wav",
+                    "transcript": "original upload words",
+                }]
+            )[list(filler.columns)],
+        ],
+        ignore_index=True,
+    )
+    drop2 = pd.concat(
+        [
+            filler.iloc[20:],
+            pd.DataFrame(
+                [{
+                    "clip_id": "resend_lo", "bytes": lo_bytes,
+                    "sr_hz": sr_lo, "dur_ms": 1000, "codec": "pcm_s16le",
+                    "transcript": "totally different words this time",
+                }]
+            )[list(filler.columns)],
+        ],
+        ignore_index=True,
+    )
+
+    for tag, cr, want in (("on", sr_lo, True), ("off", 0, False)):
+        cfg = DedupConfig(cr_hz=cr)
+        root = tmp_path / tag
+        landing = str(root / "landing")
+        for d in (drop1, drop2):
+            spark.createDataFrame(
+                d, schema=datagen.CLIP_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(landing)
+            q = incremental_near_dedup(
+                spark, landing, str(root / "store"), str(root / "out"),
+                str(root / "ck"), cfg,
+            )
+            q.awaitTermination(180)
+        pcm = read_store(spark, str(root / "out")).filter(
+            "match_kind = 'pcm_exact' AND match_scope = 'corpus'"
+        )
+        hit = (
+            pcm.filter(
+                "clip_id = 'resend_lo' AND matched_clip_id = 'master_hi'"
+            ).count()
+            > 0
+        )
+        assert hit == want, (tag, hit)

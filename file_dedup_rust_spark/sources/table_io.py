@@ -139,6 +139,12 @@ class TableIO:
                 shutil.rmtree(final)
             os.replace(staging, final)
             n = self.spark.read.parquet(final).count()
+            sizes = [
+                os.path.getsize(os.path.join(dp, fn))
+                for dp, _, fns in os.walk(final)
+                for fn in fns
+                if fn.endswith(".parquet")
+            ]
             n_bytes = sum(
                 os.path.getsize(os.path.join(dp, fn))
                 for dp, _, fns in os.walk(final)
@@ -156,6 +162,11 @@ class TableIO:
         }
         if not self.iceberg_catalog:
             entry["bytes"] = n_bytes
+            # per-partition (output-file) skew metrics: a stage whose
+            # max file dwarfs its mean had a hot key upstream — visible
+            # in lineage without re-reading the table
+            entry["n_files"] = len(sizes)
+            entry["max_file_bytes"] = max(sizes) if sizes else 0
         if extra:
             entry.update(extra)
         tmp = self._manifest_path(name) + ".tmp"

@@ -83,6 +83,9 @@ def test_manifest_listing_lookup_delete(spark, cfg, clips_df, tmp_path):
 
     entry = io.manifest_entry("signatures")  # GET /jobs/{id}
     assert entry["status"] == "committed" and entry["row_count"] == N
+    # per-partition skew metrics ride every parquet commit
+    assert entry["n_files"] >= 1
+    assert 0 < entry["max_file_bytes"] <= entry["bytes"]
     assert io.manifest_entry("nonexistent") is None  # 404
 
     assert io.delete_stage("edges") is True  # DELETE /jobs/{id}

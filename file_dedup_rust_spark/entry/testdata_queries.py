@@ -2966,18 +2966,25 @@ GROUP BY doc_id
 
 
 def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy quality-ordered corpus selection under a token budget
-    (half the corpus's tokens): rank docs by stopword hits (an
-    integer quality proxy — exact cross-engine ordering, no float
-    ties) descending with doc_id tiebreak, admit while the running
-    token total stays within budget.  The data-mixing step after
-    dedup/quality filtering: fill a training-token budget with the
-    best-scoring documents first.
+    """Quality-ordered corpus selection under a token budget (half the
+    corpus's tokens): rank docs by stopword hits (an integer quality
+    proxy — exact cross-engine ordering, no float ties) descending
+    with doc_id tiebreak; a doc is admitted iff the cumulative tokens
+    of ALL higher-ranked docs plus its own fit the budget (rank-prefix
+    rule).  NOT greedy admission: a rejected doc's tokens still count
+    against lower-ranked docs — deliberately, because true greedy
+    ("skip the overflowing doc, keep filling") is a sequential scan
+    over the ranking, inexpressible as a parallel filter; the
+    rank-prefix rule is its deterministic, partition-invariant,
+    one-pass relaxation, and the SQL oracle pins exactly it.
 
     Scale shape: the running total is operators.packing's two-pass
     distributed prefix sum ordered by (-stop_hits, doc_id) — no
     single-task global window; the budget itself is one partial-agg
-    scalar."""
+    scalar.  The tokenization is persisted so the budget aggregate and
+    the prefix sum's three actions share one scan (the cached relation
+    is 3 numeric columns; the context cleaner reclaims it when the
+    result goes out of scope)."""
     from file_dedup_rust_spark.operators.packing import exclusive_prefix_sum
 
     d = docs_corpus(spark, sf_dir).select(
@@ -2990,7 +2997,7 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter("w", lambda x: F.array_contains(stop_arr, x))
         ).cast("long").alias("stop_hits"),
-    )
+    ).persist()
     budget = int(d.agg(F.sum("n_tok")).first()[0] or 0) // 2
     p = exclusive_prefix_sum(
         d.withColumn("_ord", -F.col("stop_hits")),

@@ -286,7 +286,7 @@ def kmeans_parallel_codebook(
     c0 /= max(np.linalg.norm(c0), 1e-300)
     cand = [c0]
 
-    def _cost_df(C: np.ndarray) -> DataFrame:
+    def _cost_df(C: np.ndarray):
         bc = spark.sparkContext.broadcast(C)
 
         def costs(batches):
@@ -306,12 +306,17 @@ def kmeans_parallel_codebook(
                     }
                 )
 
-        return base.mapInPandas(costs, "vec_id long, d2 double")
+        return base.mapInPandas(costs, "vec_id long, d2 double"), bc
 
     for r in range(rounds):
-        dcost = _cost_df(np.stack(cand))
+        # persist: the psi aggregate and the candidate pick below share
+        # ONE BLAS scan per round (the docstring's cost contract)
+        dcost, bc_r = _cost_df(np.stack(cand))
+        dcost = dcost.persist()
         psi = dcost.agg(F.sum("d2")).first()[0] or 0.0
         if psi <= 0:  # every point coincides with a candidate
+            dcost.unpersist()
+            bc_r.destroy()
             break
         # accept iff u < l * d2 / psi; rank by u/d2 so a pathological
         # round overshooting its expectation of l stays hard-capped
@@ -341,6 +346,8 @@ def kmeans_parallel_codebook(
             v = np.asarray(row["embedding"], dtype=np.float64)
             v /= max(np.linalg.norm(v), 1e-300)
             cand.append(v)
+        dcost.unpersist()
+        bc_r.destroy()
 
     C = np.stack(cand)
     bc = spark.sparkContext.broadcast(C)
@@ -359,6 +366,7 @@ def kmeans_parallel_codebook(
     w = np.zeros(len(C))
     for row in base.mapInPandas(assign, "a long").groupBy("a").count().collect():
         w[row["a"]] = float(row["count"])
+    bc.destroy()
 
     # local finish: weighted k-means++ seeding + weighted Lloyd over
     # the bounded candidate set (|C| ~ 1 + rounds*l rows)

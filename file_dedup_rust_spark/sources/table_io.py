@@ -139,17 +139,13 @@ class TableIO:
                 shutil.rmtree(final)
             os.replace(staging, final)
             n = self.spark.read.parquet(final).count()
-            sizes = [
-                os.path.getsize(os.path.join(dp, fn))
-                for dp, _, fns in os.walk(final)
-                for fn in fns
-                if fn.endswith(".parquet")
-            ]
-            n_bytes = sum(
-                os.path.getsize(os.path.join(dp, fn))
-                for dp, _, fns in os.walk(final)
-                for fn in fns
-            )
+            sizes, n_bytes = [], 0
+            for dp, _, fns in os.walk(final):
+                for fn in fns:
+                    sz = os.path.getsize(os.path.join(dp, fn))
+                    n_bytes += sz
+                    if fn.endswith(".parquet"):
+                        sizes.append(sz)
         wall = time.monotonic() - t0
         entry = {
             "stage": name,

@@ -294,7 +294,7 @@ def main() -> int:
     ))
 
     sections.append((
-        "token_budget_select (quality-ordered greedy budget fill: "
+        "token_budget_select (quality-ordered rank-prefix budget fill: "
         "two-pass distributed prefix sum over (_ord, doc_id) buckets — "
         "the window partitions by bucket, never SinglePartition)",
         plan_text(Q.q_token_budget_select(spark, args.sf_dir)),

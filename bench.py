@@ -164,7 +164,9 @@ def main() -> int:
                      "bpe_token_counts", "tfidf_top_terms",
                      "redacted_dup_groups", "pack_chunks",
                      "block_dedup", "token_budget_select",
-                     "cluster_best_rep", "bucketed_batches"]:
+                     "cluster_best_rep", "bucketed_batches",
+                     "boilerplate_prune", "leakage_safe_split",
+                     "mixture_weights"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -3152,6 +3152,162 @@ FROM r GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# boilerplate pruning (frequency-threshold block removal), leakage-safe
+# train/held-out split, and target-mixture sampling rates (round 5) —
+# the remaining standard corpus-assembly steps between "deduped" and
+# "training shards"
+# ---------------------------------------------------------------------------
+
+HELD_OUT_PM = 100  # 10% of dup GROUPS (not rows) go to held_out
+
+
+def q_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-threshold boilerplate removal
+    (operators.dup_spans.prune_boilerplate): drop EVERY occurrence of
+    any 8-token block present in >= 2 distinct docs — the
+    CCNet/RefinedWeb line rule (no canonical copy kept), vs
+    block_dedup's first-occurrence retention.  Over corpus_exact the
+    planted byte-identical copies make every block of a copied doc
+    cross-doc-frequent, so those docs prune to empty (kept_sha of '')
+    while untouched docs keep everything — both reassembly regimes
+    sha256-checked by the oracle."""
+    from file_dedup_rust_spark.operators.dup_spans import prune_boilerplate
+
+    return prune_boilerplate(
+        corpus_exact(spark, sf_dir).select("doc_id", "t"), l=BLOCK_DEDUP_L
+    )
+
+
+SQL_BOILERPLATE_PRUNE = f"""
+WITH {SQL_CORPUS_EXACT},
+d AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM corpus
+), b AS (
+  SELECT doc_id, CAST(gs.i AS INT) AS idx,
+         array_to_string(
+           w[gs.i * {BLOCK_DEDUP_L} + 1 : (gs.i + 1) * {BLOCK_DEDUP_L}],
+           ' ') AS blk
+  FROM d, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(w) / {BLOCK_DEDUP_L}.0) AS BIGINT)))
+      AS i
+  ) gs
+), boiler AS (
+  SELECT blk FROM b GROUP BY blk HAVING count(DISTINCT doc_id) >= 2
+), k AS (
+  SELECT b.doc_id, b.idx, b.blk, boiler.blk IS NULL AS keep
+  FROM b LEFT JOIN boiler ON b.blk = boiler.blk
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+       CAST(coalesce(sum(CASE WHEN keep
+                          THEN len(string_split(blk, ' ')) END), 0)
+            AS BIGINT) AS kept_tokens,
+       sha256(coalesce(
+         string_agg(CASE WHEN keep THEN blk END, ' ' ORDER BY idx), ''))
+         AS kept_sha
+FROM k
+GROUP BY doc_id
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/held-out split
+    (functions.sampling.group_safe_split): the split decision is per
+    exact-duplicate GROUP (md5 of content — the same grouping as
+    exact_dup_groups), so a duplicate of a held-out doc can never land
+    in train and turn the held-out loss into a memorization probe (Lee
+    et al. 2021 §6).  The oracle pins the invariant structurally: both
+    engines derive split from the group's min doc_id through the same
+    Knuth bucket, so any straddling group hash-mismatches.  Near-dup
+    clusters slot in by passing the pipeline's cluster_id as the group
+    column instead (pytest-gated — CC is not SQL-expressible)."""
+    from file_dedup_rust_spark.functions.sampling import group_safe_split
+
+    d = corpus_exact(spark, sf_dir).select(
+        "doc_id", F.md5("t").alias("h")
+    )
+    return group_safe_split(d, "doc_id", "h", HELD_OUT_PM).select(
+        "doc_id", "group_rep", "split"
+    )
+
+
+SQL_LEAKAGE_SAFE_SPLIT = f"""
+WITH {SQL_CORPUS_EXACT},
+g AS (
+  SELECT doc_id, md5(t) AS h FROM corpus
+), m AS (
+  SELECT h, min(doc_id) AS group_rep FROM g GROUP BY h
+)
+SELECT g.doc_id, m.group_rep,
+       CASE WHEN ((m.group_rep * 2654435761) % 4294967296) % 1000
+                 < {HELD_OUT_PM}
+            THEN 'held_out' ELSE 'train' END AS split
+FROM g JOIN m USING (h)
+"""
+
+
+MIX_TARGET = {"en": 700, "other": 300}  # target corpus mix (per-mille)
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture sampling rates (functions.sampling.mixture_rates):
+    given the lang-ID strata and a target token mix (70% en / 30%
+    other), emit the per-stratum keep rate of the largest
+    no-upsampling corpus realizing it — the binding stratum keeps
+    rate exactly 1.0.  Fixed-weight cousin of DoReMi (Xie et al.
+    2023); feeds stratified_sample.  All arithmetic is integer or a
+    single identically-expressed IEEE division chain on both engines
+    (no round() — the r5 continuation's decimal-rounding lesson)."""
+    from file_dedup_rust_spark.functions.sampling import mixture_rates
+
+    d = docs_corpus(spark, sf_dir).select(
+        "doc_id", F.split("t", " ").alias("w")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    score = F.round(
+        F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
+        / F.greatest(F.size("w"), F.lit(1)),
+        4,
+    )
+    s = d.select(
+        F.size("w").cast("long").alias("n_tok"),
+        F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+    return mixture_rates(s, "pred_lang", "n_tok", MIX_TARGET)
+
+
+SQL_MIXTURE_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS w
+  FROM documents
+), s AS (
+  SELECT CAST(len(w) AS BIGINT) AS n_tok,
+         CASE WHEN round(len(list_filter(w, x ->
+                     list_contains({_SQL_STOPLIST}, x)))
+                   * 1.0 / greatest(len(w), 1), 4) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM toks
+), a AS (
+  SELECT pred_lang,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_tok) AS BIGINT) AS weight,
+         CAST(CASE WHEN pred_lang = 'en' THEN {MIX_TARGET['en']}
+                   ELSE {MIX_TARGET['other']} END AS BIGINT) AS target_pm
+  FROM s GROUP BY pred_lang
+)
+SELECT pred_lang, n_rows, weight,
+       CAST(floor(1000 * weight / sum(weight) OVER ()) AS BIGINT)
+         AS natural_pm,
+       target_pm,
+       (target_pm / weight) / max(target_pm / weight) OVER ()
+         AS sample_rate
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3209,6 +3365,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_select": q_token_budget_select,
     "cluster_best_rep": q_cluster_best_rep,
     "bucketed_batches": q_bucketed_batches,
+    "boilerplate_prune": q_boilerplate_prune,
+    "leakage_safe_split": q_leakage_safe_split,
+    "mixture_weights": q_mixture_weights,
 }
 
 ORACLES: dict[str, str] = {
@@ -3271,4 +3430,7 @@ ORACLES: dict[str, str] = {
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
     "cluster_best_rep": SQL_CLUSTER_BEST_REP,
     "bucketed_batches": SQL_BUCKETED_BATCHES,
+    "boilerplate_prune": SQL_BOILERPLATE_PRUNE,
+    "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
 }

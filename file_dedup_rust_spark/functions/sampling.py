@@ -16,7 +16,7 @@ passes; the per-stratum rate lookup is a CASE expression, not a join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KNUTH_MULT = 2_654_435_761  # 2^32 / phi, TAOCP vol. 3 §6.4
@@ -46,3 +46,92 @@ def stratified_sample(
     for stratum, r in sorted(rates_per_mille.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(r)).otherwise(rate)
     return df.filter(sample_bucket(F.col(key_col)) < rate)
+
+
+def group_safe_split(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    held_out_per_mille: int,
+) -> DataFrame:
+    """Leakage-safe train / held-out split: the split decision is made
+    per GROUP (duplicate cluster, exact-hash group, source domain),
+    never per row, so no two members of a group straddle the boundary.
+
+    Splitting a deduplicated-but-clustered corpus row-wise leaks: a
+    near-duplicate of a held-out document lands in train and the
+    held-out loss measures memorization (the reason The Pile / Lee et
+    al. 2021 dedup ACROSS the train/test boundary).  This derives each
+    group's fate from the Knuth bucket of its minimum key — the same
+    deterministic, partition-invariant, engine-reproducible decision
+    rule as stratified_sample, so the split survives reruns,
+    repartitions, and incremental corpus growth (a group's min key is
+    stable once its earliest member exists).
+
+    Output: the input rows + group_rep (the group's min key) + split
+    ('held_out' iff the group's bucket < held_out_per_mille).
+
+    At 100 TB: one groupBy on the group key (map-side-partial min)
+    and one hash join back on the same key — the exact shuffle shape
+    of exact dedup; the split itself is a pure expression.
+    """
+    groups = df.groupBy(group_col).agg(F.min(key_col).alias("group_rep"))
+    split = F.when(
+        sample_bucket(F.col("group_rep")) < F.lit(held_out_per_mille),
+        F.lit("held_out"),
+    ).otherwise(F.lit("train"))
+    return df.join(groups, group_col).withColumn("split", split)
+
+
+def mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    target_per_mille: dict[str, int],
+) -> DataFrame:
+    """Per-stratum sampling rates that realize a target corpus mixture
+    without upsampling (the data-mixing step after dedup/filtering:
+    "train on 30% code, 60% web, 10% books" given whatever the crawl
+    yielded — the fixed-weight cousin of DoReMi's learned weights,
+    Xie et al. 2023).
+
+    For each stratum s with weight mass m_s (tokens) and target share
+    t_s (per-mille), the largest leakage-free corpus keeps the BINDING
+    stratum (max t_s/m_s) whole and downsamples the rest:
+
+        rate_s = (t_s / m_s) / max_u (t_u / m_u)   in (0, 1]
+
+    Output one row per stratum: stratum, n_rows, weight (sum of
+    weight_col), natural_pm (floor(1000*weight/total) — integer),
+    target_pm, and sample_rate (double; exactly 1.0 for the binding
+    stratum).  Feed floor(1000*rate) into stratified_sample to apply.
+
+    At 100 TB: one partial-agg groupBy over the strata; everything
+    after runs on a relation bounded by the stratum cardinality (the
+    single-partition window is over ~dozens of rows, not data).
+    Strata absent from target_per_mille get target 0 -> rate 0.0
+    (dropped from the mix).
+    """
+    tgt: Column = F.lit(0)
+    for stratum, t in sorted(target_per_mille.items()):
+        tgt = F.when(F.col(stratum_col) == stratum, F.lit(t)).otherwise(tgt)
+    agg = df.groupBy(stratum_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(weight_col).cast("long").alias("weight"),
+    )
+    w = Window.partitionBy()  # bounded: one row per stratum
+    ratio = F.col("target_pm") / F.col("weight")
+    return (
+        agg.withColumn("target_pm", tgt.cast("long"))
+        .withColumn("total_w", F.sum("weight").over(w))
+        .withColumn("max_ratio", F.max(ratio).over(w))
+        .select(
+            F.col(stratum_col),
+            "n_rows",
+            "weight",
+            F.floor(F.lit(1000) * F.col("weight") / F.col("total_w"))
+            .cast("long").alias("natural_pm"),
+            "target_pm",
+            (ratio / F.col("max_ratio")).alias("sample_rate"),
+        )
+    )

@@ -129,15 +129,7 @@ def dedup_blocks(docs_with_t: DataFrame, l: int = BLOCK_L) -> DataFrame:
     xxhash64 collision note as the census: the oracle groups by the
     block STRING and agrees at every tested scale.
     """
-    toks = docs_with_t.select("doc_id", F.split("t", " ").alias("w"))
-    blocks = F.expr(
-        f"transform(sequence(0, int(ceil(size(w) / {l}.0)) - 1), "
-        f"i -> concat_ws(' ', slice(w, i * {l} + 1, {l})))"
-    )
-    pos = toks.select(
-        "doc_id", F.posexplode(blocks).alias("idx", "blk")
-    ).withColumn("bh", F.xxhash64("blk"))
-
+    pos = _block_positions(docs_with_t, l)
     firsts = pos.groupBy("bh").agg(
         F.min(F.struct("doc_id", "idx")).alias("f")
     )
@@ -147,6 +139,26 @@ def dedup_blocks(docs_with_t: DataFrame, l: int = BLOCK_L) -> DataFrame:
     tagged = pos.join(firsts, "bh").select(
         "doc_id", "idx", "blk", keep.alias("keep")
     )
+    return _reassemble(tagged, dropped_col="n_dropped")
+
+
+def _block_positions(docs_with_t: DataFrame, l: int) -> DataFrame:
+    """(doc_id, t) -> one row per disjoint l-token block:
+    (doc_id, idx, blk, bh) with bh = xxhash64(blk)."""
+    toks = docs_with_t.select("doc_id", F.split("t", " ").alias("w"))
+    blocks = F.expr(
+        f"transform(sequence(0, int(ceil(size(w) / {l}.0)) - 1), "
+        f"i -> concat_ws(' ', slice(w, i * {l} + 1, {l})))"
+    )
+    return toks.select(
+        "doc_id", F.posexplode(blocks).alias("idx", "blk")
+    ).withColumn("bh", F.xxhash64("blk"))
+
+
+def _reassemble(tagged: DataFrame, dropped_col: str) -> DataFrame:
+    """(doc_id, idx, blk, keep) -> per-doc kept/dropped counts + the
+    sha256 of the in-order reassembly of kept blocks.  The per-doc sort
+    is bounded by the document's own block count."""
     # collect_list drops the NULLs the unmatched when() produces, so
     # only kept blocks reach the sort
     kept_txt = F.concat_ws(
@@ -162,7 +174,7 @@ def dedup_blocks(docs_with_t: DataFrame, l: int = BLOCK_L) -> DataFrame:
     )
     return tagged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_blocks"),
-        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.sum((~F.col("keep")).cast("long")).alias(dropped_col),
         F.coalesce(
             F.sum(
                 F.when(F.col("keep"), F.size(F.split("blk", " ")).cast("long"))
@@ -171,3 +183,57 @@ def dedup_blocks(docs_with_t: DataFrame, l: int = BLOCK_L) -> DataFrame:
         ).alias("kept_tokens"),
         F.sha2(kept_txt, 256).alias("kept_sha"),
     )
+
+
+BOILER_MIN_DOCS = 2  # a block is boilerplate iff it appears in at
+                     # least this many DISTINCT docs (RefinedWeb's
+                     # line rule uses source-level dup counts; the
+                     # synthetic corpus's only cross-doc repeats are
+                     # the planted copies, so 2 is the selective
+                     # choice there)
+
+
+def prune_boilerplate(
+    docs_with_t: DataFrame, l: int = BLOCK_L, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """(doc_id, t) -> frequency-threshold boilerplate removal: drop
+    EVERY occurrence (the first included) of any l-token block whose
+    exact content appears in >= min_docs distinct documents, and
+    reassemble what remains.
+
+    This is the other standard line-rule semantics next to
+    dedup_blocks' first-occurrence retention: CCNet/RefinedWeb-style
+    pipelines (Penedo et al. 2023 §4.2, Wenzek et al. 2020) treat a
+    line shared by many documents as navigation chrome / license
+    headers — noise in every copy, so no canonical copy is kept.
+    Re-expressed over this corpus's newline-free word soup as
+    fixed-width blocks; real corpora swap the splitter for
+    newline-split lines, the operator is unchanged.
+
+    Columns: doc_id, n_blocks, n_boiler (occurrences dropped),
+    kept_tokens, kept_sha.
+
+    Scale design.  Same two-shuffle shape as dedup_blocks: block
+    identities cross the shuffle as 8-byte xxhash64 values; the doc
+    frequency is a map-side-partial count over per-doc-distinct rows;
+    the boilerplate set (one row per distinct offending block) is the
+    join build side — tiny unless the corpus is mostly boilerplate,
+    so AQE broadcasts it; a LEFT join keeps clean blocks flowing
+    without a match.  Reassembly is bounded per doc.  Same xxhash64
+    collision note as the census: the oracle groups by the block
+    string and agrees at every tested scale.
+    """
+    pos = _block_positions(docs_with_t, l)
+    boiler = (
+        pos.select("bh", "doc_id")
+        .distinct()
+        .groupBy("bh")
+        .agg(F.count("*").alias("dfreq"))
+        .filter(F.col("dfreq") >= min_docs)
+        .select("bh", F.lit(True).alias("is_boiler"))
+    )
+    tagged = pos.join(boiler, "bh", "left").select(
+        "doc_id", "idx", "blk",
+        F.col("is_boiler").isNull().alias("keep"),
+    )
+    return _reassemble(tagged, dropped_col="n_boiler")

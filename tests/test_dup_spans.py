@@ -181,3 +181,91 @@ def test_dedup_blocks_property_random_corpora(spark):
         for did, w in want.items():
             for k, v in w.items():
                 assert got[did][k] == v, (trial, did, k, got[did], w)
+
+
+def _brute_boiler(docs: dict[int, str], l: int, min_docs: int) -> dict:
+    """Plain-Python reference for prune_boilerplate."""
+    import hashlib
+
+    blocks = {
+        did: [
+            " ".join(t.split(" ")[i : i + l])
+            for i in range(0, len(t.split(" ")), l)
+        ]
+        for did, t in docs.items()
+    }
+    dfreq: dict[str, set[int]] = {}
+    for did, bs in blocks.items():
+        for b in bs:
+            dfreq.setdefault(b, set()).add(did)
+    out = {}
+    for did, bs in blocks.items():
+        kept = [b for b in bs if len(dfreq[b]) < min_docs]
+        txt = " ".join(kept)
+        out[did] = {
+            "n_blocks": len(bs),
+            "n_boiler": len(bs) - len(kept),
+            "kept_tokens": sum(len(b.split(" ")) for b in kept),
+            "kept_sha": hashlib.sha256(txt.encode()).hexdigest(),
+        }
+    return out
+
+
+def test_prune_boilerplate_drops_all_occurrences(spark):
+    """Unlike dedup_blocks (first occurrence survives), the frequency
+    rule removes EVERY copy of a cross-doc block — including from the
+    doc that had it first — and leaves within-doc repeats alone."""
+    import hashlib
+
+    from file_dedup_rust_spark.operators.dup_spans import prune_boilerplate
+
+    shared = "the cat sat on the mat by th"  # exactly one 8-token block
+    docs = {
+        1: shared,
+        2: shared + " plus eight more trailing words here now ok",
+        3: "totally distinct words that no other document carries at all",
+        5: "solo words repeated here in one doc now yes " * 2,
+    }
+    docs[5] = docs[5].strip()
+    df = prune_boilerplate(
+        spark.createDataFrame(list(docs.items()), "doc_id long, t string"),
+        l=8, min_docs=2,
+    )
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    want = _brute_boiler(docs, 8, 2)
+    assert set(got) == set(want)
+    for did, w in want.items():
+        for k, v in w.items():
+            assert got[did][k] == v, (did, k, got[did], w)
+    # the shared block dies in BOTH docs 1 and 2 (doc 1 kept nothing)
+    assert got[1]["n_boiler"] == 1 and got[1]["kept_tokens"] == 0
+    assert got[1]["kept_sha"] == hashlib.sha256(b"").hexdigest()
+    assert got[2]["n_boiler"] == 1 and got[2]["kept_tokens"] == 8
+    # within-doc repetition is NOT boilerplate under the distinct-doc rule
+    assert got[5]["n_boiler"] == 0
+
+
+def test_prune_boilerplate_property_random_corpora(spark):
+    import random
+
+    from file_dedup_rust_spark.operators.dup_spans import prune_boilerplate
+
+    rng = random.Random(23)
+    vocab = ["a", "b", "c"]
+    l = 3
+    for trial in range(4):
+        docs = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20)))
+            for i in range(14)
+        }
+        min_docs = 2 + trial % 2
+        df = prune_boilerplate(
+            spark.createDataFrame(list(docs.items()), "doc_id long, t string"),
+            l=l, min_docs=min_docs,
+        )
+        got = {r["doc_id"]: r.asDict() for r in df.collect()}
+        want = _brute_boiler(docs, l, min_docs)
+        assert set(got) == set(want), trial
+        for did, w in want.items():
+            for k, v in w.items():
+                assert got[did][k] == v, (trial, did, k, got[did], w)

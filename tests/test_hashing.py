@@ -243,3 +243,98 @@ def test_sample_bucket_matches_python(spark):
     }
     for k in keys:
         assert got[k] == (k * KNUTH_MULT) % (2**32) % 1000
+
+
+def test_group_safe_split_invariants(spark):
+    """No group straddles the split; the decision is partition- and
+    arrival-order-invariant; the held-out share of GROUPS lands near
+    the configured rate."""
+    from pyspark.sql import functions as F
+
+    from file_dedup_rust_spark.functions.sampling import group_safe_split
+
+    # 10k rows in 2.5k groups of 4 (ids interleaved so group members
+    # are scattered across partitions)
+    base = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 2_500).alias("g")
+    )
+    out1 = group_safe_split(base.repartition(7), "k", "g", 100)
+    out2 = group_safe_split(base.repartition(13, "g"), "k", "g", 100)
+    rows1 = sorted((r["k"], r["group_rep"], r["split"]) for r in out1.collect())
+    rows2 = sorted((r["k"], r["group_rep"], r["split"]) for r in out2.collect())
+    assert rows1 == rows2
+    by_group: dict[int, set[str]] = {}
+    for k, rep, split in rows1:
+        by_group.setdefault(rep, set()).add(split)
+        assert rep == k % 2_500  # min member is the group id here
+    assert all(len(s) == 1 for s in by_group.values())  # no straddling
+    held = sum(1 for s in by_group.values() if s == {"held_out"})
+    assert abs(held / 2_500 - 0.10) < 0.03
+
+
+def test_group_safe_split_neardup_clusters(spark):
+    """The near-dup composition: split by the PIPELINE's cluster ids so
+    near-duplicates (not just byte-identical rows) never straddle the
+    boundary — singleton docs split independently."""
+    from pyspark.sql import functions as F
+
+    from file_dedup_rust_spark.functions.sampling import group_safe_split
+
+    # fabricated cluster assignment table of the pipeline's shape:
+    # (clip_id, cluster_id), singletons carry their own id
+    rows = [(i, i // 3 * 3 if i < 60 else i) for i in range(100)]
+    asg = spark.createDataFrame(rows, "clip_id long, cluster_id long")
+    out = group_safe_split(asg, "clip_id", "cluster_id", 200).collect()
+    by_cluster: dict[int, set[str]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # group_rep must equal the cluster's min clip_id
+    for r in out:
+        assert r["group_rep"] == min(
+            k for k, c in rows if c == r["cluster_id"]
+        )
+
+
+def test_mixture_rates_realizes_target_mix(spark):
+    """The binding stratum keeps rate exactly 1.0; applying the rates
+    through stratified_sample yields the target token mix (within
+    bucket-quantization noise); no stratum is upsampled."""
+    from pyspark.sql import functions as F
+
+    from file_dedup_rust_spark.functions.sampling import (
+        mixture_rates,
+        stratified_sample,
+    )
+
+    base = spark.range(0, 30_000).select(
+        F.col("id").alias("k"),
+        # 2/3 of rows (and tokens) are 'web', 1/3 'code'
+        F.when(F.col("id") % 3 < 2, "web").otherwise("code").alias("s"),
+        F.lit(100).cast("long").alias("tok"),
+    )
+    target = {"web": 500, "code": 500}  # want 50/50, have 67/33
+    rates = {
+        r["s"]: r.asDict()
+        for r in mixture_rates(base, "s", "tok", target).collect()
+    }
+    assert set(rates) == {"web", "code"}
+    # code is binding (scarcer than its target): rate exactly 1.0
+    assert rates["code"]["sample_rate"] == 1.0
+    assert 0.49 < rates["web"]["sample_rate"] < 0.51
+    assert rates["web"]["natural_pm"] == 666
+    # apply and measure the realized mix
+    pm = {s: int(1000 * r["sample_rate"]) for s, r in rates.items()}
+    kept = stratified_sample(base, "k", "s", pm, 0)
+    mix = {
+        r["s"]: r["n"]
+        for r in kept.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    share_web = mix["web"] / (mix["web"] + mix["code"])
+    assert abs(share_web - 0.5) < 0.02
+    # zero-target stratum -> rate 0.0 (dropped from the mix)
+    rates2 = {
+        r["s"]: r["sample_rate"]
+        for r in mixture_rates(base, "s", "tok", {"code": 1000}).collect()
+    }
+    assert rates2["web"] == 0.0 and rates2["code"] == 1.0

@@ -304,6 +304,32 @@ def main() -> int:
         ["Window", "BroadcastExchange"],
     ))
 
+    sections.append((
+        "boilerplate_prune (frequency-threshold block removal: block "
+        "identities shuffle as xxhash64, doc-frequency is a two-phase "
+        "distinct+count agg, the offending-block set is the LEFT-join "
+        "build side — clean blocks flow without a match)",
+        plan_text(Q.q_boilerplate_prune(spark, args.sf_dir)),
+        ["HashAggregate", "LeftOuter", "xxhash64"],
+    ))
+
+    sections.append((
+        "leakage_safe_split (per-dup-group split: one min-agg on the "
+        "content hash + one hash join back — the exact-dedup shuffle "
+        "shape; the split itself is a pure Knuth-bucket expression)",
+        plan_text(Q.q_leakage_safe_split(spark, args.sf_dir)),
+        ["HashAggregate", "partial_min"],
+    ))
+
+    sections.append((
+        "mixture_weights (target-mix sampling rates: one partial-agg "
+        "groupBy over the strata; the SinglePartition window below "
+        "runs on the post-agg relation bounded by stratum cardinality "
+        "— rows, not data)",
+        plan_text(Q.q_mixture_weights(spark, args.sf_dir)),
+        ["HashAggregate", "partial_count"],
+    ))
+
     failures = []
     out_lines = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text, must in sections:

@@ -166,7 +166,7 @@ def main() -> int:
                      "block_dedup", "token_budget_select",
                      "cluster_best_rep", "bucketed_batches",
                      "boilerplate_prune", "leakage_safe_split",
-                     "mixture_weights"]:
+                     "mixture_weights", "conflict_repair"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -3307,6 +3307,70 @@ FROM a
 """
 
 
+CONFLICT_ID_OFFSET = 3_000_000  # second-copy ids for conflict_repair
+
+
+def q_conflict_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-content / conflicting-attribute detection + majority-vote
+    repair (operators.conflicts.value_conflicts) — the SQL-expressible
+    analog of audio_quality.transcript_conflicts (same decoded pcm_sha,
+    disagreeing transcripts; pytest-gated because it needs the decode
+    pass).  Derived corpus plants both repair regimes: every 3rd doc
+    gets a copy whose claimed n_chars is bumped when doc_id%6==0
+    (conflict), and every 12th doc a THIRD row with the true n_chars —
+    so %12 groups repair by true majority (majority_n=2) and
+    %6-but-not-%12 groups exercise the deterministic smallest-value
+    tie-break.  Unanimous groups never reach the output."""
+    from file_dedup_rust_spark.operators.conflicts import value_conflicts
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lower(F.coalesce("text", F.lit(""))).alias("t"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    c1 = d.filter(F.col("doc_id") % EXACT_COPY_MOD == 0).select(
+        (F.col("doc_id") + EXACT_ID_OFFSET).alias("doc_id"),
+        "t",
+        (F.col("v") + F.when(F.col("doc_id") % 6 == 0, 1).otherwise(0))
+        .alias("v"),
+    )
+    c2 = d.filter(F.col("doc_id") % 12 == 0).select(
+        (F.col("doc_id") + CONFLICT_ID_OFFSET).alias("doc_id"), "t", "v"
+    )
+    corpus = d.unionByName(c1).unionByName(c2).select(
+        F.md5("t").alias("h"), "v"
+    )
+    return value_conflicts(corpus, "h", "v")
+
+
+SQL_CONFLICT_REPAIR = f"""
+WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t,
+         CAST(n_chars AS BIGINT) AS v
+  FROM documents
+), corpus AS (
+  SELECT t, v FROM d
+  UNION ALL
+  SELECT t, v + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END
+  FROM d WHERE doc_id % {EXACT_COPY_MOD} = 0
+  UNION ALL
+  SELECT t, v FROM d WHERE doc_id % 12 = 0
+), g1 AS (
+  SELECT md5(t) AS h, v, count(*) AS c FROM corpus GROUP BY 1, 2
+), g2 AS (
+  SELECT h,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_variants,
+         min(ROW(-c, v)) AS m
+  FROM g1 GROUP BY h
+)
+SELECT h, n_rows, n_variants,
+       m[2] AS majority_val,
+       CAST(-m[1] AS BIGINT) AS majority_n
+FROM g2 WHERE n_variants >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3368,6 +3432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_prune": q_boilerplate_prune,
     "leakage_safe_split": q_leakage_safe_split,
     "mixture_weights": q_mixture_weights,
+    "conflict_repair": q_conflict_repair,
 }
 
 ORACLES: dict[str, str] = {
@@ -3433,4 +3498,5 @@ ORACLES: dict[str, str] = {
     "boilerplate_prune": SQL_BOILERPLATE_PRUNE,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "conflict_repair": SQL_CONFLICT_REPAIR,
 }

@@ -116,6 +116,25 @@ def quality_flags(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def transcript_conflicts(signatures: DataFrame) -> DataFrame:
+    """Clips whose decoded audio is byte-identical (same codec-invariant
+    pcm_sha — the container-flip-proof identity) but whose NORMALIZED
+    transcripts disagree: the multi-vendor transcription defect.  One
+    row per conflicted recording with the majority-vote transcript
+    (ties to the lexicographically smallest) as the repair
+    (operators/conflicts.py; zero extra decode — pcm_sha and t_norm
+    both ride the existing signature pass).
+
+    Columns: pcm_sha, n_rows, n_variants, majority_val (the repaired
+    transcript), majority_n."""
+    from file_dedup_rust_spark.operators.conflicts import value_conflicts
+
+    base = signatures.filter(
+        F.col("decode_ok") & (F.col("pcm_sha") != "")
+    ).select("pcm_sha", "t_norm")
+    return value_conflicts(base, "pcm_sha", "t_norm")
+
+
 def quality_report(flagged: DataFrame) -> dict:
     """Aggregate gate counts for the pipeline summary JSON: total,
     passed, and clips per flag (a clip tripping two gates counts in

@@ -111,9 +111,13 @@ def main() -> int:
         from file_dedup_rust_spark.operators.audio_quality import (
             quality_flags,
             quality_report,
+            transcript_conflicts,
         )
 
         summary["quality"] = quality_report(quality_flags(res.signatures, cfg))
+        summary["quality"]["transcript_conflicts"] = (
+            transcript_conflicts(res.signatures).count()
+        )
     print(json.dumps(summary))
     spark.stop()
     return 0

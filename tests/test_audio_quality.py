@@ -189,3 +189,59 @@ def test_quality_flags_plan_is_narrow(spark):
     # signature pass itself
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") <= 1
+
+
+def test_transcript_conflicts_majority_repair(spark):
+    """Same decoded audio under DIFFERENT containers/transcripts: the
+    conflict keys on the codec-invariant pcm_sha, so a container flip
+    cannot hide a transcription disagreement; majority wins, ties go
+    to the lexicographically smallest transcript; unanimous and
+    undecodable rows never appear."""
+    from file_dedup_rust_spark.operators.audio_quality import (
+        transcript_conflicts,
+    )
+
+    sr = 8000
+    tone = _tone()
+    other = _tone(f=880.0)
+    wav = bytearray(A.encode_wav(tone, sr))
+    rows = [
+        # 3-way group: two vendors agree, one dissents -> majority
+        ("a1", wav, sr, 500, "wav", "the cat sat"),
+        ("a2", wav, sr, 500, "wav", "the cat sat"),
+        ("a3", wav, sr, 500, "wav", "the cap sat"),
+        # 2-way tie (one of them a container flip of the same PCM):
+        # deterministic smallest-transcript repair
+        ("b1", bytearray(A.encode_wav(other, sr)), sr, 500, "wav", "zebra"),
+        (
+            "b2",
+            bytearray(
+                np.clip(np.round(other * 32767), -32768, 32767)
+                .astype("<i2").tobytes()
+            ),
+            sr,
+            500,
+            "pcm_s16le",
+            "apple",
+        ),
+        # unanimous pair: not a conflict
+        ("c1", bytearray(A.encode_wav(_tone(f=660.0), sr)), sr, 500, "wav", "same"),
+        ("c2", bytearray(A.encode_wav(_tone(f=660.0), sr)), sr, 500, "wav", "same"),
+        # undecodable: excluded entirely
+        ("d1", bytearray(b"junk"), sr, 500, "wav", "ghost"),
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    sigs = compute_signatures(clips, CFG)
+    out = transcript_conflicts(sigs).collect()
+    assert len(out) == 2
+    by_n = {r["n_rows"]: r.asDict() for r in out}
+    maj = by_n[3]
+    assert maj["n_variants"] == 2 and maj["majority_n"] == 2
+    assert maj["majority_val"] == "the cat sat"
+    tie = by_n[2]
+    assert tie["n_variants"] == 2 and tie["majority_n"] == 1
+    assert tie["majority_val"] == "apple"

@@ -330,6 +330,14 @@ def main() -> int:
         ["HashAggregate", "partial_count"],
     ))
 
+    sections.append((
+        "conflict_repair (same-content conflicting-attribute majority "
+        "repair: two chained hash aggs, majority via min(struct) — a "
+        "declarative aggregate, no window, no per-group sort)",
+        plan_text(Q.q_conflict_repair(spark, args.sf_dir)),
+        ["HashAggregate", "partial_min", "partial_count"],
+    ))
+
     failures = []
     out_lines = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text, must in sections:

@@ -381,6 +381,13 @@ def incremental_near_dedup(
         NON-passing arriving clip — silent / clipped / too-quiet /
         dc-bias / undecodable / meta-mismatch; the metrics ride the same signature
         decode pass, a clean batch writes nothing
+      * ``{store_dir}/transcript_conflicts`` — ingest-time
+        same-audio / different-transcript detections
+        (audio_quality.transcript_conflicts semantics): (clip_id,
+        matched_clip_id, pcm_sha) rows whenever an arriving clip's
+        codec-invariant pcm hash matches a batch or stored clip whose
+        NORMALIZED transcript differs; conflict-free traffic writes
+        nothing
       * ``{store_dir}/fp_pat``     — ONE designated fingerprint per
         stored pattern-eligible clip (its rarest within-arrival-batch
         fp).  Winnowing self-consistency makes a single-fp probe a
@@ -558,6 +565,31 @@ def incremental_near_dedup(
                 .select("clip_id", "sha256", "pcm_sha")
             )
             pcm_intra = star_intra(areps_b, "pcm_sha", "pcm_exact")
+            # ingest-time transcript-conflict probe (the streaming
+            # surface of audio_quality.transcript_conflicts): same
+            # decoded audio (codec-invariant pcm_sha), DIFFERENT
+            # normalized transcript.  Within the batch each clip is
+            # checked against its pcm group's (min clip_id, t_norm)
+            # rep — star-shaped like every other intra probe, a
+            # conflict-free batch emits nothing.
+            pcm_b = (
+                b.filter("decode_ok")
+                .filter(F.col("pcm_sha") != "")
+                .select("clip_id", "pcm_sha", "t_norm")
+            )
+            tconf_rep = pcm_b.withColumn(
+                "rep",
+                F.min(F.struct("clip_id", "t_norm")).over(
+                    _W.partitionBy("pcm_sha")
+                ),
+            )
+            tconf = tconf_rep.filter(
+                F.col("t_norm") != F.col("rep.t_norm")
+            ).select(
+                "clip_id",
+                F.col("rep.clip_id").alias("matched_clip_id"),
+                "pcm_sha",
+            )
             near_intra = (
                 hamming_matches(
                     posting_b, posting_b.select("key", "clip_id", "simhash")
@@ -676,6 +708,23 @@ def incremental_near_dedup(
                         )
                     )
                     matches = matches.unionByName(pcm_cross)
+                    # cross-corpus transcript conflict: the arriving
+                    # clip's decoded audio already exists in the store
+                    # under a DIFFERENT normalized transcript — the
+                    # multi-vendor defect, caught at ingest
+                    tconf_cross = (
+                        pcm_b.join(
+                            corpus.filter(F.col("pcm_sha") != "").select(
+                                F.col("clip_id").alias("matched_clip_id"),
+                                "pcm_sha",
+                                F.col("t_norm").alias("t_i"),
+                            ),
+                            "pcm_sha",
+                        )
+                        .filter(F.col("t_norm") != F.col("t_i"))
+                        .select("clip_id", "matched_clip_id", "pcm_sha")
+                    )
+                    tconf = tconf.unionByName(tconf_cross)
                 index = read_store(spark_l, f"{store_dir}/posting")
                 if index is not None:
                     near_cross = hamming_matches(
@@ -908,6 +957,11 @@ def incremental_near_dedup(
                 .select("clip_id", "flags"),
                 f"{store_dir}/quality_flags", batch_id,
             )
+            # transcript conflicts seen this batch (intra + cross);
+            # conflict-free traffic writes nothing
+            store_write(
+                tconf, f"{store_dir}/transcript_conflicts", batch_id
+            )
             store_write(
                 b.select(
                     "clip_id", "sha256", "pcm_sha", "simhash", "minhash",
@@ -944,7 +998,7 @@ def incremental_near_dedup(
                 )
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
                 subs = ["sigs", "posting", "mh_posting", "fp_posting",
-                        "fp_pat", "quality_flags"]
+                        "fp_pat", "quality_flags", "transcript_conflicts"]
                 if audio_containment:
                     subs.append("ac_posting")
                 for sub in subs:

@@ -245,3 +245,57 @@ def test_transcript_conflicts_majority_repair(spark):
     tie = by_n[2]
     assert tie["n_variants"] == 2 and tie["majority_n"] == 1
     assert tie["majority_val"] == "apple"
+
+
+def test_streaming_transcript_conflicts_at_ingest(spark, tmp_path):
+    """Batch 1 stores a clip; batch 2 re-uploads the SAME audio under a
+    flipped container with a DIFFERENT transcript -> the conflict is
+    recorded at ingest (cross-corpus), and a within-batch conflicting
+    pair is caught in its own micro-batch.  Agreeing re-uploads and
+    distinct audio write nothing."""
+    from file_dedup_rust_spark.streaming.incremental import (
+        incremental_near_dedup,
+        read_store,
+    )
+
+    sr = 8000
+    tone = _tone()
+    raw = bytearray(
+        np.clip(np.round(tone * 32767), -32768, 32767).astype("<i2").tobytes()
+    )
+    landing = str(tmp_path / "landing")
+    schema = (
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string"
+    )
+
+    def arrive(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        q = incremental_near_dedup(
+            spark, landing, str(tmp_path / "store"), str(tmp_path / "out"),
+            str(tmp_path / "ck"), CFG,
+        )
+        q.awaitTermination(180)
+
+    arrive([
+        ("v1", bytearray(A.encode_wav(tone, sr)), sr, 500, "wav", "hello world"),
+        ("u1", bytearray(A.encode_wav(_tone(f=660.0), sr)), sr, 500, "wav", "other"),
+        # within-batch conflicting pair on a third recording
+        ("w1", bytearray(A.encode_wav(_tone(f=770.0), sr)), sr, 500, "wav", "alpha"),
+        ("w2", bytearray(A.encode_wav(_tone(f=770.0), sr)), sr, 500, "wav", "beta"),
+    ])
+    arrive([
+        # container flip of v1's audio, conflicting transcript
+        ("v2", raw, sr, 500, "pcm_s16le", "hello word"),
+        # agreeing re-upload of u1: NOT a conflict
+        ("u2", bytearray(A.encode_wav(_tone(f=660.0), sr)), sr, 500, "wav", "other"),
+    ])
+    got = {
+        (r["clip_id"], r["matched_clip_id"])
+        for r in read_store(
+            spark, str(tmp_path / "store") + "/transcript_conflicts"
+        ).collect()
+    }
+    assert got == {("w2", "w1"), ("v2", "v1")}

@@ -75,9 +75,19 @@ def group_safe_split(
     and one hash join back on the same key — the exact shuffle shape
     of exact dedup; the split itself is a pure expression.
     """
+    from pyspark.sql.types import StringType
+
     groups = df.groupBy(group_col).agg(F.min(key_col).alias("group_rep"))
+    rep = F.col("group_rep")
+    if isinstance(groups.schema["group_rep"].dataType, StringType):
+        # string keys (e.g. the pipeline's min-clip_id cluster reps):
+        # fold to a non-negative 31-bit value first (the sample_bucket
+        # pre-fold rule: key * KNUTH must stay inside int64 under ANSI
+        # mode); same determinism, the bucket just isn't
+        # plain-SQL-reproducible (the oracle query uses integer keys)
+        rep = F.pmod(F.xxhash64(rep), F.lit(2_147_483_648))
     split = F.when(
-        sample_bucket(F.col("group_rep")) < F.lit(held_out_per_mille),
+        sample_bucket(rep) < F.lit(held_out_per_mille),
         F.lit("held_out"),
     ).otherwise(F.lit("train"))
     return df.join(groups, group_col).withColumn("split", split)

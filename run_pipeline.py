@@ -55,6 +55,13 @@ def main() -> int:
     p.add_argument("--ac-post-cap", type=int, default=None,
                    help="containment: drop hashes with more posting "
                         "rows than this")
+    p.add_argument("--holdout-pm", type=int, default=None, metavar="PM",
+                   help="emit a leakage-safe train/held-out split "
+                        "column on the assignments output: PM per "
+                        "mille of dup CLUSTERS (not clips) go to "
+                        "held_out, decided by the cluster rep's Knuth "
+                        "bucket so no near-duplicate pair straddles "
+                        "the boundary")
     p.add_argument("--canonical-rate", type=int, default=None, dest="cr_hz",
                    metavar="HZ",
                    help="resample decoded audio to this rate before the "
@@ -89,8 +96,24 @@ def main() -> int:
     n_clips = res.assignments.count()
     n_clusters = res.clusters.count()
     n_edges = res.edges.count()
+    assignments = res.assignments
+    split_counts = None
+    if args.holdout_pm is not None:
+        from pyspark.sql import functions as F
+
+        from file_dedup_rust_spark.functions.sampling import group_safe_split
+
+        assignments = group_safe_split(
+            res.assignments, "clip_id", "cluster_id", args.holdout_pm
+        ).drop("group_rep")
+        split_counts = {
+            r["split"]: r["n"]
+            for r in assignments.groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
     if args.output:
-        res.assignments.write.mode("overwrite").parquet(f"{args.output}/assignments")
+        assignments.write.mode("overwrite").parquet(f"{args.output}/assignments")
         res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     wall = time.monotonic() - t0
     summary = {
@@ -105,6 +128,8 @@ def main() -> int:
             for s in res.stages
         ],
     }
+    if split_counts is not None:
+        summary["split"] = split_counts
     if args.tier_report:
         summary["tiers"] = tier_report(res.edges)
     if args.quality_report:

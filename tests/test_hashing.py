@@ -338,3 +338,30 @@ def test_mixture_rates_realizes_target_mix(spark):
         for r in mixture_rates(base, "s", "tok", {"code": 1000}).collect()
     }
     assert rates2["web"] == 0.0 and rates2["code"] == 1.0
+
+
+def test_group_safe_split_string_keys(spark):
+    """The pipeline's cluster ids are STRINGS (min clip_id of the
+    component): the split folds them through xxhash64 under the ANSI
+    overflow bound, stays group-consistent, partition-invariant, and
+    lands near the configured rate."""
+    from pyspark.sql import functions as F
+
+    from file_dedup_rust_spark.functions.sampling import group_safe_split
+
+    base = spark.range(0, 9_000).select(
+        F.concat(F.lit("clip-"), F.col("id")).alias("k"),
+        F.concat(F.lit("clip-"), (F.col("id") % 3_000)).alias("g"),
+    )
+    out1 = group_safe_split(base.repartition(5), "k", "g", 250)
+    out2 = group_safe_split(base.repartition(11, "g"), "k", "g", 250)
+    rows1 = sorted((r["k"], r["group_rep"], r["split"]) for r in out1.collect())
+    assert rows1 == sorted(
+        (r["k"], r["group_rep"], r["split"]) for r in out2.collect()
+    )
+    by_group: dict[str, set[str]] = {}
+    for _, rep, split in rows1:
+        by_group.setdefault(rep, set()).add(split)
+    assert all(len(s) == 1 for s in by_group.values())
+    held = sum(1 for s in by_group.values() if s == {"held_out"})
+    assert abs(held / 3_000 - 0.25) < 0.05

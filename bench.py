@@ -166,7 +166,8 @@ def main() -> int:
                      "block_dedup", "token_budget_select",
                      "cluster_best_rep", "bucketed_batches",
                      "boilerplate_prune", "leakage_safe_split",
-                     "mixture_weights", "conflict_repair"]:
+                     "mixture_weights", "conflict_repair",
+                     "mixture_applied"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -3307,6 +3307,79 @@ FROM a
 """
 
 
+def q_mixture_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the data-mixing loop end-to-end: mixture_rates ->
+    floor(1000 * rate) per-mille -> stratified_sample -> realized
+    per-stratum (n_docs, n_tokens).  The rates table is stratum-
+    cardinality-bounded, so collecting it to drive the sampler's CASE
+    expression is a scalar fetch, not a data collect (same pattern as
+    token_budget_select's budget).  The oracle replays the identical
+    IEEE division chain + Knuth bucket in SQL, so a drifted rate or a
+    non-reproducible sampler hash-mismatches."""
+    from file_dedup_rust_spark.functions.sampling import (
+        mixture_rates,
+        stratified_sample,
+    )
+
+    d = docs_corpus(spark, sf_dir).select(
+        "doc_id", F.split("t", " ").alias("w")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    score = F.round(
+        F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
+        / F.greatest(F.size("w"), F.lit(1)),
+        4,
+    )
+    s = d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tok"),
+        F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+    rates = {
+        r["pred_lang"]: int(1000 * r["sample_rate"])
+        for r in mixture_rates(s, "pred_lang", "n_tok", MIX_TARGET)
+        .select("pred_lang", "sample_rate")
+        .collect()
+    }
+    kept = stratified_sample(s, "doc_id", "pred_lang", rates, 0)
+    return kept.groupBy("pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
+SQL_MIXTURE_APPLIED = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+         CASE WHEN round(len(list_filter(w, x ->
+                     list_contains({_SQL_STOPLIST}, x)))
+                   * 1.0 / greatest(len(w), 1), 4) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM toks
+), a AS (
+  SELECT pred_lang, CAST(sum(n_tok) AS BIGINT) AS weight,
+         CAST(CASE WHEN pred_lang = 'en' THEN {MIX_TARGET['en']}
+                   ELSE {MIX_TARGET['other']} END AS BIGINT) AS target_pm
+  FROM s GROUP BY pred_lang
+), r AS (
+  SELECT pred_lang,
+         CAST(floor(1000 * ((target_pm / weight)
+              / max(target_pm / weight) OVER ())) AS BIGINT) AS rate_pm
+  FROM a
+)
+SELECT s.pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_tok) AS BIGINT) AS n_tokens
+FROM s JOIN r USING (pred_lang)
+WHERE ((s.doc_id * 2654435761) % 4294967296) % 1000 < r.rate_pm
+GROUP BY 1
+"""
+
+
 CONFLICT_ID_OFFSET = 3_000_000  # second-copy ids for conflict_repair
 
 
@@ -3433,6 +3506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     "mixture_weights": q_mixture_weights,
     "conflict_repair": q_conflict_repair,
+    "mixture_applied": q_mixture_applied,
 }
 
 ORACLES: dict[str, str] = {
@@ -3499,4 +3573,5 @@ ORACLES: dict[str, str] = {
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "conflict_repair": SQL_CONFLICT_REPAIR,
+    "mixture_applied": SQL_MIXTURE_APPLIED,
 }

@@ -365,3 +365,49 @@ def test_group_safe_split_string_keys(spark):
     assert all(len(s) == 1 for s in by_group.values())
     held = sum(1 for s in by_group.values() if s == {"held_out"})
     assert abs(held / 3_000 - 0.25) < 0.05
+
+
+def test_value_conflicts_property_vs_python(spark):
+    """Property test: value_conflicts matches a plain-Python majority
+    count on arbitrary tiny-domain (key, val) multisets — heavy ties,
+    singleton keys, unanimous groups, empty-string values."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from file_dedup_rust_spark.operators.conflicts import value_conflicts
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.sampled_from(["", "a", "b", "ab"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(rows_strategy)
+    def run(rows):
+        df = spark.createDataFrame(
+            [(k, v) for k, v in rows], "h long, v string"
+        )
+        got = {
+            r["h"]: (r["n_rows"], r["n_variants"], r["majority_val"],
+                     r["majority_n"])
+            for r in value_conflicts(df, "h", "v").collect()
+        }
+        want = {}
+        by_key: dict[int, Counter] = {}
+        for k, v in rows:
+            by_key.setdefault(k, Counter())[v] += 1
+        for k, cnt in by_key.items():
+            if len(cnt) < 2:
+                continue
+            # max count, ties to smallest value
+            maj_v = min(cnt, key=lambda v: (-cnt[v], v))
+            want[k] = (sum(cnt.values()), len(cnt), maj_v, cnt[maj_v])
+        assert got == want
+
+    run()

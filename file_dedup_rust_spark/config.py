@@ -104,6 +104,29 @@ class DedupConfig:
     # (10-80 tokens over 0.2-1.2 s); real corpora set e.g. (0.3, 5.0).
     q_min_wps: float = 0.0
     q_max_wps: float = 0.0
+    # band-limit gate: flag clips whose Nyquist-relative 95%-energy
+    # spectral rolloff (functions/audio.py:spectral_rolloff, computed
+    # in the same decode pass) sits below this fraction — the
+    # upsample-fraud detector (8 kHz content shipped in a 44.1 kHz
+    # container rolls off at ~0.36; genuine full-band audio near 1.0).
+    # 0.0 DISABLES the gate — the default, because narrow-band content
+    # (pure tones, telephone speech kept at native rate) is legitimate;
+    # corpora enforcing a bandwidth floor set e.g. 0.5.
+    q_min_rolloff: float = 0.0
+
+    # ---- silence-pad-invariant exact tier (opt-in) ----
+    # 0.0 = off (the default; preserves bit-stable outputs across
+    # rounds).  When > 0, the signature pass additionally hashes the
+    # canonical PCM with leading/trailing samples below this amplitude
+    # stripped (functions/audio.py:trim_silence), and build_edges adds
+    # a `trim_exact` star tier over one representative per pcm_sha —
+    # so the same recording re-uploaded with silence padding (editor
+    # export defaults, fixed-length segmenter zero-fill) dedups even
+    # though both the byte hash and the decoded-PCM hash differ.
+    # Interior silence is content and never trimmed.  A sensible value
+    # is audio.SILENCE_EPS (1e-3 ~ -60 dBFS), the --trim-silence CLI
+    # default.
+    trim_eps: float = 0.0
 
     # ---- canonical sample rate (opt-in cross-rate dedup) ----
     # 0 = off (the default; preserves bit-stable outputs across

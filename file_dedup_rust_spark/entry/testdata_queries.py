@@ -3444,6 +3444,232 @@ FROM g2 WHERE n_variants >= 2
 """
 
 
+EDIT_CAND_T = 0.2    # candidate floor: inside the measured (0.15, 0.85)
+                     # word-3-gram Jaccard gap, so candidate sets are
+                     # rounding-stable
+EDIT_SIM_T = 0.55    # verify: planted truncations measure 0.51-0.622,
+                     # unrelated pairs <= 0.41 — the threshold BINDS
+                     # (some true candidates fail), proving the verify
+                     # stage does work
+
+
+def q_edit_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup tier: candidate pairs from the
+    shingle posting join at a coarse Jaccard floor, then an EXACT
+    normalized-edit-similarity verify (1 - lev/max_len) on the
+    candidate set only — the BigCode/The-Stack near-dedup shape
+    (MinHash candidates -> expensive exact verify), with
+    `levenshtein` as the verifier instead of token Jaccard.
+
+    Emits every candidate with its verdict (dup = edit_sim >=
+    {EDIT_SIM_T}), so the oracle pins both the accepted and the
+    rejected side of the verify.
+
+    Scale design: levenshtein is O(len_a * len_b) per pair — the whole
+    point is that it runs ONLY on the bounded LSH/shingle candidate
+    set, never all pairs, and it is a JVM codegen built-in (identical
+    semantics in DuckDB), no Python.  The texts attach to candidates
+    via two hash joins on doc_id; candidate volume is capped upstream
+    by the posting join (operators/candidates.py caps in the LSH
+    variant).  Reference analog: the verify-after-candidates split in
+    deduplication_service.rs:300-372."""
+    corpus = corpus_near(spark, sf_dir)
+    cand = jaccard_pairs(shingles(corpus), EDIT_CAND_T)
+    ta = corpus.select(F.col("doc_id").alias("ia"), F.col("t").alias("t_a"))
+    tb = corpus.select(F.col("doc_id").alias("ib"), F.col("t").alias("t_b"))
+    lev = F.levenshtein("t_a", "t_b")
+    edit_sim = F.round(
+        F.lit(1.0)
+        - lev
+        / F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1)).cast(
+            "double"
+        ),
+        4,
+    )
+    return (
+        cand.join(ta, "ia")
+        .join(tb, "ib")
+        .select(
+            "ia",
+            "ib",
+            "jac",
+            lev.cast("long").alias("lev"),
+            edit_sim.alias("edit_sim"),
+            (edit_sim >= EDIT_SIM_T).cast("long").alias("dup"),
+        )
+    )
+
+
+SQL_EDIT_VERIFIED_PAIRS = f"""
+WITH {_sql_shingles(SQL_CORPUS_NEAR)},
+{SQL_JACCARD_PAIRS}
+SELECT ia, ib, jac,
+       CAST(levenshtein(ca.t, cb.t) AS BIGINT) AS lev,
+       round(1.0 - levenshtein(ca.t, cb.t)
+                   / greatest(len(ca.t), len(cb.t), 1), 4) AS edit_sim,
+       CAST(round(1.0 - levenshtein(ca.t, cb.t)
+                   / greatest(len(ca.t), len(cb.t), 1), 4)
+         >= {EDIT_SIM_T} AS BIGINT) AS dup
+FROM jpairs
+JOIN corpus ca ON ca.doc_id = ia
+JOIN corpus cb ON cb.doc_id = ib
+WHERE jac >= {EDIT_CAND_T}
+"""
+
+
+SOURCE_QUOTA_TOKENS = 600  # per-source budget: ~half of each synthetic
+                           # source's ~1,300 tokens, so the quota BINDS
+                           # in every source
+
+
+def q_source_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token quota (the Common-Crawl-style per-domain cap):
+    within each source, rank docs by an integer quality proxy
+    (stopword hits desc, doc_id tiebreak — exact cross-engine
+    ordering) and keep a doc iff the cumulative tokens of all
+    higher-ranked same-source docs plus its own fit the source's
+    budget (the rank-prefix rule of token_budget_select, applied PER
+    GROUP).
+
+    Domain balancing is the standard counter to crawl skew: without a
+    cap, one boilerplate-heavy domain dominates the mixture (RefinedWeb
+    §3.1 caps per-domain contributions; the reference repo has no
+    analog).
+
+    Scale design: unlike the GLOBAL budget fill (which needs the
+    two-pass distributed prefix sum to avoid a single-task window),
+    the per-source running total is a window PARTITIONED BY source —
+    embarrassingly parallel across sources, one shuffle on the source
+    key, and each task's window is bounded by that source's rows.
+    Skewed mega-sources are exactly the inputs the cap exists for;
+    their window state is one running long."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.split(F.lower(F.coalesce("text", F.lit(""))), " ").alias("w"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    d = d.select(
+        "doc_id", "source",
+        F.size("w").cast("long").alias("n_tok"),
+        F.size(
+            F.filter("w", lambda x: F.array_contains(stop_arr, x))
+        ).cast("long").alias("stop_hits"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("stop_hits").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    return (
+        d.withColumn("tok_before", tok_before)
+        .filter(
+            F.col("tok_before") + F.col("n_tok")
+            <= F.lit(SOURCE_QUOTA_TOKENS)
+        )
+        .select("doc_id", "source", "n_tok", "stop_hits", "tok_before")
+    )
+
+
+SQL_SOURCE_TOKEN_QUOTA = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         string_split(lower(coalesce(text, '')), ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(w, x -> list_contains({_SQL_STOPLIST}, x)))
+              AS BIGINT) AS stop_hits
+  FROM d
+), c AS (
+  SELECT doc_id, source, n_tok, stop_hits,
+         CAST(coalesce(SUM(n_tok) OVER (
+           PARTITION BY source
+           ORDER BY stop_hits DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tok_before
+  FROM s
+)
+SELECT doc_id, source, n_tok, stop_hits, tok_before
+FROM c WHERE tok_before + n_tok <= {SOURCE_QUOTA_TOKENS}
+"""
+
+
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus diversity: word-3-gram type-token ratio
+    (distinct grams / total gram occurrences) over a corpus with
+    planted exact copies — the dataset-card diversity metric that
+    drops when duplication (or template text) creeps into a language
+    slice.  The planted every-3rd-doc copies make the metric BIND:
+    each copy doubles its grams' occurrence counts without adding
+    types.
+
+    Scale design: one multiset gram explode (no per-doc distinct —
+    multiset semantics are the point), then a two-level aggregation:
+    per (lang, gram-hash) partial counts, then per-lang
+    (count = types, sum = tokens).  Grams cross the shuffle once as
+    8-byte xxhash64 keys (same collision note as dup_span_stats: the
+    oracle groups by the gram STRING and agrees at every tested
+    scale).  Doc counts ride a separate narrow agg unioned by lang —
+    bounded by the language cardinality either way."""
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.lower(F.coalesce("text", F.lit(""))).alias("t")
+    )
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % EXACT_COPY_MOD == 0).select(
+            (F.col("doc_id") + EXACT_ID_OFFSET).alias("doc_id"), "lang", "t"
+        )
+    )
+    grams = word_ngrams(
+        corpus.select("doc_id", "t"), 3, distinct=False
+    ).join(corpus.select("doc_id", "lang"), "doc_id")
+    per_gram = grams.groupBy("lang", F.xxhash64("g").alias("gh")).agg(
+        F.count("*").alias("c")
+    )
+    stats = per_gram.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_uniq"),
+        F.sum("c").cast("long").alias("n_grams"),
+    )
+    ndocs = corpus.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        ndocs.join(stats, "lang")
+        .select(
+            "lang", "n_docs", "n_grams", "n_uniq",
+            F.round(F.col("n_uniq") / F.col("n_grams"), 4).alias("ttr"),
+        )
+    )
+
+
+SQL_CORPUS_DIVERSITY = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, lower(coalesce(text, '')) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_ID_OFFSET}, lang, lower(coalesce(text, ''))
+  FROM documents WHERE doc_id % {EXACT_COPY_MOD} = 0
+), toks AS (
+  SELECT doc_id, lang, string_split(t, ' ') AS w FROM corpus
+), grams AS (
+  SELECT lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+), per_gram AS (
+  SELECT lang, g, count(*) AS c FROM grams GROUP BY 1, 2
+), stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_uniq,
+         CAST(sum(c) AS BIGINT) AS n_grams
+  FROM per_gram GROUP BY lang
+), nd AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM corpus GROUP BY lang
+)
+SELECT nd.lang, n_docs, n_grams, n_uniq,
+       round(n_uniq * 1.0 / n_grams, 4) AS ttr
+FROM nd JOIN stats ON nd.lang = stats.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3507,6 +3733,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_weights": q_mixture_weights,
     "conflict_repair": q_conflict_repair,
     "mixture_applied": q_mixture_applied,
+    "edit_verified_pairs": q_edit_verified_pairs,
+    "source_token_quota": q_source_token_quota,
+    "corpus_diversity": q_corpus_diversity,
 }
 
 ORACLES: dict[str, str] = {
@@ -3574,4 +3803,7 @@ ORACLES: dict[str, str] = {
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "conflict_repair": SQL_CONFLICT_REPAIR,
     "mixture_applied": SQL_MIXTURE_APPLIED,
+    "edit_verified_pairs": SQL_EDIT_VERIFIED_PAIRS,
+    "source_token_quota": SQL_SOURCE_TOKEN_QUOTA,
+    "corpus_diversity": SQL_CORPUS_DIVERSITY,
 }

@@ -336,6 +336,48 @@ def quality_metrics(pcm: np.ndarray) -> tuple[float, float, float]:
     return clip_ratio, silence_ratio, dc_offset
 
 
+def trim_silence(pcm: np.ndarray, eps: float) -> np.ndarray:
+    """Strip leading/trailing samples with |x| < eps; interior silence
+    is untouched (it is content — pauses carry timing information).
+
+    The pad-invariant exact tier's kernel: re-uploads of the same
+    recording routinely differ ONLY by silence padding (editor export
+    defaults, fixed-length segmenters zero-filling the tail), which
+    flips both the byte hash and the decoded-PCM hash.  Trimming before
+    the canonical hash makes those collide while any audible change
+    still separates.  Deterministic and O(n); an all-silent clip trims
+    to empty (and the tier then groups all-silence re-uploads together,
+    which is the right call for training data)."""
+    if pcm.size == 0:
+        return pcm
+    live = np.flatnonzero(np.abs(pcm) >= eps)
+    if live.size == 0:
+        return pcm[:0]
+    return pcm[live[0] : live[-1] + 1]
+
+
+def spectral_rolloff(pcm: np.ndarray, frac: float = 0.95) -> float | None:
+    """Nyquist-relative spectral rolloff: the fraction r in [0, 1] of
+    the Nyquist band below which `frac` of the (DC-excluded) spectral
+    energy sits.
+
+    The band-limit / upsample-fraud detector's kernel: audio recorded
+    at 8 kHz and re-shipped in a 44.1 kHz container claims ~5.5x the
+    information it carries — its energy stops at ~0.36 of Nyquist,
+    while genuine full-band content rolls off near 1.0.  One rfft over
+    the (already-decoded, duration-capped) samples; empty / silent
+    input reads as None (no bandwidth to measure)."""
+    if pcm.size < 16:
+        return None
+    spec = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+    spec[0] = 0.0  # DC offset is not bandwidth
+    tot = float(spec.sum())
+    if tot <= 0.0 or spec.size < 2:
+        return None
+    idx = int(np.searchsorted(np.cumsum(spec), frac * tot))
+    return float(min(idx, spec.size - 1) / (spec.size - 1))
+
+
 def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
     """float [-1,1] -> RIFF/WAVE PCM16 mono bytes (datagen + tests)."""
     i16 = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype("<i2")

@@ -39,13 +39,15 @@ SIGNATURE_SCHEMA = (
     "clip_ratio double, silence_ratio double, dc_offset double, "
     "sr_hz int, dur_ms int, "
     "minhash array<int>, mh_bands array<long>, sim_keys array<long>, "
-    "fps array<long>, t_norm string, t_len int"
+    "fps array<long>, t_norm string, t_len int, "
+    "trim_sha string, rolloff double"
 )
 
 SIGNATURE_COLUMNS = [
     "clip_id", "sha256", "pcm_sha", "simhash", "decode_ok", "n_samples",
     "pcm_rms", "clip_ratio", "silence_ratio", "dc_offset", "sr_hz", "dur_ms",
     "minhash", "mh_bands", "sim_keys", "fps", "t_norm", "t_len",
+    "trim_sha", "rolloff",
 ]
 
 # fused audio-containment variant: the per-frame Haitsma-Kalker
@@ -145,6 +147,17 @@ def signature_batch(
             out["silence_ratio"].append(sil_r)
             out["dc_offset"].append(dc)
             out["pcm_sha"].append(canonical_pcm_sha(c_pcm, c_sr))
+            # band-limit metric on the native-rate samples (AS STORED,
+            # like the other quality metrics), duration-capped like the
+            # feature FFTs; the pad-invariant hash on the CANONICAL
+            # samples (it is a content identity, like pcm_sha)
+            cap = int(cfg.max_decode_seconds * int(row.sr_hz)) or pcm.size
+            out["rolloff"].append(A.spectral_rolloff(pcm[:cap]))
+            out["trim_sha"].append(
+                canonical_pcm_sha(A.trim_silence(c_pcm, cfg.trim_eps), c_sr)
+                if cfg.trim_eps
+                else ""
+            )
             if with_frames:
                 out["frame_fps"].append(frame_fps)
         except Exception:
@@ -157,6 +170,8 @@ def signature_batch(
             out["silence_ratio"].append(None)
             out["dc_offset"].append(None)
             out["pcm_sha"].append("")
+            out["rolloff"].append(None)
+            out["trim_sha"].append("")
             if with_frames:
                 out["frame_fps"].append(None)
 

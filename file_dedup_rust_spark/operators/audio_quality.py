@@ -24,7 +24,7 @@ from file_dedup_rust_spark.config import DedupConfig
 
 QUALITY_FLAG_NAMES = (
     "undecodable", "silent", "clipped", "too_quiet", "dc_bias",
-    "meta_mismatch", "speech_rate",
+    "meta_mismatch", "speech_rate", "band_limited",
 )
 
 
@@ -99,6 +99,21 @@ def quality_flags(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
                     > cfg.q_max_wps
                 )
             ),
+        ),
+        (
+            # band-limit / upsample-fraud gate: the clip's spectral
+            # rolloff (95%-energy bandwidth as a fraction of Nyquist,
+            # computed in the same decode pass) sits far below what
+            # its container rate claims — 8 kHz content shipped in a
+            # 44.1 kHz wrapper.  Disabled when q_min_rolloff == 0 (the
+            # default; narrow-band content at native rate is
+            # legitimate) — the F.lit(False) constant-folds the
+            # branch out of the plan.
+            F.lit("band_limited"),
+            F.lit(cfg.q_min_rolloff > 0)
+            & F.col("decode_ok")
+            & F.col("rolloff").isNotNull()
+            & (F.col("rolloff") < cfg.q_min_rolloff),
         ),
     ]
     flags = F.filter(

@@ -29,8 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def word_ngrams(docs_with_t: DataFrame, n: int) -> DataFrame:
-    """(doc_id, t) -> distinct (doc_id, g) word-n-gram rows.
+def word_ngrams(
+    docs_with_t: DataFrame, n: int, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, t) -> (doc_id, g) word-n-gram rows, per-doc-distinct by
+    default (set semantics — the Jaccard/containment/decontam
+    contract); distinct=False keeps every occurrence (multiset
+    semantics — the diversity / type-token-ratio contract).
 
     Generalizes entry.testdata_queries.shingles (n=3) to any n; the
     sliding window is a JVM `transform(sequence(...))` expression —
@@ -44,7 +49,8 @@ def word_ngrams(docs_with_t: DataFrame, n: int) -> DataFrame:
             f" i -> concat_ws(' ', {lanes}))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return toks.select("doc_id", F.explode(grams).alias("g")).distinct()
+    out = toks.select("doc_id", F.explode(grams).alias("g"))
+    return out.distinct() if distinct else out
 
 
 def contamination_hits(

@@ -65,6 +65,40 @@ def pcm_exact_edges(audio_reps: DataFrame) -> DataFrame:
     )
 
 
+def trim_exact_edges(audio_reps: DataFrame) -> DataFrame:
+    """Silence-padding-invariant exact tier (opt-in, cfg.trim_eps > 0):
+    star edges over the canonical hash of the silence-TRIMMED decoded
+    PCM (functions.udfs trim_sha; leading/trailing samples below
+    cfg.trim_eps stripped, interior silence kept).
+
+    The same recording re-uploaded with silence padding — editor
+    export defaults, fixed-length segmenters zero-filling the tail —
+    differs in bytes AND in decoded samples, so both exact tiers miss
+    it; after trimming, the variants collide.  Contracts the per-sha256
+    reps once more to ONE representative per pcm_sha before the star,
+    so pcm-identical members attach through their pcm rep's star and
+    the tier emits nothing on a pad-free corpus (every trim group has
+    one rep).  Edge volume stays linear; one extra bounded groupBy on
+    the rep relation."""
+    preps = (
+        audio_reps.filter(F.col("trim_sha") != "")
+        .groupBy("pcm_sha")
+        .agg(F.min_by(F.struct("clip_id", "trim_sha"), "clip_id").alias("r"))
+        .select("r.*")
+    )
+    w = Window.partitionBy("trim_sha")
+    return (
+        preps.withColumn("a", F.min("clip_id").over(w))
+        .filter(F.col("clip_id") != F.col("a"))
+        .select(
+            F.col("a"),
+            F.col("clip_id").alias("b"),
+            F.lit("trim_exact").alias("kind"),
+            F.lit(1.0).alias("sim"),
+        )
+    )
+
+
 def exact_dup_groups(signatures: DataFrame) -> DataFrame:
     """sha256 -> sorted member list, only groups with >1 member
     (the user-facing `DuplicateGroup` view, client/src/app/type.ts:7-10)."""

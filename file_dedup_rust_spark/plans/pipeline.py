@@ -45,6 +45,7 @@ from file_dedup_rust_spark.operators.containment import containment_edges
 from file_dedup_rust_spark.operators.exact import (
     exact_dup_edges,
     pcm_exact_edges,
+    trim_exact_edges,
 )
 from file_dedup_rust_spark.sources.table_io import StageResult, TableIO
 
@@ -84,7 +85,9 @@ def exact_transcript_edges(signatures: DataFrame) -> DataFrame:
     )
 
 
-AUDIO_REP_COLS = ["clip_id", "pcm_sha", "simhash", "sim_keys", "decode_ok"]
+AUDIO_REP_COLS = [
+    "clip_id", "pcm_sha", "trim_sha", "simhash", "sim_keys", "decode_ok",
+]
 TEXT_REP_COLS = ["clip_id", "minhash", "mh_bands", "fps", "t_norm", "t_len"]
 
 
@@ -162,13 +165,19 @@ def build_edges(
 
     e_cont = containment_edges(treps, cfg)
 
-    return (
+    edges = (
         e_exact.unionByName(e_ttext)
         .unionByName(e_trans)
         .unionByName(e_audio)
         .unionByName(e_pcm)
         .unionByName(e_cont)
     )
+    # silence-padding-invariant exact audio (opt-in: trim_sha is only
+    # computed when cfg.trim_eps > 0, so the union would be empty —
+    # and the extra groupBy pointless — with the tier off)
+    if cfg.trim_eps:
+        edges = edges.unionByName(trim_exact_edges(areps))
+    return edges
 
 
 # Tier ladder in increasing verify cost.  The two exact tiers are
@@ -181,8 +190,8 @@ def build_edges(
 # fingerprints ride the single decode pass since round 5) pays its
 # own FFT framing inside that pass plus the frame-fingerprint join.
 TIER_LADDER = [
-    "exact", "pcm_exact", "transcript", "audio", "containment",
-    "audio_containment",
+    "exact", "pcm_exact", "trim_exact", "transcript", "audio",
+    "containment", "audio_containment",
 ]
 
 

@@ -362,8 +362,9 @@ def incremental_near_dedup(
 
     Five accumulating stores (all batch_id-partitioned + compacted,
     see the store-layer docstring above):
-      * ``{store_dir}/sigs``       — one row per clip (sha256, simhash,
-        minhash, t_norm, t_len) — the verification side-table
+      * ``{store_dir}/sigs``       — one row per clip (sha256, pcm_sha,
+        trim_sha, simhash, minhash, t_norm, t_len) — the verification
+        side-table
       * ``{store_dir}/posting``    — the audio LSH index: exploded
         (key, clip_id, simhash) band-posting rows (the OpenSearch-index
         analog, deduplication_service.rs:256-298)
@@ -406,7 +407,13 @@ def incremental_near_dedup(
     pattern's rarest surviving store-fp probes ``fp_posting``, and
     ``fp_pat``'s designated keys probe the batch's fingerprints) —
     full modality parity with the batch pipeline's default tiers
-    (plans/pipeline.py build_edges).  With ``audio_containment=True``
+    (plans/pipeline.py build_edges).  When ``cfg.trim_eps`` is set the
+    opt-in silence-pad-invariant tier probes at ingest too
+    (trim_exact, mirroring operators.exact.trim_exact_edges): per-
+    pcm_sha batch reps star within the batch and join the store on
+    trim_sha where the decoded-PCM hash differs, so a padded re-upload
+    matches at ingest; with the tier off trim_sha is empty and both
+    probes are no-ops.  With ``audio_containment=True``
     the opt-in sub-clip tier probes at ingest too (seventh family,
     round 5): the frame subfingerprints ride the SAME signature decode
     pass (with_frames — no second bytes scan, exactly the fused batch
@@ -419,7 +426,7 @@ def incremental_near_dedup(
     capped and counted in ``ac_posting_dropped``).  Match rows write
     idempotently to ``out_dir``; then the batch appends to all stores.
     Emits (clip_id, matched_clip_id, match_kind in {exact, pcm_exact,
-    transcript, audio, containment, audio_containment}, sim,
+    trim_exact, transcript, audio, containment, audio_containment}, sim,
     match_scope in {batch, corpus}); ``clip_id`` is always the
     arriving clip on cross-corpus rows.
 
@@ -440,12 +447,12 @@ def incremental_near_dedup(
     sigs = compute_signatures(
         clips, cfg, with_frames=audio_containment
     ).select(
-        "clip_id", "sha256", "pcm_sha", "simhash", "sim_keys", "decode_ok",
-        "minhash", "mh_bands", "fps", "t_norm", "t_len",
+        "clip_id", "sha256", "pcm_sha", "trim_sha", "simhash", "sim_keys",
+        "decode_ok", "minhash", "mh_bands", "fps", "t_norm", "t_len",
         # quality-gate inputs ride the same decode pass (batch parity:
         # run_pipeline --quality-report); flagged clips are recorded
         # per batch in {store_dir}/quality_flags at ingest
-        "pcm_rms", "clip_ratio", "silence_ratio", "dc_offset",
+        "pcm_rms", "clip_ratio", "silence_ratio", "dc_offset", "rolloff",
         "n_samples", "sr_hz", "dur_ms",
         *(("frame_fps",) if audio_containment else ()),
     )
@@ -562,9 +569,24 @@ def incremental_near_dedup(
                     "r", F.min("clip_id").over(_W.partitionBy("sha256"))
                 )
                 .filter(F.col("clip_id") == F.col("r"))
-                .select("clip_id", "sha256", "pcm_sha")
+                .select("clip_id", "sha256", "pcm_sha", "trim_sha")
             )
             pcm_intra = star_intra(areps_b, "pcm_sha", "pcm_exact")
+            # silence-pad-invariant exact audio (trim_exact): mirrors
+            # the batch tier (operators.exact.trim_exact_edges) —
+            # probe over per-pcm_sha batch reps so a pad-free batch
+            # emits nothing.  trim_sha is only non-empty when
+            # cfg.trim_eps is set, so the probe (and its store join)
+            # is free with the tier off.
+            trim_reps_b = (
+                areps_b.filter(F.col("trim_sha") != "")
+                .withColumn(
+                    "r2", F.min("clip_id").over(_W.partitionBy("pcm_sha"))
+                )
+                .filter(F.col("clip_id") == F.col("r2"))
+                .drop("r2")
+            )
+            trim_intra = star_intra(trim_reps_b, "trim_sha", "trim_exact")
             # ingest-time transcript-conflict probe (the streaming
             # surface of audio_quality.transcript_conflicts): same
             # decoded audio (codec-invariant pcm_sha), DIFFERENT
@@ -622,6 +644,7 @@ def incremental_near_dedup(
             matches = (
                 exact_intra.unionByName(ttext_intra)
                 .unionByName(pcm_intra)
+                .unionByName(trim_intra)
                 .unionByName(near_intra)
                 .unionByName(mh_intra)
                 .unionByName(cont_intra)
@@ -725,6 +748,31 @@ def incremental_near_dedup(
                         .select("clip_id", "matched_clip_id", "pcm_sha")
                     )
                     tconf = tconf.unionByName(tconf_cross)
+                # pad-invariant cross-corpus probe: the arriving clip's
+                # trimmed audio exists in the store under a DIFFERENT
+                # decoded-PCM hash (the same-pcm case is the pcm_exact
+                # probe's).  Guarded for stores written before the
+                # column existed; empty trim_sha (tier off) joins
+                # nothing.
+                if "trim_sha" in corpus.columns:
+                    trim_cross = (
+                        trim_reps_b.join(
+                            corpus.filter(F.col("trim_sha") != "").select(
+                                F.col("clip_id").alias("matched_clip_id"),
+                                F.col("pcm_sha").alias("i_pcm"),
+                                "trim_sha",
+                            ),
+                            "trim_sha",
+                        )
+                        .filter(F.col("pcm_sha") != F.col("i_pcm"))
+                        .select(
+                            "clip_id", "matched_clip_id",
+                            F.lit("trim_exact").alias("match_kind"),
+                            F.lit(1.0).alias("sim"),
+                            F.lit("corpus").alias("match_scope"),
+                        )
+                    )
+                    matches = matches.unionByName(trim_cross)
                 index = read_store(spark_l, f"{store_dir}/posting")
                 if index is not None:
                     near_cross = hamming_matches(
@@ -964,8 +1012,8 @@ def incremental_near_dedup(
             )
             store_write(
                 b.select(
-                    "clip_id", "sha256", "pcm_sha", "simhash", "minhash",
-                    "t_norm", "t_len",
+                    "clip_id", "sha256", "pcm_sha", "trim_sha", "simhash",
+                    "minhash", "t_norm", "t_len",
                 ),
                 f"{store_dir}/sigs", batch_id,
             )

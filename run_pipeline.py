@@ -68,6 +68,15 @@ def main() -> int:
                         "exact pcm hash / SimHash features / frame "
                         "fingerprints, enabling cross-sample-rate dedup "
                         "(default: off, native-rate semantics)")
+    p.add_argument("--trim-silence", type=float, default=None,
+                   dest="trim_eps", metavar="EPS", nargs="?",
+                   const=1e-3,
+                   help="enable the silence-padding-invariant exact "
+                        "tier: hash the canonical PCM with leading/"
+                        "trailing samples below EPS (default 1e-3 ~ "
+                        "-60 dBFS) stripped, so padded re-uploads "
+                        "dedup; interior silence is kept (default: "
+                        "off)")
     args = p.parse_args()
 
     from file_dedup_rust_spark.config import DedupConfig
@@ -78,7 +87,7 @@ def main() -> int:
     overrides = {
         k: getattr(args, k)
         for k in ("band_cap", "ac_min_coverage", "ac_max_df",
-                  "ac_min_matches", "ac_post_cap", "cr_hz")
+                  "ac_min_matches", "ac_post_cap", "cr_hz", "trim_eps")
         if getattr(args, k) is not None
     }
     cfg = DedupConfig(seed=args.seed, **overrides)

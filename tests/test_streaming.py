@@ -889,3 +889,98 @@ def test_streaming_canonical_rate_catches_cross_rate_reupload(
             > 0
         )
         assert hit == want, (tag, hit)
+
+
+def test_streaming_trim_tier_catches_padded_reupload(spark, tmp_path):
+    """Round-5 silence-pad-invariant tier at ingest: with cfg.trim_eps
+    set, a re-upload of the SAME recording padded with leading/trailing
+    silence (different bytes, different decoded PCM, fresh transcript,
+    later drop) matches via the streaming trim_sha probe — parity with
+    the batch trim_exact tier holds because the stream shares
+    compute_signatures(cfg).  A padded twin arriving IN THE SAME batch
+    matches at batch scope.  With trim_eps=0 (the default) the tier
+    must not connect them."""
+    import numpy as np
+    import pandas as pd
+
+    from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.config import DedupConfig
+    from file_dedup_rust_spark.functions import audio as A
+    from file_dedup_rust_spark.streaming.incremental import (
+        incremental_near_dedup,
+        read_store,
+    )
+
+    sr = 8000
+    rng = np.random.default_rng(13)
+    n = sr
+    x = 0.5 * np.sin(2 * np.pi * 440 * np.arange(n) / sr + 0.7)
+    x += 0.05 * rng.standard_normal(n)
+    x = np.clip(x, -0.9, 0.9)
+
+    def pad(lead_s, tail_s):
+        return np.concatenate(
+            [np.zeros(int(sr * lead_s)), x, np.zeros(int(sr * tail_s))]
+        )
+
+    def row(clip_id, pcm, transcript):
+        return {
+            "clip_id": clip_id, "bytes": A.encode_wav(pcm, sr),
+            "sr_hz": sr, "dur_ms": None, "codec": "wav",
+            "transcript": transcript,
+        }
+
+    filler = datagen.generate_clips_pandas(40, seed=48)
+    drop1 = pd.concat(
+        [
+            filler.iloc[:20],
+            pd.DataFrame(
+                [
+                    row("orig", x, "first vendor words"),
+                    # same-batch padded twin -> batch-scope match
+                    row("pad_intra", pad(0.25, 0.0), "second vendor words"),
+                ]
+            )[list(filler.columns)],
+        ],
+        ignore_index=True,
+    )
+    drop2 = pd.concat(
+        [
+            filler.iloc[20:],
+            pd.DataFrame(
+                [row("pad_cross", pad(0.5, 0.75), "third vendor words")]
+            )[list(filler.columns)],
+        ],
+        ignore_index=True,
+    )
+
+    for tag, eps, want in (("on", 1e-3, True), ("off", 0.0, False)):
+        cfg = DedupConfig(trim_eps=eps)
+        root = tmp_path / tag
+        landing = str(root / "landing")
+        for d in (drop1, drop2):
+            spark.createDataFrame(
+                d, schema=datagen.CLIP_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(landing)
+            q = incremental_near_dedup(
+                spark, landing, str(root / "store"), str(root / "out"),
+                str(root / "ck"), cfg,
+            )
+            q.awaitTermination(180)
+        out = read_store(spark, str(root / "out")).filter(
+            "match_kind = 'trim_exact'"
+        )
+        rows = {
+            (r["clip_id"], r["matched_clip_id"], r["match_scope"])
+            for r in out.collect()
+        }
+        if want:
+            assert ("pad_intra", "orig", "batch") in rows, rows
+            cross = {
+                (a, b) for a, b, s in rows if s == "corpus"
+            }
+            assert ("pad_cross", "orig") in cross or (
+                "pad_cross", "pad_intra"
+            ) in cross, rows
+        else:
+            assert rows == set(), rows

@@ -167,7 +167,8 @@ def main() -> int:
                      "cluster_best_rep", "bucketed_batches",
                      "boilerplate_prune", "leakage_safe_split",
                      "mixture_weights", "conflict_repair",
-                     "mixture_applied"]:
+                     "mixture_applied", "edit_verified_pairs",
+                     "source_token_quota", "corpus_diversity"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -364,18 +364,37 @@ def spectral_rolloff(pcm: np.ndarray, frac: float = 0.95) -> float | None:
     The band-limit / upsample-fraud detector's kernel: audio recorded
     at 8 kHz and re-shipped in a 44.1 kHz container claims ~5.5x the
     information it carries — its energy stops at ~0.36 of Nyquist,
-    while genuine full-band content rolls off near 1.0.  One rfft over
-    the (already-decoded, duration-capped) samples; empty / silent
-    input reads as None (no bandwidth to measure)."""
+    while genuine full-band content rolls off near 1.0.  This is the
+    one-shot reference definition (a single rfft over the whole
+    signal); the production signature pass uses rolloff_from_power
+    over the framed spectra it already computes for the SimHash
+    features — same estimate at n_fft//2+1 bin resolution, zero extra
+    FFT work.  Empty / silent input reads as None."""
     if pcm.size < 16:
         return None
     spec = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
-    spec[0] = 0.0  # DC offset is not bandwidth
-    tot = float(spec.sum())
-    if tot <= 0.0 or spec.size < 2:
+    return _rolloff_of_psd(spec, frac)
+
+
+def _rolloff_of_psd(psd: np.ndarray, frac: float) -> float | None:
+    psd = psd.copy()
+    psd[0] = 0.0  # DC offset is not bandwidth
+    tot = float(psd.sum())
+    if tot <= 0.0 or psd.size < 2:
         return None
-    idx = int(np.searchsorted(np.cumsum(spec), frac * tot))
-    return float(min(idx, spec.size - 1) / (spec.size - 1))
+    idx = int(np.searchsorted(np.cumsum(psd), frac * tot))
+    return float(min(idx, psd.size - 1) / (psd.size - 1))
+
+
+def rolloff_from_power(mag: np.ndarray, frac: float = 0.95) -> float | None:
+    """spectral_rolloff over an already-framed power spectrum
+    (framed_power output): Welch-style mean PSD across frames, then
+    the same frac-energy rolloff.  This is how the signature pass gets
+    the band-limit metric for free — the (n_frames, n_bins) matrix is
+    already in hand for the SimHash features."""
+    if mag.size == 0:
+        return None
+    return _rolloff_of_psd(mag.sum(axis=0), frac)
 
 
 def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
@@ -445,13 +464,23 @@ def spectral_features(pcm: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarr
     corpus: unrelated Hamming >= 15/64, SNR-35dB near-dups <= 4/64.
     Per-row operations only — determinism under batching.
     """
-    n_feat = cfg.n_segments * (cfg.n_bands - 1)
+    mag = framed_power(pcm, sr_hz, cfg)
+    return features_from_power(mag, cfg)
+
+
+def framed_power(pcm: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarray:
+    """The shared framed |rfft|² front half of spectral_features,
+    shape (n_frames, n_fft//2+1) float64 — split out so the signature
+    pass can derive BOTH the SimHash features and the band-limit
+    rolloff metric from one FFT pass (identical operations in the
+    original order: feature values are bit-stable across the split)."""
     max_samples = int(cfg.max_decode_seconds * sr_hz)
     # float32 end-to-end: decode already yields float32, and upcasting
     # doubled the kernel's memory traffic (the frame matrix is the
     # single biggest allocation per row) — the sign-of-projection
     # SimHash only needs ~1e-3 relative precision.  The log/contrast
-    # accumulations below run in float64 where cancellation matters.
+    # accumulations in features_from_power run in float64 where
+    # cancellation matters.
     x = np.ascontiguousarray(pcm[:max_samples], dtype=np.float32)
     if x.size < cfg.n_fft:
         x = np.pad(x, (0, cfg.n_fft - x.size))
@@ -469,7 +498,14 @@ def spectral_features(pcm: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarr
     # float32 through the FFT, but scipy is not a declared dependency
     # and the float64 path is the tested/oracle-pinned one.)
     spec = np.fft.rfft(frames, axis=1)  # complex128
-    mag = spec.real**2 + spec.imag**2  # float64 (n_frames, n_fft//2+1)
+    return spec.real**2 + spec.imag**2  # float64 (n_frames, n_fft//2+1)
+
+
+def features_from_power(mag: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """The pooling/contrast back half of spectral_features over a
+    framed_power matrix."""
+    n_feat = cfg.n_segments * (cfg.n_bands - 1)
+    n_frames = mag.shape[0]
 
     # log-spaced band edges over the bin axis (sample-rate independent
     # binning keeps the same *relative* bands; near-dups share sr)

@@ -131,7 +131,8 @@ def signature_batch(
             if cfg.cr_hz:
                 c_pcm = A.resample_linear(pcm, c_sr, cfg.cr_hz)
                 c_sr = cfg.cr_hz
-            feats = A.spectral_features(c_pcm, c_sr, cfg)
+            mag = A.framed_power(c_pcm, c_sr, cfg)
+            feats = A.features_from_power(mag, cfg)
             sim = A.simhash64(feats, planes)
             frame_fps = (
                 A.frame_fingerprints(c_pcm, c_sr, cfg, A.FP_BANDS).tolist()
@@ -148,11 +149,17 @@ def signature_batch(
             out["dc_offset"].append(dc)
             out["pcm_sha"].append(canonical_pcm_sha(c_pcm, c_sr))
             # band-limit metric on the native-rate samples (AS STORED,
-            # like the other quality metrics), duration-capped like the
-            # feature FFTs; the pad-invariant hash on the CANONICAL
-            # samples (it is a content identity, like pcm_sha)
-            cap = int(cfg.max_decode_seconds * int(row.sr_hz)) or pcm.size
-            out["rolloff"].append(A.spectral_rolloff(pcm[:cap]))
+            # like the other quality metrics).  With cr_hz off the
+            # framed spectra above ARE native-rate, so the metric is
+            # free (rolloff_from_power reuses mag — zero extra FFT);
+            # under the opt-in canonical-rate tier the features ran at
+            # cr_hz, so the native metric pays its own framed pass.
+            # The pad-invariant hash runs on the CANONICAL samples (a
+            # content identity, like pcm_sha).
+            n_mag = mag if not cfg.cr_hz else A.framed_power(
+                pcm, int(row.sr_hz), cfg
+            )
+            out["rolloff"].append(A.rolloff_from_power(n_mag))
             out["trim_sha"].append(
                 canonical_pcm_sha(A.trim_silence(c_pcm, cfg.trim_eps), c_sr)
                 if cfg.trim_eps

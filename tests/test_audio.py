@@ -95,6 +95,34 @@ def test_simhash_codec_invariance():
     assert s1 == s2
 
 
+def test_simhash_gain_invariance():
+    """A volume-normalized re-upload (the loudness-normalization
+    defect: same recording at 0.5x / 1.8x gain, re-quantized to int16)
+    lands within the SimHash Hamming budget — the RMS normalization in
+    framed_power makes the spectral contrasts gain-invariant up to
+    requantization noise, so the audio tier covers cross-gain dups
+    that every exact tier (byte, pcm, trim) must miss."""
+    planes = A.simhash_planes(CFG)
+    x = _tone(seed=31)
+    s_ref = A.simhash64(
+        A.spectral_features(A.decode_audio(A.encode_wav(x, 8000), "wav"),
+                            8000, CFG),
+        planes,
+    )
+    for gain in (0.5, 0.25, 1.8):
+        y = A.decode_audio(A.encode_wav(np.clip(x * gain, -1, 1), 8000), "wav")
+        d = A.hamming64(
+            s_ref, A.simhash64(A.spectral_features(y, 8000, CFG), planes)
+        )
+        assert d <= CFG.hamming_max, (gain, d)
+        # and the exact tiers genuinely miss it
+        from file_dedup_rust_spark.functions.udfs import canonical_pcm_sha
+
+        assert canonical_pcm_sha(y, 8000) != canonical_pcm_sha(
+            A.decode_audio(A.encode_wav(x, 8000), "wav"), 8000
+        )
+
+
 def test_simhash_band_keys():
     import math
 

@@ -338,6 +338,32 @@ def main() -> int:
         ["HashAggregate", "partial_min", "partial_count"],
     ))
 
+    sections.append((
+        "edit_verified_pairs (levenshtein verify tier: shingle-posting "
+        "candidate join at a coarse Jaccard floor, then the O(len^2) "
+        "levenshtein runs as a JVM codegen expression on the bounded "
+        "candidate relation only — never an all-pairs join)",
+        plan_text(Q.q_edit_verified_pairs(spark, args.sf_dir)),
+        ["HashAggregate", "levenshtein"],
+    ))
+
+    sections.append((
+        "source_token_quota (per-source rank-prefix token cap: ONE "
+        "window shuffle hashpartitioned on source — parallel across "
+        "sources, no SinglePartition anywhere)",
+        plan_text(Q.q_source_token_quota(spark, args.sf_dir)),
+        ["Window", r"hashpartitioning\(source"],
+    ))
+
+    sections.append((
+        "corpus_diversity (per-language 3-gram type-token ratio: "
+        "multiset grams shuffle once as xxhash64 keys with map-side "
+        "partial agg, then a per-language rollup bounded by language "
+        "cardinality)",
+        plan_text(Q.q_corpus_diversity(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial"],
+    ))
+
     failures = []
     out_lines = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text, must in sections:

@@ -3670,6 +3670,43 @@ FROM nd JOIN stats ON nd.lang = stats.lang
 """
 
 
+VOCAB_TOP_K = 50
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary census: the top-{VOCAB_TOP_K} words by
+    occurrence count (count desc, word asc — a total order, so the
+    boundary of the top-K is deterministic on any engine).  The
+    tokenizer-training precursor: BPE/unigram trainers start from
+    exactly this word-frequency table.
+
+    Scale design: one explode + hash aggregate WITH map-side partial
+    combine (each distinct word crosses the shuffle once per map task,
+    not once per occurrence), then the global top-K is
+    TakeOrderedAndProject — a per-partition heap merged on the driver,
+    never a full sort of the vocabulary."""
+    toks = docs_corpus(spark, sf_dir).select(
+        F.explode(F.split("t", " ")).alias("wd")
+    )
+    return (
+        toks.groupBy("wd")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "wd")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+SQL_VOCAB_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS wd
+  FROM documents
+)
+SELECT wd, CAST(count(*) AS BIGINT) AS c
+FROM toks GROUP BY wd
+ORDER BY c DESC, wd LIMIT {VOCAB_TOP_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3736,6 +3773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_verified_pairs": q_edit_verified_pairs,
     "source_token_quota": q_source_token_quota,
     "corpus_diversity": q_corpus_diversity,
+    "vocab_top_terms": q_vocab_top_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -3806,4 +3844,5 @@ ORACLES: dict[str, str] = {
     "edit_verified_pairs": SQL_EDIT_VERIFIED_PAIRS,
     "source_token_quota": SQL_SOURCE_TOKEN_QUOTA,
     "corpus_diversity": SQL_CORPUS_DIVERSITY,
+    "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
 }

@@ -77,6 +77,15 @@ def main() -> int:
                         "-60 dBFS) stripped, so padded re-uploads "
                         "dedup; interior silence is kept (default: "
                         "off)")
+    p.add_argument("--segment", type=float, nargs=2, default=None,
+                   metavar=("WIN_S", "STRIDE_S"),
+                   help="segment long-form audio into WIN_S-second "
+                        "windows at STRIDE_S-second stride BEFORE "
+                        "dedup (snap-to-end final window; one "
+                        "mapInPandas bytes pass, zero shuffle); dedup "
+                        "then runs at segment granularity — "
+                        "cross-upload overlap collapses via pcm_exact "
+                        "because segments re-quantize canonically")
     args = p.parse_args()
 
     from file_dedup_rust_spark.config import DedupConfig
@@ -97,6 +106,24 @@ def main() -> int:
         clips = datagen.generate_clips(spark, args.synthetic, seed=args.seed)
     else:
         clips = spark.read.parquet(args.input)
+
+    n_segmented = None
+    if args.segment is not None:
+        from pyspark.sql import functions as F
+
+        from file_dedup_rust_spark.operators.segment import segment_clips
+
+        segs = segment_clips(
+            clips, win_s=args.segment[0], stride_s=args.segment[1]
+        )
+        # quarantined parents (decode_ok = false) drop here with a
+        # counted trace in the summary; the signature pass downstream
+        # would only re-quarantine them
+        clips = segs.filter("decode_ok").select(
+            "clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+            F.lit(None).cast("string").alias("transcript"),
+        )
+        n_segmented = clips.count()
 
     res = run_pipeline(
         spark, clips, cfg, args.checkpoint, resume=not args.no_resume,
@@ -139,6 +166,8 @@ def main() -> int:
     }
     if split_counts is not None:
         summary["split"] = split_counts
+    if n_segmented is not None:
+        summary["segments"] = n_segmented
     if args.tier_report:
         summary["tiers"] = tier_report(res.edges)
     if args.quality_report:

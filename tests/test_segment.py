@@ -136,3 +136,46 @@ def test_segment_args_validated(spark):
         segment_clips(clips, win_s=0.0)
     with pytest.raises(ValueError):
         segment_clips(clips, stride_s=-1.0)
+
+
+def test_segment_then_dedup_collapses_duplicate_parents(spark):
+    """--segment pipeline mode semantics: byte-identical parents yield
+    byte-identical segment sets, so segment-granular dedup collapses
+    them pairwise through the exact tier (and the canonical
+    re-quantization means container flips would land in pcm_exact)."""
+    from pyspark.sql import functions as F
+
+    from file_dedup_rust_spark.config import DedupConfig
+    from file_dedup_rust_spark.functions.udfs import compute_signatures
+    from file_dedup_rust_spark.plans.pipeline import build_edges
+
+    rng = np.random.default_rng(29)
+    pcm = np.clip(0.4 * rng.standard_normal(8 * SR), -0.9, 0.9)
+    other = np.clip(0.4 * rng.standard_normal(8 * SR), -0.9, 0.9)
+    rows = [
+        _clip("up_a", pcm),
+        _clip("up_b", pcm),  # re-upload of the same recording
+        _clip("other", other),
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    segs = segment_clips(clips, win_s=4.0, stride_s=3.0)
+    seg_clips = segs.filter("decode_ok").select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+        F.lit(None).cast("string").alias("transcript"),
+    )
+    cfg = DedupConfig()
+    edges = build_edges(compute_signatures(seg_clips, cfg), cfg)
+    exact = {
+        (r["a"], r["b"])
+        for r in edges.filter("kind = 'exact'").collect()
+    }
+    # every up_a segment pairs with its up_b twin; 'other' stays out
+    assert len(exact) >= 2
+    for a, b in exact:
+        pa, pb = a.split("#")[0], b.split("#")[0]
+        assert {pa, pb} == {"up_a", "up_b"}
+        assert a.split("#")[1] == b.split("#")[1]

@@ -143,6 +143,20 @@ class DedupConfig:
     # audio tier (functions/audio.py:406-408).
     cr_hz: int = 0
 
+    # ---- long-form segmentation (opt-in pre-stage) ----
+    # 0.0 = off.  When seg_win_s > 0, run_pipeline splits every clip
+    # into seg_win_s-second windows at seg_stride_s stride (snap-to-end
+    # final window, operators/segment.py) BEFORE the signature pass, so
+    # every dedup tier runs at training-window granularity.  Living in
+    # the config (not a CLI-only switch) means cfg.fingerprint() covers
+    # it: toggling segmentation against an existing checkpoint dir
+    # invalidates the signatures stage instead of silently resuming
+    # whole-clip signatures.  stride must be in (0, win] — larger
+    # strides would leave coverage gaps (sampling is not this
+    # operator's contract).
+    seg_win_s: float = 0.0
+    seg_stride_s: float = 0.0
+
     # ---- skew handling ----
     band_cap: int = 200         # max posting-list size per (band, hash)
     salt_partitions: int = 0    # 0 = let AQE handle it
@@ -158,6 +172,13 @@ class DedupConfig:
             raise ValueError("sim_bands must divide simhash_bits")
         if not (1 <= self.sim_key_arity <= self.sim_bands):
             raise ValueError("sim_key_arity must be in [1, sim_bands]")
+        if self.seg_win_s > 0 and not (
+            0 < self.seg_stride_s <= self.seg_win_s
+        ):
+            raise ValueError(
+                "seg_stride_s must be in (0, seg_win_s] — a stride "
+                "larger than the window leaves coverage gaps"
+            )
 
     @property
     def sim_band_bits(self) -> int:

@@ -336,6 +336,18 @@ def quality_metrics(pcm: np.ndarray) -> tuple[float, float, float]:
     return clip_ratio, silence_ratio, dc_offset
 
 
+def quantize_i16_canonical(pcm: np.ndarray) -> np.ndarray:
+    """float PCM -> little-endian int16 on the CANONICAL x32768 grid —
+    the exact inverse of the decoders' /32768 normalization, so
+    decode -> quantize -> decode round-trips bit-identically.  The one
+    shared definition behind canonical_pcm_sha and the segmenter's
+    re-encode; encode_wav's x32767 scaling is deliberately different
+    (a foreign quantizer, see the canonical-rate docs)."""
+    return np.clip(
+        np.round(pcm.astype(np.float64) * 32768.0), -32768, 32767
+    ).astype("<i2")
+
+
 def trim_silence(pcm: np.ndarray, eps: float) -> np.ndarray:
     """Strip leading/trailing samples with |x| < eps; interior silence
     is untouched (it is content — pauses carry timing information).

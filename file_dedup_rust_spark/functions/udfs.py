@@ -66,9 +66,7 @@ def canonical_pcm_sha(pcm: np.ndarray, sr_hz: int) -> str:
     file hashes identically even though the container bytes (and
     therefore sha256) differ.  The sr prefix keeps equal sample
     vectors at different rates — different audio — apart."""
-    q = np.clip(
-        np.round(pcm.astype(np.float64) * 32768.0), -32768, 32767
-    ).astype("<i2")
+    q = A.quantize_i16_canonical(pcm)
     h = hashlib.sha256(str(int(sr_hz)).encode())
     h.update(b"|")
     h.update(q.tobytes())
@@ -151,13 +149,20 @@ def signature_batch(
             # band-limit metric on the native-rate samples (AS STORED,
             # like the other quality metrics).  With cr_hz off the
             # framed spectra above ARE native-rate, so the metric is
-            # free (rolloff_from_power reuses mag — zero extra FFT);
-            # under the opt-in canonical-rate tier the features ran at
-            # cr_hz, so the native metric pays its own framed pass.
-            # The pad-invariant hash runs on the CANONICAL samples (a
+            # free (rolloff_from_power reuses mag — zero extra FFT).
+            # Under the opt-in canonical-rate tier the features ran at
+            # cr_hz, so the TRUE native metric needs its own framed
+            # pass — paid only when the band-limit gate actually
+            # consumes it (q_min_rolloff > 0); with the gate off the
+            # stored value falls back to the canonical-rate estimate
+            # (equal for clips already at cr_hz) instead of doubling
+            # every clip's FFT cost for an unread column.  The
+            # pad-invariant hash runs on the CANONICAL samples (a
             # content identity, like pcm_sha).
-            n_mag = mag if not cfg.cr_hz else A.framed_power(
-                pcm, int(row.sr_hz), cfg
+            n_mag = (
+                A.framed_power(pcm, int(row.sr_hz), cfg)
+                if cfg.cr_hz and cfg.q_min_rolloff > 0
+                else mag
             )
             out["rolloff"].append(A.rolloff_from_power(n_mag))
             out["trim_sha"].append(

@@ -48,8 +48,9 @@ def segment_starts(n: int, win: int, stride: int) -> list[int]:
     """Deterministic window starts over n samples: 0, stride, ... while
     a full window fits, plus a final snap-to-end window (start = n -
     win) when the tail would otherwise be uncovered.  n <= win yields
-    [0] (one whole-clip segment).  Pure function — the numpy oracle
-    and tests share it."""
+    [0] (one whole-clip segment).  Total coverage requires stride <=
+    win (segment_clips and DedupConfig validate it).  Pure function —
+    the numpy oracle and tests share it."""
     if n <= win:
         return [0]
     starts = list(range(0, n - win + 1, stride))
@@ -70,6 +71,12 @@ def segment_clips(
     join on parent_id instead)."""
     if win_s <= 0 or stride_s <= 0:
         raise ValueError("win_s and stride_s must be positive")
+    if stride_s > win_s:
+        raise ValueError(
+            "stride_s > win_s leaves uncovered gaps between windows — "
+            "total coverage is this operator's contract (sampling is "
+            "not); use stride_s <= win_s"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,10 +115,7 @@ def segment_clips(
                 # supported codec sit on the k/32768 grid, so the
                 # round-trip is exact and a segment decodes
                 # bit-identical to the parent slice
-                i16 = np.clip(
-                    np.round(pcm.astype(np.float64) * 32768.0),
-                    -32768, 32767,
-                ).astype("<i2")
+                i16 = A.quantize_i16_canonical(pcm)
                 for idx, start in enumerate(
                     segment_starts(pcm.size, win, stride)
                 ):

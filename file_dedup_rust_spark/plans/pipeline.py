@@ -284,6 +284,24 @@ def run_pipeline(
     def done(name: str) -> bool:
         return stop_after == name
 
+    if cfg.seg_win_s:
+        # segmentation pre-stage (opt-in): dedup runs at training-
+        # window granularity.  Not checkpointed separately — it feeds
+        # the signatures stage directly (checkpointing segments would
+        # re-materialize every byte), and because seg_win_s/seg_stride_s
+        # live in cfg, fp_sig invalidates the signatures checkpoint
+        # whenever segmentation is toggled or retuned.  Quarantined
+        # parents flow through as bytes-null rows and become the
+        # signature pass's decode_ok=false quarantine rows.
+        from file_dedup_rust_spark.operators.segment import segment_clips
+
+        clips = segment_clips(
+            clips, win_s=cfg.seg_win_s, stride_s=cfg.seg_stride_s
+        ).select(
+            "clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+            F.lit(None).cast("string").alias("transcript"),
+        )
+
     sigs, r = io.stage(
         "signatures", fp_sig,
         lambda: compute_signatures(clips, cfg, with_frames=audio_containment),

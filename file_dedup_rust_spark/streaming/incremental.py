@@ -204,7 +204,14 @@ def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
         )
     df = parts[0]
     for p in parts[1:]:
-        df = df.unionByName(p)
+        # allowMissingColumns: a store upgraded mid-stream (e.g. the
+        # sigs store gaining trim_sha) holds a pre-upgrade base
+        # snapshot beside post-upgrade inc partitions; old rows read
+        # the new column as NULL, which every probe's non-empty /
+        # equality filter already excludes — the alternative (strict
+        # union) would fail the streaming query permanently on the
+        # first post-upgrade batch
+        df = df.unionByName(p, allowMissingColumns=True)
     return df
 
 

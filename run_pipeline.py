@@ -99,6 +99,8 @@ def main() -> int:
                   "ac_min_matches", "ac_post_cap", "cr_hz", "trim_eps")
         if getattr(args, k) is not None
     }
+    if args.segment is not None:
+        overrides["seg_win_s"], overrides["seg_stride_s"] = args.segment
     cfg = DedupConfig(seed=args.seed, **overrides)
     spark = build_session("dedup-pipeline", master=args.master)
     t0 = time.monotonic()
@@ -106,24 +108,6 @@ def main() -> int:
         clips = datagen.generate_clips(spark, args.synthetic, seed=args.seed)
     else:
         clips = spark.read.parquet(args.input)
-
-    n_segmented = None
-    if args.segment is not None:
-        from pyspark.sql import functions as F
-
-        from file_dedup_rust_spark.operators.segment import segment_clips
-
-        segs = segment_clips(
-            clips, win_s=args.segment[0], stride_s=args.segment[1]
-        )
-        # quarantined parents (decode_ok = false) drop here with a
-        # counted trace in the summary; the signature pass downstream
-        # would only re-quarantine them
-        clips = segs.filter("decode_ok").select(
-            "clip_id", "bytes", "sr_hz", "dur_ms", "codec",
-            F.lit(None).cast("string").alias("transcript"),
-        )
-        n_segmented = clips.count()
 
     res = run_pipeline(
         spark, clips, cfg, args.checkpoint, resume=not args.no_resume,
@@ -166,8 +150,12 @@ def main() -> int:
     }
     if split_counts is not None:
         summary["split"] = split_counts
-    if n_segmented is not None:
-        summary["segments"] = n_segmented
+    if cfg.seg_win_s:
+        # the signatures stage rows ARE the segment count (incl.
+        # quarantine rows) — no extra decode pass just for the summary
+        summary["segments"] = next(
+            s.row_count for s in res.stages if s.name == "signatures"
+        )
     if args.tier_report:
         summary["tiers"] = tier_report(res.edges)
     if args.quality_report:

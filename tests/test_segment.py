@@ -136,6 +136,16 @@ def test_segment_args_validated(spark):
         segment_clips(clips, win_s=0.0)
     with pytest.raises(ValueError):
         segment_clips(clips, stride_s=-1.0)
+    # stride > win would leave coverage gaps — rejected, not silent
+    with pytest.raises(ValueError):
+        segment_clips(clips, win_s=2.0, stride_s=5.0)
+    # and the config mirror (the --segment pipeline path)
+    from file_dedup_rust_spark.config import DedupConfig
+
+    with pytest.raises(ValueError):
+        DedupConfig(seg_win_s=2.0, seg_stride_s=5.0)
+    with pytest.raises(ValueError):
+        DedupConfig(seg_win_s=2.0, seg_stride_s=0.0)
 
 
 def test_segment_then_dedup_collapses_duplicate_parents(spark):
@@ -179,3 +189,35 @@ def test_segment_then_dedup_collapses_duplicate_parents(spark):
         pa, pb = a.split("#")[0], b.split("#")[0]
         assert {pa, pb} == {"up_a", "up_b"}
         assert a.split("#")[1] == b.split("#")[1]
+
+
+def test_segment_toggle_invalidates_checkpoints(spark, tmp_path):
+    """The review finding that motivated moving segmentation into
+    DedupConfig: re-running an existing checkpoint dir with --segment
+    toggled must RECOMPUTE signatures (segment-granular rows), never
+    silently resume the whole-clip ones."""
+    from file_dedup_rust_spark import datagen
+    from file_dedup_rust_spark.config import DedupConfig
+    from file_dedup_rust_spark.plans.pipeline import run_pipeline
+
+    clips = datagen.generate_clips(spark, 60, seed=7)
+    ck = str(tmp_path / "ck")
+    plain = run_pipeline(spark, clips, DedupConfig(), ck)
+    n_plain = next(
+        s.row_count for s in plain.stages if s.name == "signatures"
+    )
+    assert all(not s.skipped for s in plain.stages)
+
+    seg_cfg = DedupConfig(seg_win_s=0.4, seg_stride_s=0.3)
+    seg = run_pipeline(spark, clips, seg_cfg, ck)
+    n_seg = next(s.row_count for s in seg.stages if s.name == "signatures")
+    sig_stage = next(s for s in seg.stages if s.name == "signatures")
+    assert not sig_stage.skipped  # fingerprint changed -> recompute
+    assert n_seg > n_plain  # segment-granular rows, not clip rows
+
+    # and the segmented run itself resumes cleanly
+    again = run_pipeline(spark, clips, seg_cfg, ck)
+    assert all(s.skipped for s in again.stages)
+    assert next(
+        s.row_count for s in again.stages if s.name == "signatures"
+    ) == n_seg

@@ -984,3 +984,37 @@ def test_streaming_trim_tier_catches_padded_reupload(spark, tmp_path):
             ) in cross, rows
         else:
             assert rows == set(), rows
+
+
+def test_store_survives_schema_upgrade_after_compaction(spark, tmp_path):
+    """A store whose compacted base snapshot predates a column (the
+    sigs store gaining trim_sha mid-stream) must keep reading: old
+    rows surface the new column as NULL (which every probe's
+    non-empty/equality filter excludes), never an AnalysisException."""
+    from pyspark.sql import functions as F
+
+    from file_dedup_rust_spark.streaming.incremental import (
+        compact_store,
+        read_store,
+        store_write,
+    )
+
+    store = str(tmp_path / "sigs")
+    old = spark.range(3).select(
+        F.concat(F.lit("c"), F.col("id")).alias("clip_id"),
+        F.lit("sha").alias("sha256"),
+    )
+    store_write(old, store, 0)
+    compact_store(spark, store, 0)  # base snapshot at the OLD schema
+    new = spark.createDataFrame(
+        [("c9", "sha", "trimhash")], "clip_id string, sha256 string, trim_sha string"
+    )
+    store_write(new, store, 1)
+
+    df = read_store(spark, store)
+    assert df.count() == 4
+    assert "trim_sha" in df.columns
+    with_trim = df.filter(F.col("trim_sha").isNotNull()).collect()
+    assert [r["clip_id"] for r in with_trim] == ["c9"]
+    # the probe-side filter pattern excludes pre-upgrade rows cleanly
+    assert df.filter(F.col("trim_sha") != "").count() == 1

@@ -575,58 +575,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates only.  At J >= 0.8 with 32 bands x 4 rows the LSH
     miss probability is < 1e-9 per pair, so the oracle is the exact SQL.
     """
-    import pandas as pd  # noqa: F401 (documented dependency of the UDF)
-
     from file_dedup_rust_spark.config import DEFAULT_CONFIG
-    from file_dedup_rust_spark.functions import hashing
-    from file_dedup_rust_spark.operators.candidates import candidate_pairs
+    from file_dedup_rust_spark.operators.candidates import (
+        candidate_pairs,
+        word_minhash_bands,
+    )
 
     cfg = DEFAULT_CONFIG
-    sh = shingles(docs_corpus(spark, sf_dir))
-    # 64-bit shingle hash JVM-side, then vectorized numpy MinHash+bands
-    hashed = sh.select("doc_id", F.xxhash64("g").alias("h"))
-    grouped = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
-
-    def to_bands(batches):
-        import numpy as np
-        import pandas as pd
-
-        from file_dedup_rust_spark.functions import text as TX
-
-        a, b = hashing.minhash_params(cfg.minhash_seed, cfg.num_perm)
-        # same cache-resident group driver as batch_transcript_features:
-        # the padded-gather rectangle is n_docs x max(shingle_count), so
-        # grouping by a byte budget keeps one long document from
-        # inflating the whole batch's rectangle (ADVICE r2)
-        budget = TX._GROUP_BYTES // 8  # uint64 shingle hashes per group
-        for pdf in batches:
-            arrs = [
-                np.asarray(h, dtype=np.int64).view(np.uint64)
-                for h in pdf["hs"]
-            ]
-            n = len(arrs)
-            sigs = np.full((n, cfg.num_perm), -1, dtype=np.int32)
-            lo = 0
-            while lo < n:
-                hi, acc = lo, 0
-                while hi < n and (acc == 0 or acc + len(arrs[hi]) <= budget):
-                    acc += len(arrs[hi])
-                    hi += 1
-                group = arrs[lo:hi]
-                n_sh = np.array([len(x) for x in group], dtype=np.int64)
-                G = np.concatenate(group)
-                bnd = np.cumsum(n_sh) - n_sh
-                sigs[lo:hi] = TX._minhash_gather(G, bnd, n_sh, a, b)
-                lo = hi
-            bands = TX._band_hashes_batch(sigs, cfg.lsh_bands, cfg.lsh_rows)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].to_numpy(),
-                 "mh_bands": list(bands)}
-            )
-
-    sigs = grouped.mapInPandas(
-        to_bands, schema="doc_id long, mh_bands array<long>"
-    )
+    corpus = docs_corpus(spark, sf_dir)
+    sh = shingles(corpus)
+    # 64-bit gram hash JVM-side -> vectorized numpy MinHash+bands
+    # (shared kernel — also the fuzzy-decontamination signature step)
+    sigs = word_minhash_bands(corpus, cfg, 3)
     posting = sigs.select(F.explode("mh_bands").alias("key"), F.col("doc_id").alias("clip_id"))
     cand = candidate_pairs(posting, cfg.band_cap).select(
         F.col("a").alias("ia"), F.col("b").alias("ib")
@@ -2042,6 +2002,100 @@ SELECT t.doc_id,
        count(DISTINCT t.g) AS n_gram_hits,
        count(DISTINCT e.doc_id) AS n_eval_docs
 FROM tg t JOIN eg e ON e.g = t.g
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (paraphrase-robust) decontamination: exact-gram decontam
+# misses eval leakage that was lightly EDITED — here every 40th word
+# of a leaked eval doc is dropped, which breaks most 8-gram windows
+# while the document stays ~92% the same word-3-gram set, so the
+# MinHash-LSH near-dup probe catches it at Jaccard >= 0.8.  Measured
+# sf0.01 distribution: planted pairs >= 0.9167, background <= 0.0492
+# — a wide margin on both sides of the threshold, and the LSH miss
+# probability per planted pair is < 1e-17, so the exact-Jaccard SQL
+# is a sound oracle.
+# ---------------------------------------------------------------------------
+
+FUZZY_DROP_MOD = 40            # drop every 40th word of a leaked doc
+FUZZY_ID_OFFSET = 4_000_000
+FUZZY_T = JACCARD_T            # same near-dup threshold as the dedup path
+
+
+def corpus_fuzzy_decontam(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(train, eval) docs; train = non-eval ∪ word-dropped eval leaks."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t")
+    )
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE)
+    leaks = ev.filter(F.col("doc_id") % CONTAM_MOD == 1).select(
+        (F.col("doc_id") + FUZZY_ID_OFFSET).alias("doc_id"),
+        F.expr(
+            "array_join(filter(split(t, ' '), "
+            f"(x, i) -> (i + 1) % {FUZZY_DROP_MOD} != 0), ' ')"
+        ).alias("t"),
+    )
+    train = d.filter(F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE).unionByName(
+        leaks
+    )
+    return train, ev
+
+
+def q_fuzzy_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs near-duplicating any eval doc (word-3-gram Jaccard
+    >= 0.8): (doc_id, n_eval_matches, max_jac).
+
+    Plan shape: eval band postings broadcast; the corpus streams
+    through one BroadcastHashJoin to candidates; exact-Jaccard verify
+    touches candidate docs only (operators.decontaminate
+    .fuzzy_contamination_hits)."""
+    from file_dedup_rust_spark.config import DEFAULT_CONFIG
+    from file_dedup_rust_spark.operators.decontaminate import (
+        fuzzy_contamination_hits,
+    )
+
+    train, ev = corpus_fuzzy_decontam(spark, sf_dir)
+    return fuzzy_contamination_hits(train, ev, DEFAULT_CONFIG, FUZZY_T, 3)
+
+
+SQL_FUZZY_DECONTAM_HITS = f"""
+WITH docs_t AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+evalset AS (
+  SELECT * FROM docs_t WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+),
+train AS (
+  SELECT * FROM docs_t WHERE doc_id % {EVAL_MOD} != {EVAL_RESIDUE}
+  UNION ALL
+  SELECT doc_id + {FUZZY_ID_OFFSET},
+         array_to_string(
+           list_transform(
+             list_filter(generate_series(1, len(w)),
+                         i -> i % {FUZZY_DROP_MOD} != 0),
+             i -> w[i]), ' ')
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM evalset
+        WHERE doc_id % {CONTAM_MOD} = 1)
+),
+tsh AS ({_sql_ngrams('train', 3)}),
+esh AS ({_sql_ngrams('evalset', 3)}),
+tsz AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY 1),
+esz AS (SELECT doc_id, count(*) AS n FROM esh GROUP BY 1),
+inter AS (
+  SELECT t.doc_id AS ia, e.doc_id AS ib, count(*) AS c
+  FROM tsh t JOIN esh e ON t.g = e.g GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ia, ib, round(c * 1.0 / (ta.n + eb.n - c), 4) AS jac
+  FROM inter JOIN tsz ta ON ta.doc_id = ia JOIN esz eb ON eb.doc_id = ib
+)
+SELECT ia AS doc_id,
+       count(*) AS n_eval_matches,
+       max(jac) AS max_jac
+FROM pairs WHERE jac >= {FUZZY_T}
 GROUP BY 1
 """
 
@@ -3748,6 +3802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": q_semdedup_prune,
     "dedup_new_vs_corpus": q_dedup_new_vs_corpus,
     "decontam_hits": q_decontam_hits,
+    "fuzzy_decontam_hits": q_fuzzy_decontam_hits,
     "stratified_sample": q_stratified_sample,
     "corpus_build_funnel": q_corpus_build_funnel,
     "keep_capped_copies": q_keep_capped_copies,
@@ -3813,6 +3868,7 @@ ORACLES: dict[str, str] = {
     "semdedup_prune": SQL_SEMDEDUP_PRUNE,
     "dedup_new_vs_corpus": SQL_DEDUP_NEW_VS_CORPUS,
     "decontam_hits": SQL_DECONTAM_HITS,
+    "fuzzy_decontam_hits": SQL_FUZZY_DECONTAM_HITS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "corpus_build_funnel": SQL_CORPUS_BUILD_FUNNEL,
     "keep_capped_copies": SQL_KEEP_CAPPED_COPIES,

@@ -18,6 +18,73 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def word_minhash_bands(docs_with_t: DataFrame, cfg, n: int = 3) -> DataFrame:
+    """(doc_id, t) -> (doc_id, mh_bands array<long>) MinHash band
+    signatures over the word-n-gram shingle set.
+
+    The word-gram analog of the transcript char-gram path in
+    functions/udfs.py: grams are hashed JVM-side (`xxhash64` — the
+    heavy string work never reaches Python), collected per doc, and
+    the MinHash + band mixing runs in ONE Arrow-vectorized
+    mapInPandas over the same cache-resident group kernels as
+    batch_transcript_features (functions/text.py).  Docs with no
+    n-gram (fewer than n words) emit no row — they can never share a
+    shingle, so downstream posting joins lose nothing.
+
+    Shared by the self-join dedup query (minhash_lsh_pairs) and the
+    asymmetric fuzzy-decontamination probe
+    (operators.decontaminate.fuzzy_contamination_hits)."""
+    import pandas as pd  # noqa: F401 (Arrow UDF dependency)
+
+    from file_dedup_rust_spark.functions import hashing
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    sh = word_ngrams(docs_with_t, n)
+    hashed = sh.select("doc_id", F.xxhash64("g").alias("h"))
+    grouped = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+
+    def to_bands(batches):
+        import numpy as np
+        import pandas as pd
+
+        from file_dedup_rust_spark.functions import text as TX
+
+        a, b = hashing.minhash_params(cfg.minhash_seed, cfg.num_perm)
+        # same cache-resident group driver as batch_transcript_features:
+        # the padded-gather rectangle is n_docs x max(shingle_count), so
+        # grouping by a byte budget keeps one long document from
+        # inflating the whole batch's rectangle (ADVICE r2)
+        budget = TX._GROUP_BYTES // 8  # uint64 shingle hashes per group
+        for pdf in batches:
+            arrs = [
+                np.asarray(h, dtype=np.int64).view(np.uint64)
+                for h in pdf["hs"]
+            ]
+            m = len(arrs)
+            sigs = np.full((m, cfg.num_perm), -1, dtype=np.int32)
+            lo = 0
+            while lo < m:
+                hi, acc = lo, 0
+                while hi < m and (acc == 0 or acc + len(arrs[hi]) <= budget):
+                    acc += len(arrs[hi])
+                    hi += 1
+                group = arrs[lo:hi]
+                n_sh = np.array([len(x) for x in group], dtype=np.int64)
+                G = np.concatenate(group)
+                bnd = np.cumsum(n_sh) - n_sh
+                sigs[lo:hi] = TX._minhash_gather(G, bnd, n_sh, a, b)
+                lo = hi
+            bands = TX._band_hashes_batch(sigs, cfg.lsh_bands, cfg.lsh_rows)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(),
+                 "mh_bands": list(bands)}
+            )
+
+    return grouped.mapInPandas(
+        to_bands, schema="doc_id long, mh_bands array<long>"
+    )
+
+
 def explode_keys(signatures: DataFrame, key_col: str) -> DataFrame:
     """signatures -> (key, clip_id) posting rows for one banded column
     (mh_bands / sim_keys / fps)."""

@@ -91,6 +91,94 @@ def contamination_hits(
     )
 
 
+def fuzzy_contamination_hits(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    cfg,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Paraphrase-robust decontamination: flag train docs whose
+    word-n-gram Jaccard against ANY eval doc reaches `threshold`.
+
+    Exact-gram decontamination (contamination_hits) misses eval
+    leakage that was lightly edited — words dropped or substituted
+    break every long n-gram window they touch while the document
+    remains ≥80% the same text.  This operator runs the engine's
+    near-dup machinery ASYMMETRICALLY against the eval set:
+
+      1. MinHash band signatures for both sides over word-n-gram
+         shingles (operators.candidates.word_minhash_bands — the
+         same kernels as the self-join dedup path);
+      2. candidate (train_doc, eval_doc) pairs via a band-key
+         posting join with the EVAL side broadcast — the corpus
+         streams through one BroadcastHashJoin, exactly the
+         contamination_hits plan shape, and is never shuffled on
+         the band key;
+      3. exact shingle-set Jaccard verification on candidates ONLY,
+         with the train shingle derivation re-run just for the
+         bounded candidate-doc set (the full-corpus shingles feed
+         only the signature step, which reduces them to fixed-width
+         bands before anything is collected).
+
+    Returns one row per contaminated train doc:
+    (doc_id, n_eval_matches, max_jac).  Clean docs emit nothing.
+
+    At threshold 0.8 with the engine's 32x4 band config the LSH miss
+    probability per true pair is < 5e-8 ((1 - 0.8^4)^32), so an
+    exact-Jaccard oracle checks this hash-green given a corpus whose
+    pair-similarity distribution keeps a margin around the threshold.
+
+    Scale note: a band key shared by many eval docs multiplies the
+    matching corpus rows through the join; the eval set is assumed
+    small (the broadcast premise), and candidates are de-duplicated
+    per (train, eval) pair before any verification work."""
+    from file_dedup_rust_spark.operators.candidates import word_minhash_bands
+
+    tband = word_minhash_bands(train, cfg, n)
+    eband = word_minhash_bands(eval_docs, cfg, n)
+    tpost = tband.select(F.explode("mh_bands").alias("key"), "doc_id")
+    epost = eband.select(
+        F.explode("mh_bands").alias("key"), F.col("doc_id").alias("eval_id")
+    )
+    cand = tpost.join(F.broadcast(epost), "key").select(
+        "doc_id", "eval_id"
+    ).distinct()
+    # the candidate set is bounded (true near-dups + band collisions)
+    # but referenced three times below — materialize it once so the
+    # signature mapInPandas stage doesn't recompute per reference
+    cand = cand.localCheckpoint(eager=True)
+
+    # exact verification on the bounded candidate set only
+    cand_ids = cand.select("doc_id").distinct()
+    tsh = word_ngrams(train.join(F.broadcast(cand_ids), "doc_id"), n)
+    esh = word_ngrams(eval_docs, n).withColumnRenamed("doc_id", "eval_id")
+    tsz = tsh.groupBy("doc_id").agg(F.count("*").alias("na"))
+    esz = esh.groupBy("eval_id").agg(F.count("*").alias("nb"))
+    inter = (
+        tsh.join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(esh), ["eval_id", "g"])
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        inter.join(tsz, "doc_id")
+        .join(F.broadcast(esz), "eval_id")
+        .select(
+            "doc_id",
+            "eval_id",
+            F.round(
+                F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").alias("n_eval_matches"),
+        F.max("jac").alias("max_jac"),
+    )
+
+
 def decontaminated(train: DataFrame, eval_docs: DataFrame, n: int = 8) -> DataFrame:
     """The clean corpus: train rows minus contamination_hits (left
     anti on doc_id — the hits side is bounded, so this broadcasts)."""

@@ -1,0 +1,97 @@
+"""Fuzzy (paraphrase-robust) decontamination semantics.
+
+The oracle-checked driver query (fuzzy_decontam_hits) pins the
+numbers; these tests pin the SEMANTIC claim that motivates the
+operator — an edited eval leak that exact long-gram decontamination
+cannot see is still caught by the MinHash near-dup probe — plus the
+plan shape (no cartesian / nested-loop pair enumeration).
+"""
+
+from __future__ import annotations
+
+from file_dedup_rust_spark.config import DedupConfig
+from file_dedup_rust_spark.operators.decontaminate import (
+    contamination_hits,
+    fuzzy_contamination_hits,
+)
+
+# 42 distinct words — long enough for 8-gram windows and stable
+# word-3-gram statistics
+_EVAL_TEXT = " ".join(f"w{i:02d}" for i in range(42))
+
+
+def _edited_every(text: str, k: int) -> str:
+    """Substitute every k-th word (1-based) — breaks every window of
+    length >= k while most short grams survive."""
+    w = text.split()
+    return " ".join(
+        f"sub{i}" if (i + 1) % k == 0 else x for i, x in enumerate(w)
+    )
+
+
+def test_fuzzy_catches_edit_exact_misses(spark):
+    """Substituting every 7th word leaves no shared 8-gram (max kept
+    run = 6) so exact decontamination reports NOTHING — but ~57% of
+    word-3-grams survive, so the fuzzy probe flags the leak."""
+    ev = spark.createDataFrame([(1, _EVAL_TEXT)], "doc_id long, t string")
+    train = spark.createDataFrame(
+        [
+            (100, _edited_every(_EVAL_TEXT, 7)),  # the edited leak
+            (101, " ".join(f"zz{i}" for i in range(40))),  # unrelated
+        ],
+        "doc_id long, t string",
+    )
+
+    exact = contamination_hits(train, ev, n=8).collect()
+    assert exact == [], f"exact decontam should miss the edit: {exact}"
+
+    hits = fuzzy_contamination_hits(
+        train, ev, DedupConfig(), threshold=0.35, n=3
+    ).collect()
+    assert [r["doc_id"] for r in hits] == [100]
+    assert hits[0]["n_eval_matches"] == 1
+    assert 0.35 <= hits[0]["max_jac"] < 0.75
+
+
+def test_fuzzy_verbatim_leak_scores_one(spark):
+    ev = spark.createDataFrame([(1, _EVAL_TEXT)], "doc_id long, t string")
+    train = spark.createDataFrame(
+        [(200, _EVAL_TEXT)], "doc_id long, t string"
+    )
+    hits = fuzzy_contamination_hits(
+        train, ev, DedupConfig(), threshold=0.8, n=3
+    ).collect()
+    assert len(hits) == 1
+    assert hits[0]["max_jac"] == 1.0
+
+
+def test_fuzzy_clean_corpus_empty(spark):
+    ev = spark.createDataFrame([(1, _EVAL_TEXT)], "doc_id long, t string")
+    train = spark.createDataFrame(
+        [(300, " ".join(f"qq{i}" for i in range(50)))],
+        "doc_id long, t string",
+    )
+    assert (
+        fuzzy_contamination_hits(train, ev, DedupConfig(), 0.35, 3).count()
+        == 0
+    )
+
+
+def test_fuzzy_plan_no_cartesian(spark):
+    """Candidate generation is a band-key equi-join with the eval side
+    broadcast; verification joins are bounded equi-joins — the plan
+    must never fall back to pair enumeration."""
+    ev = spark.createDataFrame([(1, _EVAL_TEXT)], "doc_id long, t string")
+    train = spark.createDataFrame(
+        [(100, _edited_every(_EVAL_TEXT, 7))], "doc_id long, t string"
+    )
+    import contextlib
+    import io
+
+    df = fuzzy_contamination_hits(train, ev, DedupConfig(), 0.35, 3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text

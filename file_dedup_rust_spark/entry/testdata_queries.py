@@ -2973,6 +2973,46 @@ FROM scan
 """
 
 
+SHARD_TOKENS = 4096  # target tokens per output shard
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output-shard manifest (operators.packing
+    .shard_manifest): corpus laid out in doc_id order, cut into
+    ~4096-token shards by start offset — the step between corpus
+    selection and the distributed shard writer.  Plan: the two-pass
+    distributed prefix sum + one bounded groupBy on shard_id."""
+    from file_dedup_rust_spark.operators.packing import shard_manifest
+
+    d = docs_corpus(spark, sf_dir).select(
+        "doc_id", F.size(F.split("t", " ")).alias("n_tok")
+    )
+    return shard_manifest(d, "doc_id", "n_tok", SHARD_TOKENS)
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(coalesce(text, '')), ' ')) AS INT)
+           AS n_tok
+  FROM documents
+), scan AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM tok
+)
+SELECT CAST(tok_offset // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_id,
+       max(doc_id) AS last_id
+FROM scan
+GROUP BY 1
+"""
+
+
 BLOCK_DEDUP_L = 8  # words per disjoint dedup block (operators.dup_spans)
 
 
@@ -3816,6 +3856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "redacted_dup_groups": q_redacted_dup_groups,
     "pack_chunks": q_pack_chunks,
+    "shard_manifest": q_shard_manifest,
     "block_dedup": q_block_dedup,
     "token_budget_select": q_token_budget_select,
     "cluster_best_rep": q_cluster_best_rep,
@@ -3888,6 +3929,7 @@ ORACLES: dict[str, str] = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "redacted_dup_groups": SQL_REDACTED_DUP_GROUPS,
     "pack_chunks": SQL_PACK_CHUNKS,
+    "shard_manifest": SQL_SHARD_MANIFEST,
     "block_dedup": SQL_BLOCK_DEDUP,
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
     "cluster_best_rep": SQL_CLUSTER_BEST_REP,

@@ -164,6 +164,42 @@ def bucketed_batches(
     )
 
 
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    shard_tokens: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """WebDataset-style output sharding: lay the corpus out in
+    deterministic `id_col` order and cut it into ~`shard_tokens`-token
+    shards — each row lands in the shard where its token span STARTS
+    (shard_id = tok_offset div shard_tokens, the greedy writer rule),
+    so every row belongs to exactly one shard and shards are
+    contiguous id ranges.
+
+    Returns the per-shard manifest a distributed shard writer needs
+    to run embarrassingly parallel afterwards (each writer task reads
+    `[first_id, last_id]` and streams one shard file):
+    (shard_id, n_docs, n_tokens, first_id, last_id).
+
+    Scale shape: the global layout is the two-pass distributed prefix
+    sum (no single-partition window); the manifest aggregation
+    shuffles one row per input row keyed by shard_id, output bounded
+    by total_tokens / shard_tokens.  A shard overshoots its target by
+    at most one document, matching greedy shard writers."""
+    p = exclusive_prefix_sum(df, id_col, weight_col, n_buckets=n_buckets)
+    s = p.withColumn(
+        "shard_id", F.expr(f"_prefix div {int(shard_tokens)}")
+    )
+    return s.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col(weight_col).cast("long")).alias("n_tokens"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+    )
+
+
 def pack_blocks(
     df: DataFrame,
     id_col: str,

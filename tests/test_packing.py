@@ -183,3 +183,53 @@ def test_bucketed_batches_no_single_partition(spark):
         df, "doc_id", "n_tok", 16, 8
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_shard_manifest_invariants(spark):
+    """Shards are contiguous id ranges, conserve docs/tokens, start at
+    multiples of the target (greedy start-offset rule), and overshoot
+    the target by less than one document."""
+    from file_dedup_rust_spark.operators.packing import shard_manifest
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(9000)[:1500].tolist()
+    weights = rng.integers(1, 300, size=1500).tolist()
+    target = 2048
+    df = spark.createDataFrame(
+        list(zip(ids, weights)), "doc_id long, n_tok int"
+    ).repartition(5)
+    rows = sorted(
+        shard_manifest(df, "doc_id", "n_tok", target).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    total = sum(weights)
+    w_max = max(weights)
+    assert sum(r["n_docs"] for r in rows) == len(ids)
+    assert sum(r["n_tokens"] for r in rows) == total
+
+    # contiguous, disjoint id ranges in shard order
+    prev_last = -1
+    for r in rows:
+        assert r["first_id"] > prev_last
+        assert r["first_id"] <= r["last_id"]
+        prev_last = r["last_id"]
+
+    # greedy start-offset rule: shard s covers offsets [s*t, ...) and
+    # its token mass overshoots the target by < max doc weight
+    off = 0
+    for r in rows:
+        assert off // target == r["shard_id"]
+        assert r["n_tokens"] < target + w_max
+        off += r["n_tokens"]
+
+    # matches a local greedy replay exactly
+    order = np.argsort(ids)
+    run, local = 0, {}
+    for i in order:
+        sid = run // target
+        local.setdefault(sid, [0, 0])
+        local[sid][0] += 1
+        local[sid][1] += weights[i]
+        run += weights[i]
+    got = {r["shard_id"]: [r["n_docs"], r["n_tokens"]] for r in rows}
+    assert got == local

@@ -2638,6 +2638,99 @@ GROUP BY doc_id
 """
 
 
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean NLL under an interpolated BIGRAM model trained on
+    the corpus itself — the next step up the CCNet quality ladder
+    from unigram_nll (real KenLM filtering uses 5-gram Kneser-Ney;
+    Jelinek-Mercer interpolation against the unigram floor is the
+    textbook form that needs no discount estimation):
+
+        p(w_i | w_{i-1}) = L * c(w_{i-1} w_i)/c(w_{i-1})
+                         + (1-L) * c(w_i)/T
+
+    Plan shape: bigram rows are built with one JVM transform/sequence
+    window (never crossing docs), then every join key is an 8-byte
+    xxhash64 (prev word, cur word, bigram) — three hash equi-joins of
+    the bigram relation against the two censuses, no strings through
+    any exchange, corpus total broadcast as a 1-row literal.  Linear
+    in corpus tokens; vocabulary and bigram censuses are map-side
+    partially aggregated."""
+    w = docs_corpus(spark, sf_dir).select(
+        "doc_id", F.split("t", " ").alias("w")
+    )
+    toks = w.select("doc_id", F.explode("w").alias("wd")).select(
+        "doc_id", F.xxhash64("wd").alias("wh")
+    )
+    uni = toks.groupBy("wh").agg(F.count("*").alias("cu"))
+    total = uni.agg(F.sum("cu").alias("t"))
+    bg = (
+        w.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(w)),"
+                    " i -> struct(w[i-2] as p, w[i-1] as cur))"
+                )
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64("b.p").alias("ph"),
+            F.xxhash64("b.cur").alias("ch"),
+            F.xxhash64(F.concat_ws(" ", "b.p", "b.cur")).alias("bh"),
+        )
+    )
+    bgc = bg.groupBy("bh").agg(F.count("*").alias("cb"))
+    up = uni.select(F.col("wh").alias("ph"), F.col("cu").alias("cp"))
+    uc = uni.select(F.col("wh").alias("ch"), F.col("cu").alias("cc"))
+    L = BIGRAM_LAMBDA
+    p_interp = (
+        F.lit(L) * F.col("cb") / F.col("cp")
+        + F.lit(1 - L) * F.col("cc") / F.col("t")
+    )
+    return (
+        bg.join(bgc, "bh")
+        .join(up, "ph")
+        .join(uc, "ch")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_interp)), 4).alias("bigram_nll"),
+        )
+    )
+
+
+SQL_BIGRAM_NLL = f"""
+WITH corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+wd AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+toks AS (SELECT doc_id, u.x AS wd FROM wd, unnest(w) AS u(x)),
+uni AS (SELECT wd, count(*) AS cu FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM toks),
+bg AS (
+  SELECT doc_id, w[i-1] AS p, w[i] AS cur
+  FROM wd, unnest(generate_series(2, len(w))) AS g(i)
+),
+bgc AS (SELECT p, cur, count(*) AS cb FROM bg GROUP BY 1, 2)
+SELECT bg.doc_id,
+       CAST(count(*) AS INT) AS n_bigrams,
+       round(avg(-ln({BIGRAM_LAMBDA} * cb / up.cu
+                     + {1 - BIGRAM_LAMBDA} * uc.cu / (SELECT t FROM tot))), 4)
+         AS bigram_nll
+FROM bg
+JOIN bgc ON bgc.p = bg.p AND bgc.cur = bg.cur
+JOIN uni up ON up.wd = bg.p
+JOIN uni uc ON uc.wd = bg.cur
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (emails + phone numbers) — the standard pre-training
 # scrub (e.g. the C4 / Dolma pipelines).  Patterns are restricted to
@@ -3851,6 +3944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_flags": q_repetition_flags,
     "dup_span_stats": q_dup_span_stats,
     "unigram_nll": q_unigram_nll,
+    "bigram_nll": q_bigram_nll,
     "pii_redaction": q_pii_redaction,
     "bpe_token_counts": q_bpe_token_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3924,6 +4018,7 @@ ORACLES: dict[str, str] = {
     "repetition_flags": SQL_REPETITION_FLAGS,
     "dup_span_stats": SQL_DUP_SPAN_STATS,
     "unigram_nll": SQL_UNIGRAM_NLL,
+    "bigram_nll": SQL_BIGRAM_NLL,
     "pii_redaction": SQL_PII_REDACTION,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

@@ -1907,6 +1907,70 @@ FROM rest r LEFT JOIN best b ON b.nid = r.doc_id
 
 
 # ---------------------------------------------------------------------------
+# snapshot delta (operators.delta): the Iceberg-style diff between two
+# corpus snapshots — what drives the incremental path instead of a
+# full nightly re-run.  Snapshot A = documents as-is; snapshot B
+# deterministically deletes every 11th doc (residue 5), rewrites the
+# text of every 13th (residue 3, ' rev2' appended), and adds copies
+# of every 9th (id + 6e6).  Unchanged rows must emit NOTHING — the
+# output is bounded by churn.
+# ---------------------------------------------------------------------------
+
+DELTA_DEL_MOD, DELTA_DEL_RES = 11, 5
+DELTA_CHG_MOD, DELTA_CHG_RES = 13, 3
+DELTA_ADD_MOD = 9
+DELTA_ADD_OFFSET = 6_000_000
+
+
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, status) for every row differing between snapshots.
+
+    Plan shape: md5 fingerprints are computed per side BEFORE the one
+    full-outer hash join on doc_id, so only (id, 32-char) rows cross
+    the exchange — never the documents."""
+    from file_dedup_rust_spark.operators.delta import snapshot_delta
+
+    a = docs_corpus(spark, sf_dir)
+    survivors = a.filter(
+        (F.col("doc_id") % DELTA_DEL_MOD) != DELTA_DEL_RES
+    ).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % DELTA_CHG_MOD) == DELTA_CHG_RES,
+            F.concat("t", F.lit(" rev2")),
+        ).otherwise(F.col("t")).alias("t"),
+    )
+    added = a.filter((F.col("doc_id") % DELTA_ADD_MOD) == 0).select(
+        (F.col("doc_id") + DELTA_ADD_OFFSET).alias("doc_id"), "t"
+    )
+    b = survivors.unionByName(added)
+    return snapshot_delta(a, b, "doc_id", "t")
+
+
+SQL_CORPUS_DELTA = f"""
+WITH a AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DELTA_CHG_MOD} = {DELTA_CHG_RES}
+              THEN t || ' rev2' ELSE t END AS t
+  FROM a WHERE doc_id % {DELTA_DEL_MOD} != {DELTA_DEL_RES}
+  UNION ALL
+  SELECT doc_id + {DELTA_ADD_OFFSET}, t
+  FROM a WHERE doc_id % {DELTA_ADD_MOD} = 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN md5(a.t) != md5(b.t) THEN 'changed'
+       END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE (a.doc_id IS NULL OR b.doc_id IS NULL OR md5(a.t) != md5(b.t))
+"""
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (operators.decontaminate): flag train docs
 # sharing any word-8-gram with a deterministic eval split.  Eval set =
 # every 13th doc; contamination planted by re-packaging an eval doc's
@@ -3934,6 +3998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_cosine_neardup_pairs": q_lsh_cosine_neardup_pairs,
     "semdedup_prune": q_semdedup_prune,
     "dedup_new_vs_corpus": q_dedup_new_vs_corpus,
+    "corpus_delta": q_corpus_delta,
     "decontam_hits": q_decontam_hits,
     "fuzzy_decontam_hits": q_fuzzy_decontam_hits,
     "stratified_sample": q_stratified_sample,
@@ -4002,6 +4067,7 @@ ORACLES: dict[str, str] = {
     "lsh_cosine_neardup_pairs": SQL_LSH_COSINE_NEARDUP_PAIRS,
     "semdedup_prune": SQL_SEMDEDUP_PRUNE,
     "dedup_new_vs_corpus": SQL_DEDUP_NEW_VS_CORPUS,
+    "corpus_delta": SQL_CORPUS_DELTA,
     "decontam_hits": SQL_DECONTAM_HITS,
     "fuzzy_decontam_hits": SQL_FUZZY_DECONTAM_HITS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -212,6 +212,142 @@ def audio_containment_edges(
     )
 
 
+def audio_decontam_hits(
+    corpus_frames: DataFrame,
+    corpus_pcm: DataFrame,
+    eval_frames: DataFrame,
+    eval_pcm: DataFrame,
+    min_coverage: float | None = None,
+    max_df: int | None = None,
+    min_matches: int | None = None,
+    post_cap: int | None = None,
+    cfg: DedupConfig | None = None,
+) -> DataFrame:
+    """AUDIO benchmark decontamination: flag corpus clips whose audio
+    matches or overlaps an evaluation clip — training on a benchmark's
+    recordings (verbatim, container-flipped, or excerpted into/out of
+    a longer file) corrupts the eval exactly like text contamination,
+    and the transcript-side decontaminate operator cannot see it when
+    the transcripts differ.
+
+    Inputs are the engine's standard per-clip artifacts so a pipeline
+    reuses its one decode pass (compute_signatures with_frames=True
+    yields both): `*_frames` = (clip_id, idx, fhash[, decode_ok])
+    frame subfingerprints, `*_pcm` = (clip_id, pcm_sha).
+
+    Tiers, mirroring the text operator's exact/fuzzy split:
+      * `exact_audio` — codec-invariant decoded-PCM hash equality
+        (catches verbatim and container-flipped copies);
+      * `eval_in_clip` / `clip_in_eval` — Haitsma-Kalker frame
+        posting join with offset-consistency vote (catches excerpts
+        in either direction); a pair already exact-matched is not
+        re-reported here.
+
+    Scale shape: the eval side is tiny by assumption and BROADCAST —
+    the corpus frame table streams through one BroadcastHashJoin on
+    fhash and is never shuffled on it (same plan as the text
+    decontam).  Stop hashes are removed by the corpus-side df/posting
+    caps BEFORE the join (counted via dropped_stop_hashes); eval
+    frames carrying a corpus-dropped hash leave the coverage
+    denominator (capped frames can never vote — the batch tier's
+    rule), while eval hashes simply ABSENT from the corpus still
+    count as real misses.
+
+    Returns (clip_id, eval_id, kind, sim, frame_offset); clean clips
+    emit nothing."""
+    c = cfg if cfg is not None else _DEFAULTS
+    min_coverage = c.ac_min_coverage if min_coverage is None else min_coverage
+    max_df = c.ac_max_df if max_df is None else max_df
+    min_matches = c.ac_min_matches if min_matches is None else min_matches
+    post_cap = c.ac_post_cap if post_cap is None else post_cap
+
+    exact = (
+        corpus_pcm.filter(F.col("pcm_sha") != "")
+        .join(
+            F.broadcast(
+                eval_pcm.filter(F.col("pcm_sha") != "").select(
+                    "pcm_sha", F.col("clip_id").alias("eval_id")
+                )
+            ),
+            "pcm_sha",
+        )
+        .select(
+            "clip_id",
+            "eval_id",
+            F.lit("exact_audio").alias("kind"),
+            F.lit(1.0).alias("sim"),
+            F.lit(0).cast("long").alias("frame_offset"),
+        )
+    )
+
+    if "decode_ok" in corpus_frames.columns:
+        corpus_frames = corpus_frames.filter(F.col("decode_ok")).drop(
+            "decode_ok"
+        )
+    if "decode_ok" in eval_frames.columns:
+        eval_frames = eval_frames.filter(F.col("decode_ok")).drop(
+            "decode_ok"
+        )
+    census = corpus_frames.groupBy("fhash").agg(
+        F.count_distinct("clip_id").alias("dfc"),
+        F.count("*").alias("n_post"),
+    )
+    hot = census.filter(
+        (F.col("dfc") > max_df) | (F.col("n_post") > post_cap)
+    ).select("fhash")
+    live = corpus_frames.join(F.broadcast(hot), "fhash", "left_anti")
+    # eval side: corpus stop hashes leave the denominator; an
+    # eval-internal loop (one hash repeated past the posting cap)
+    # is capped the same way
+    ev_census = eval_frames.groupBy("fhash").agg(F.count("*").alias("n"))
+    ev_hot = ev_census.filter(F.col("n") > post_cap).select("fhash")
+    ev_live = (
+        eval_frames.join(F.broadcast(hot), "fhash", "left_anti")
+        .join(F.broadcast(ev_hot), "fhash", "left_anti")
+        .select(
+            F.col("clip_id").alias("eval_id"),
+            F.col("idx").alias("ei"),
+            "fhash",
+        )
+    )
+
+    nc = live.groupBy("clip_id").agg(F.count("*").alias("nc"))
+    ne = ev_live.groupBy("eval_id").agg(F.count("*").alias("ne"))
+    votes = (
+        live.join(F.broadcast(ev_live), "fhash")
+        .groupBy(
+            "clip_id", "eval_id", (F.col("idx") - F.col("ei")).alias("off")
+        )
+        .agg(F.count("*").alias("m"))
+        .groupBy("clip_id", "eval_id")
+        .agg(F.max(F.struct(F.col("m"), F.col("off"))).alias("s"))
+        .select(
+            "clip_id", "eval_id",
+            F.col("s.m").alias("best"), F.col("s.off").alias("off"),
+        )
+    )
+    overlap = (
+        votes.join(nc, "clip_id")
+        .join(F.broadcast(ne), "eval_id")
+        .withColumn("short", F.least("nc", "ne"))
+        .filter(F.col("best") >= min_matches)
+        .filter(F.col("best") >= min_coverage * F.col("short"))
+        .select(
+            "clip_id",
+            "eval_id",
+            F.when(F.col("ne") <= F.col("nc"), F.lit("eval_in_clip"))
+            .otherwise(F.lit("clip_in_eval"))
+            .alias("kind"),
+            F.round(F.col("best") / F.col("short"), 4).alias("sim"),
+            F.col("off").cast("long").alias("frame_offset"),
+        )
+        # exact pairs are reported once, by the stronger tier
+        .join(exact.select("clip_id", "eval_id"), ["clip_id", "eval_id"],
+              "left_anti")
+    )
+    return exact.unionByName(overlap)
+
+
 def dropped_stop_hashes(
     frames: DataFrame,
     max_df: int | None = None,

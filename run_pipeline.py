@@ -55,6 +55,19 @@ def main() -> int:
     p.add_argument("--ac-post-cap", type=int, default=None,
                    help="containment: drop hashes with more posting "
                         "rows than this")
+    p.add_argument("--decontam-clips", default=None, metavar="PATH",
+                   help="audio benchmark decontamination: parquet of "
+                        "eval clips (clip_id, bytes, sr_hz, codec[, "
+                        "transcript]); corpus clips whose AUDIO "
+                        "matches or overlaps an eval clip (codec-"
+                        "invariant exact hash, or sub-clip frame "
+                        "vote in either direction) are counted in "
+                        "the summary and written to "
+                        "<output>/audio_decontam when --output is "
+                        "set; with --audio-containment the corpus "
+                        "frames come from the signature checkpoint "
+                        "(no second decode), otherwise one extra "
+                        "frame pass runs over the corpus bytes")
     p.add_argument("--holdout-pm", type=int, default=None, metavar="PM",
                    help="emit a leakage-safe train/held-out split "
                         "column on the assignments output: PM per "
@@ -132,6 +145,47 @@ def main() -> int:
             .agg(F.count("*").alias("n"))
             .collect()
         }
+    decontam_summary = None
+    if args.decontam_clips:
+        from pyspark.sql import functions as F
+
+        from file_dedup_rust_spark.functions.udfs import compute_signatures
+        from file_dedup_rust_spark.operators.audio_containment import (
+            audio_decontam_hits,
+            clip_frames,
+            frames_from_signatures,
+        )
+
+        if "frame_fps" in res.signatures.columns:
+            co_frames = frames_from_signatures(res.signatures)
+        else:
+            co_frames = clip_frames(clips, cfg)
+        co_pcm = res.signatures.select("clip_id", "pcm_sha")
+        ev_sigs = compute_signatures(
+            spark.read.parquet(args.decontam_clips), cfg, with_frames=True
+        ).persist()
+        hits = audio_decontam_hits(
+            co_frames,
+            co_pcm,
+            frames_from_signatures(ev_sigs),
+            ev_sigs.select("clip_id", "pcm_sha"),
+            cfg=cfg,
+        ).persist()
+        decontam_summary = {
+            "flagged_clips": hits.select("clip_id").distinct().count(),
+            "by_kind": {
+                r["kind"]: r["n"]
+                for r in hits.groupBy("kind")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            },
+        }
+        if args.output:
+            hits.write.mode("overwrite").parquet(
+                f"{args.output}/audio_decontam"
+            )
+        hits.unpersist()
+        ev_sigs.unpersist()
     if args.output:
         assignments.write.mode("overwrite").parquet(f"{args.output}/assignments")
         res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
@@ -150,6 +204,8 @@ def main() -> int:
     }
     if split_counts is not None:
         summary["split"] = split_counts
+    if decontam_summary is not None:
+        summary["audio_decontam"] = decontam_summary
     if cfg.seg_win_s:
         # the signatures stage rows ARE the segment count (incl.
         # quarantine rows) — no extra decode pass just for the summary

@@ -186,8 +186,17 @@ class DedupConfig:
 
     def fingerprint(self) -> str:
         """Stable hash of the config — stored in checkpoint manifests so a
-        resumed run refuses to reuse checkpoints built under another config."""
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        resumed run refuses to reuse checkpoints built under another config.
+
+        The signature-stage OUTPUT SCHEMA is folded in alongside the
+        config values (ADVICE r4): when an engine upgrade adds a column
+        (e.g. pcm_sha in round 4), a pre-upgrade checkpoint directory
+        must invalidate — otherwise the committed 'signatures' stage
+        resumes and a later stage crashes on the missing column."""
+        from file_dedup_rust_spark.functions.udfs import SIGNATURE_SCHEMA
+
+        payload = {"cfg": asdict(self), "sig_schema": SIGNATURE_SCHEMA}
+        blob = json.dumps(payload, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
 

@@ -3695,6 +3695,82 @@ FROM g2 WHERE n_variants >= 2
 """
 
 
+def q_consensus_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medoid consensus repair (operators.conflicts.medoid_repair):
+    when the SAME recording carries several transcripts and NO variant
+    has a majority, pick the one minimizing the multiplicity-weighted
+    sum of edit distances to the others (ROVER-style voting reduced to
+    whole-string distance) — majority vote (`conflict_repair`) would
+    fall straight to its arbitrary-smallest tie-break here.
+
+    Derived corpus: every 5th doc forms a 3-variant group {t,
+    'x'+t[1:], t+' zz'} where the ORIGINAL is provably central
+    (costs 4 / 5 / 7), and every 10th doc adds two more copies of the
+    second variant so multiplicity flips the medoid to it (costs
+    6 / 5 / 15) — both repair regimes exercised, deterministic on
+    both engines.  The pairwise stage joins (key, variant, count)
+    contractions, never raw rows, and `lev` runs JVM-side."""
+    from file_dedup_rust_spark.operators.conflicts import medoid_repair
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t")
+    )
+    g5 = d.filter(F.col("doc_id") % 5 == 0)
+    v1 = F.concat(F.lit("x"), F.expr("substr(t, 2)")).alias("v")
+    rows = (
+        g5.select(F.col("doc_id").alias("gid"), F.col("t").alias("v"))
+        .unionByName(g5.select(F.col("doc_id").alias("gid"), v1))
+        .unionByName(
+            g5.select(
+                F.col("doc_id").alias("gid"),
+                F.concat("t", F.lit(" zz")).alias("v"),
+            )
+        )
+    )
+    g10 = d.filter(F.col("doc_id") % 10 == 0)
+    dup = g10.select(F.col("doc_id").alias("gid"), v1)
+    rows = rows.unionByName(dup).unionByName(dup)
+    return medoid_repair(rows, "gid", "v").select(
+        "gid", "n_rows", "n_variants",
+        F.col("medoid_val").alias("consensus"),
+        F.col("medoid_cost").alias("cost"),
+    )
+
+
+SQL_CONSENSUS_TRANSCRIPT = """
+WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+), rows_ AS (
+  SELECT doc_id AS gid, t AS v FROM d WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'x' || substr(t, 2) FROM d WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, t || ' zz' FROM d WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'x' || substr(t, 2) FROM d WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, 'x' || substr(t, 2) FROM d WHERE doc_id % 10 = 0
+), g1 AS (
+  SELECT gid, v, count(*) AS c FROM rows_ GROUP BY 1, 2
+), nv AS (
+  SELECT gid, CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_variants
+  FROM g1 GROUP BY 1
+), cost AS (
+  SELECT a.gid, a.v AS va,
+         CAST(sum(b.c * levenshtein(a.v, b.v)) AS BIGINT) AS cost
+  FROM g1 a JOIN g1 b ON b.gid = a.gid
+  GROUP BY 1, 2
+), best AS (
+  SELECT gid, min(ROW(cost, va)) AS m FROM cost GROUP BY 1
+)
+SELECT b.gid, n.n_rows, n.n_variants, b.m[2] AS consensus,
+       CAST(b.m[1] AS BIGINT) AS cost
+FROM best b JOIN nv n ON n.gid = b.gid
+WHERE n.n_variants >= 2
+"""
+
+
 EDIT_CAND_T = 0.2    # candidate floor: inside the measured (0.15, 0.85)
                      # word-3-gram Jaccard gap, so candidate sets are
                      # rounding-stable
@@ -4024,6 +4100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     "mixture_weights": q_mixture_weights,
     "conflict_repair": q_conflict_repair,
+    "consensus_transcript": q_consensus_transcript,
     "mixture_applied": q_mixture_applied,
     "edit_verified_pairs": q_edit_verified_pairs,
     "source_token_quota": q_source_token_quota,
@@ -4099,6 +4176,7 @@ ORACLES: dict[str, str] = {
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "conflict_repair": SQL_CONFLICT_REPAIR,
+    "consensus_transcript": SQL_CONSENSUS_TRANSCRIPT,
     "mixture_applied": SQL_MIXTURE_APPLIED,
     "edit_verified_pairs": SQL_EDIT_VERIFIED_PAIRS,
     "source_token_quota": SQL_SOURCE_TOKEN_QUOTA,

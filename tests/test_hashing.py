@@ -411,3 +411,84 @@ def test_value_conflicts_property_vs_python(spark):
         assert got == want
 
     run()
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_medoid_repair_property_vs_python(spark):
+    """Property test: medoid_repair matches a plain-Python
+    multiplicity-weighted medoid on arbitrary tiny-domain multisets —
+    ties on cost fall to the smallest value, unanimous and singleton
+    keys never appear."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from file_dedup_rust_spark.operators.conflicts import medoid_repair
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.sampled_from(["", "a", "b", "ab", "ba", "abc"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(rows_strategy)
+    def run(rows):
+        df = spark.createDataFrame(
+            [(k, v) for k, v in rows], "h long, v string"
+        )
+        got = {
+            r["h"]: (r["n_rows"], r["n_variants"], r["medoid_val"],
+                     r["medoid_cost"])
+            for r in medoid_repair(df, "h", "v").collect()
+        }
+        want = {}
+        by_key: dict[int, Counter] = {}
+        for k, v in rows:
+            by_key.setdefault(k, Counter())[v] += 1
+        for k, cnt in by_key.items():
+            if len(cnt) < 2:
+                continue
+            costs = {
+                v: sum(c * _lev(v, w) for w, c in cnt.items())
+                for v in cnt
+            }
+            med = min(costs, key=lambda v: (costs[v], v))
+            want[k] = (sum(cnt.values()), len(cnt), med, costs[med])
+        assert got == want
+
+    run()
+
+
+def test_medoid_repair_variant_cap_counted_not_silent(spark):
+    """A hot key with more variants than variant_cap is EXCLUDED from
+    the pairwise stage (its cost would be quadratic) and surfaced by
+    oversize_groups — the capped+counted convention."""
+    from file_dedup_rust_spark.operators.conflicts import (
+        medoid_repair,
+        oversize_groups,
+    )
+
+    rows = [(1, f"v{i:03d}") for i in range(20)]          # hot: 20 variants
+    rows += [(2, "aa"), (2, "ab"), (2, "aa")]             # normal group
+    df = spark.createDataFrame(rows, "h long, v string")
+    out = medoid_repair(df, "h", "v", variant_cap=8).collect()
+    assert [r["h"] for r in out] == [2]
+    assert out[0]["medoid_val"] == "aa"
+    over = oversize_groups(df, "h", "v", variant_cap=8).collect()
+    assert len(over) == 1 and over[0]["h"] == 1
+    assert over[0]["n_variants"] == 20 and over[0]["n_rows"] == 20

@@ -1613,6 +1613,69 @@ def q_ann_ivf_pq_topk_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(e, top_k=TOP_K)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.ann.hard_negative_topk) on the
+    planted clustered corpus: each vector's top-10 most similar
+    NON-siblings — the contrastive-training companion of dedup, where
+    near-dup siblings are exactly the "false negatives" in-batch
+    sampling must not serve.  Positive sets here are the known 11-runs
+    (in production: the CC / keep-capped cluster table), so candidate
+    width 10 + 11 - 1 provably covers the true top-10 non-siblings and
+    exact brute-force SQL with the same exclusion is the oracle."""
+    from file_dedup_rust_spark.operators.ann import hard_negative_topk
+
+    e = ivf_corpus_planted(spark, sf_dir)
+    clusters = e.select(
+        "vec_id",
+        (F.col("vec_id") - F.col("vec_id") % IVF_CLUSTER).alias("cluster_id"),
+    )
+    return hard_negative_topk(
+        e, clusters, top_k=TOP_K, max_cluster=IVF_CLUSTER
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH lim AS (
+  SELECT {IVF_CLUSTER} * CAST(count(*) // {IVF_CLUSTER} AS BIGINT) AS v
+  FROM embeddings
+),
+elems AS (
+  SELECT c.vec_id, u.i,
+         CAST(a.embedding[u.i] AS DOUBLE)
+         + CAST(0.3 AS DOUBLE) * CAST(c.embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings c
+  JOIN embeddings a ON a.vec_id = c.vec_id - (c.vec_id % {IVF_CLUSTER}),
+       unnest(generate_series(1, len(c.embedding))) AS u(i)
+  WHERE c.vec_id < (SELECT v FROM lim)
+),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elems GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dot
+  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ia, ib, round(dot / (sa.n * sb.n), 4) AS sim
+  FROM dots JOIN nrm sa ON sa.vec_id = ia JOIN nrm sb ON sb.vec_id = ib
+),
+mirrored AS (
+  SELECT ia AS vec_id, ib AS neighbor_id, sim FROM pairs
+  UNION ALL
+  SELECT ib, ia, sim FROM pairs
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM mirrored
+  WHERE vec_id - (vec_id % {IVF_CLUSTER})
+        <> neighbor_id - (neighbor_id % {IVF_CLUSTER})
+)
+SELECT vec_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 SQL_ANN_IVF_TOPK = f"""
 WITH lim AS (
   SELECT {IVF_CLUSTER} * CAST(count(*) // {IVF_CLUSTER} AS BIGINT) AS v
@@ -4081,6 +4144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_build_funnel": q_corpus_build_funnel,
     "keep_capped_copies": q_keep_capped_copies,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "hard_negatives": q_hard_negatives,
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "repetition_flags": q_repetition_flags,
     "dup_span_stats": q_dup_span_stats,
@@ -4157,6 +4221,7 @@ ORACLES: dict[str, str] = {
     # minhash_lsh_pairs); the isotropic approximate regime stays
     # recall-gated in tests/test_ann_quality.py
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "ann_ivf_pq_topk": SQL_ANN_IVF_TOPK,
     "repetition_flags": SQL_REPETITION_FLAGS,
     "dup_span_stats": SQL_DUP_SPAN_STATS,

@@ -191,6 +191,61 @@ def knn_topk_blocked(
     )
 
 
+def hard_negative_topk(
+    e: DataFrame,
+    clusters: DataFrame,
+    top_k: int = 10,
+    max_cluster: int = 64,
+    knn: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's
+    `top_k` MOST similar vectors that are NOT in its positive cluster
+    (near-dup siblings make catastrophic negatives — they are
+    positives the label just doesn't know about, the standard
+    "false negative" failure of in-batch sampling).
+
+    clusters: (vec_id, cluster_id) — the positive sets (a near-dup /
+    CC cluster table; vectors absent from it are singletons and only
+    self-exclusion applies).
+
+    Exactness: candidates are the global top (top_k + max_cluster - 1)
+    by exact blocked kNN, so after dropping same-cluster rows at least
+    `top_k` survivors remain and they are exactly the true best
+    non-siblings — PROVIDED every cluster has <= max_cluster members.
+    Cap the cluster table first (keep_capped / rep contraction) or
+    raise max_cluster; the arithmetic is checked nowhere at runtime
+    because the candidate width is a plan constant.
+
+    Scale shape: one blocked-matmul kNN (or pass `knn=` to reuse an
+    already-materialized candidate table / swap in the IVF path at
+    petabyte scale — only its width contract matters), two broadcast-
+    size joins against the bounded cluster table, one window re-rank.
+    """
+    width = top_k + max_cluster - 1
+    cand = knn if knn is not None else knn_topk_blocked(e, top_k=width)
+    ca = clusters.select(
+        F.col("vec_id"), F.col("cluster_id").alias("ga")
+    )
+    cb = clusters.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cluster_id").alias("gb")
+    )
+    flt = (
+        cand.join(ca, "vec_id", "left")
+        .join(cb, "neighbor_id", "left")
+        .filter(
+            F.col("ga").isNull()
+            | F.col("gb").isNull()
+            | (F.col("ga") != F.col("gb"))
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        flt.select("vec_id", "neighbor_id", "sim")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF
 # ---------------------------------------------------------------------------

@@ -2656,6 +2656,39 @@ FROM wagg w JOIN bagg b USING (doc_id)
 # genuinely has.
 # ---------------------------------------------------------------------------
 
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc marginal-contribution score
+    (operators.dup_spans.novelty_scores): fraction of the doc's
+    distinct word-8-grams first seen IN this doc, with doc_id as
+    ingestion order — dedup's complement (value each doc by what it
+    adds instead of dropping the k-th copy).  On the planted corpus
+    every exact copy (id + offset > original) scores exactly 0 and
+    every clean base doc 1.0 unless it shares grams with an earlier
+    doc.  Two xxhash64-keyed shuffles, no strings through either."""
+    from file_dedup_rust_spark.operators.dup_spans import novelty_scores
+
+    return novelty_scores(corpus_exact(spark, sf_dir).select("doc_id", "t"))
+
+
+SQL_NOVELTY_SCORES = f"""
+WITH {SQL_CORPUS_EXACT},
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)
+),
+firstd AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_grams,
+       round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS novelty_frac
+FROM grams JOIN firstd USING (g)
+GROUP BY 1
+"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicated-span census (operators/dup_spans.py).
 
@@ -4148,6 +4181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "repetition_flags": q_repetition_flags,
     "dup_span_stats": q_dup_span_stats,
+    "novelty_scores": q_novelty_scores,
     "unigram_nll": q_unigram_nll,
     "bigram_nll": q_bigram_nll,
     "pii_redaction": q_pii_redaction,
@@ -4225,6 +4259,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_pq_topk": SQL_ANN_IVF_TOPK,
     "repetition_flags": SQL_REPETITION_FLAGS,
     "dup_span_stats": SQL_DUP_SPAN_STATS,
+    "novelty_scores": SQL_NOVELTY_SCORES,
     "unigram_nll": SQL_UNIGRAM_NLL,
     "bigram_nll": SQL_BIGRAM_NLL,
     "pii_redaction": SQL_PII_REDACTION,

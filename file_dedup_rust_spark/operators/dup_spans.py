@@ -237,3 +237,46 @@ def prune_boilerplate(
         F.col("is_boiler").isNull().alias("keep"),
     )
     return _reassemble(tagged, dropped_col="n_boiler")
+
+
+def novelty_scores(docs_with_t: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, t) -> (doc_id, n_grams, novel_grams, novelty_frac):
+    the fraction of a doc's DISTINCT word-n-grams whose first corpus
+    occurrence (min doc_id over docs containing the gram) is this doc.
+
+    This is the marginal-contribution score data-curation pipelines
+    rank by (a re-crawl of yesterday's page scores ~0, a genuinely new
+    page ~1) — dedup's complement: instead of dropping the k-th copy it
+    VALUES each doc by how much it adds to everything ingested before
+    it (doc_id = ingestion order).  Exact copies planted after their
+    original score exactly 0.
+
+    Scale shape: grams shuffle once as 8-byte xxhash64 keys for the
+    min-doc census (map-side combined), join back once, then one
+    per-doc agg — the same two-shuffle budget as dup_span_stats; no
+    Python, no window.  Docs with fewer than n words have no grams and
+    are omitted (mirrored in the oracle).
+    """
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    gh = word_ngrams(docs_with_t, n).select(
+        "doc_id", F.xxhash64("g").alias("gh")
+    )
+    first = gh.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        gh.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "novel_grams",
+            F.round(F.col("novel_grams") / F.col("n_grams"), 4).alias(
+                "novelty_frac"
+            ),
+        )
+    )

@@ -592,6 +592,77 @@ def build_ivf_index(
     return codebook, cells
 
 
+def load_ivf_codebook(io, name: str = "ivf") -> np.ndarray:
+    """Read the persisted `{name}_codebook` stage back as the bounded
+    (k, d) float64 ndarray every IVF entry point takes."""
+    rows = io.read(f"{name}_codebook").orderBy("cell").collect()
+    if not rows:
+        raise ValueError(f"empty or missing {name}_codebook")
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def append_ivf_index(
+    batch: DataFrame,
+    io,
+    batch_id: str,
+    name: str = "ivf",
+    assign_m: int = 8,
+):
+    """Incremental index maintenance: assign ONLY the new batch's
+    vectors with the PERSISTED codebook and commit them as a delta
+    inverted-list table `{name}_cells_d{batch_id}` — no retrain, no
+    rewrite of the existing lists (the LSM shape: at 10^12 rows the
+    base cells table is petabytes; an append that re-materializes it
+    would cost a full-corpus write per batch).
+
+    Because cell membership is a pure function of (vector, codebook),
+    the union of base + delta lists is EXACTLY the cells table a full
+    rebuild at the same codebook would produce — probe results are
+    identical (pinned by tests/test_ann_quality.py).  Re-running with
+    the same batch_id resumes the committed delta (idempotent ingest,
+    same contract as the streaming stores).  Codebook drift under a
+    shifting distribution is a rebuild decision, not an append one —
+    monitor per-cell delta volume in the manifest for that.
+
+    Returns (codebook, delta_cells DataFrame)."""
+    import json
+
+    codebook = load_ivf_codebook(io, name)
+    cb_fp = (io.manifest_entry(f"{name}_codebook") or {}).get(
+        "fingerprint", ""
+    )
+    fp = json.dumps(
+        {"codebook": cb_fp, "batch": batch_id, "m": assign_m},
+        sort_keys=True,
+    )
+
+    def build_delta() -> DataFrame:
+        assigned = _assign_cells(batch, codebook, assign_m, assign_m)
+        return assigned.select(
+            F.explode("db_cells").alias("cell"), "vec_id", "embedding"
+        )
+
+    delta, _ = io.stage(
+        f"{name}_cells_d{batch_id}", fp, build_delta,
+        parents=[f"{name}_codebook"],
+    )
+    return codebook, delta
+
+
+def read_ivf_cells(io, name: str = "ivf") -> DataFrame:
+    """The live inverted lists: the base `{name}_cells` table unioned
+    with every committed `{name}_cells_d*` delta (manifest-ordered) —
+    what `ivf_probe_index` should scan after any number of appends."""
+    cells = io.read(f"{name}_cells")
+    prefix = f"{name}_cells_d"
+    for e in io.manifest_listing(limit=10_000):
+        if e.get("stage", "").startswith(prefix) and (
+            e.get("status") == "committed"
+        ):
+            cells = cells.unionByName(io.read(e["stage"]))
+    return cells
+
+
 def build_ivf_pq_index(
     e: DataFrame,
     io,

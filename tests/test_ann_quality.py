@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 def _recall(spark, sf_dir: str) -> tuple[float, int, int]:
@@ -278,3 +279,57 @@ def test_ivf_index_init_in_fingerprint(spark, tmp_path):
     # same init again -> resume, bit-identical
     cb_k2, _ = ann.build_ivf_index(e, io, k_cells=12, init="kmeans||")
     assert (cb_k == cb_k2).all()
+
+
+def test_ivf_append_equals_rebuild_and_is_idempotent(spark, tmp_path):
+    """Incremental index maintenance: append_ivf_index assigns ONLY
+    the new batch with the persisted codebook; probing base+delta via
+    read_ivf_cells returns exactly what a full rebuild at the same
+    codebook returns, a replayed batch_id resumes instead of
+    duplicating rows, and the base cells manifest is untouched."""
+    from file_dedup_rust_spark.operators import ann
+    from file_dedup_rust_spark.sources.table_io import TableIO
+
+    sf_dir = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+
+    io = TableIO(spark, str(tmp_path / "idx"))
+    codebook, _ = ann.build_ivf_index(base, io)
+    base_entry = dict(io.manifest_entry("ivf_cells"))
+
+    cb2, delta = ann.append_ivf_index(batch, io, batch_id="b001")
+    assert (codebook == cb2).all()
+    assert delta.count() > 0
+    # base lists untouched — no full-corpus rewrite on append
+    assert io.manifest_entry("ivf_cells") == base_entry
+
+    live = ann.read_ivf_cells(io)
+    probes = e.limit(40)
+    via_append = {
+        (r.vec_id, r.neighbor_id, r.sim, r.rank)
+        for r in ann.ivf_probe_index(probes, codebook, live).collect()
+    }
+    rebuilt = ann._assign_cells(e, codebook, 8, 8).select(
+        F.explode("db_cells").alias("cell"), "vec_id", "embedding"
+    )
+    via_rebuild = {
+        (r.vec_id, r.neighbor_id, r.sim, r.rank)
+        for r in ann.ivf_probe_index(probes, codebook, rebuilt).collect()
+    }
+    assert via_append == via_rebuild and len(via_rebuild) > 0
+
+    # replayed ingest resumes the committed delta (idempotent)
+    n_live = live.count()
+    _, delta2 = ann.append_ivf_index(batch, io, batch_id="b001")
+    assert ann.read_ivf_cells(io).count() == n_live
+    # a second batch stacks as another delta
+    _, _ = ann.append_ivf_index(
+        batch.withColumn("vec_id", F.col("vec_id") + 1_000_000),
+        io,
+        batch_id="b002",
+    )
+    assert ann.read_ivf_cells(io).count() == n_live + delta.count()

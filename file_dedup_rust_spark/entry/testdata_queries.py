@@ -2267,6 +2267,38 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 1000 <
 """
 
 
+EVAL_CARVE_K = 50
+
+
+def q_eval_carve_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k eval-set carving (functions.sampling.stratified_take_k):
+    exactly EVAL_CARVE_K docs per language, drawn by Knuth-permuted
+    key so the pick is uniform, deterministic, and independent of
+    ingestion order — what a held-out benchmark needs where the
+    rate-based `stratified_sample` only gives ~k in expectation.
+    The engine runs the salted two-stage distributed top-k (no
+    single-task per-stratum window); the oracle ranks each stratum
+    with one naive window — same semantics, different algorithm."""
+    from file_dedup_rust_spark.functions.sampling import stratified_take_k
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_take_k(d, "doc_id", "lang", EVAL_CARVE_K)
+
+
+SQL_EVAL_CARVE_K = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS draw_rank
+  FROM documents
+)
+SELECT doc_id, lang, CAST(draw_rank AS INT) AS draw_rank
+FROM r WHERE draw_rank <= {EVAL_CARVE_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # the training-corpus build funnel: raw -> exact dedup -> benchmark
 # decontamination -> stratified sample, reported as per-stage
@@ -4174,6 +4206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_hits": q_decontam_hits,
     "fuzzy_decontam_hits": q_fuzzy_decontam_hits,
     "stratified_sample": q_stratified_sample,
+    "eval_carve_k": q_eval_carve_k,
     "corpus_build_funnel": q_corpus_build_funnel,
     "keep_capped_copies": q_keep_capped_copies,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -4246,6 +4279,7 @@ ORACLES: dict[str, str] = {
     "decontam_hits": SQL_DECONTAM_HITS,
     "fuzzy_decontam_hits": SQL_FUZZY_DECONTAM_HITS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "eval_carve_k": SQL_EVAL_CARVE_K,
     "corpus_build_funnel": SQL_CORPUS_BUILD_FUNNEL,
     "keep_capped_copies": SQL_KEEP_CAPPED_COPIES,
     # the IVF pair runs on the planted clustered corpus where the

@@ -145,3 +145,44 @@ def mixture_rates(
             (ratio / F.col("max_ratio")).alias("sample_rate"),
         )
     )
+
+
+def stratified_take_k(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    k: int,
+    n_salt: int = 32,
+) -> DataFrame:
+    """EXACTLY k rows per stratum (fewer iff the stratum is smaller),
+    drawn uniformly-without-replacement and deterministically: rows
+    rank by their Knuth-permuted key ((key * KNUTH) mod 2^32, ties to
+    the raw key), so the draw is independent of ingestion order,
+    partitioning, and engine — the eval-set carving counterpart of
+    `stratified_sample` (rates give you ~k in expectation; a held-out
+    benchmark needs exactly k).
+
+    Scale shape: a naive `row_number() OVER (PARTITION BY stratum)`
+    is ONE task per stratum — a scale-killer when one stratum holds
+    10^11 rows.  This runs the standard two-stage distributed top-k
+    instead: stage 1 ranks within (stratum, key mod n_salt) — n_salt
+    parallel tasks per stratum — and keeps k candidates each; stage 2
+    re-ranks the surviving <= k * n_salt rows per stratum.  Any row in
+    the true top-k is in its salt-lane's top-k, so the result is
+    exact; the stage-2 window sees a BOUNDED candidate set.
+
+    Output: the input row + `draw_rank` (1..k within its stratum).
+    """
+    perm = F.pmod(F.col(key_col) * F.lit(KNUTH_MULT), F.lit(_MOD))
+    salt = F.pmod(F.col(key_col), F.lit(n_salt))
+    w1 = Window.partitionBy(stratum_col, salt.alias("salt")).orderBy(
+        perm, F.col(key_col)
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy(perm, F.col(key_col))
+    return (
+        df.withColumn("_lrank", F.row_number().over(w1))
+        .filter(F.col("_lrank") <= k)
+        .withColumn("draw_rank", F.row_number().over(w2))
+        .filter(F.col("draw_rank") <= k)
+        .drop("_lrank")
+    )

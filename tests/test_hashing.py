@@ -492,3 +492,41 @@ def test_medoid_repair_variant_cap_counted_not_silent(spark):
     over = oversize_groups(df, "h", "v", variant_cap=8).collect()
     assert len(over) == 1 and over[0]["h"] == 1
     assert over[0]["n_variants"] == 20 and over[0]["n_rows"] == 20
+
+
+def test_stratified_take_k_exact_and_salt_invariant(spark):
+    """The salted two-stage draw equals the naive one-window rank for
+    any n_salt, returns the whole stratum when it is smaller than k,
+    and is invariant to input partitioning."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from file_dedup_rust_spark.functions.sampling import (
+        KNUTH_MULT,
+        _MOD,
+        stratified_take_k,
+    )
+
+    rows = [(i, "big" if i % 7 else "tiny") for i in range(200)]
+    tiny_n = sum(1 for _, s in rows if s == "tiny")
+    assert tiny_n < 50
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+
+    perm = F.pmod(F.col("doc_id") * F.lit(KNUTH_MULT), F.lit(_MOD))
+    naive = (
+        df.withColumn(
+            "draw_rank",
+            F.row_number().over(W.partitionBy("s").orderBy(perm, "doc_id")),
+        )
+        .filter(F.col("draw_rank") <= 50)
+    )
+    want = {(r.doc_id, r.s, r.draw_rank) for r in naive.collect()}
+    for n_salt in (1, 4, 32):
+        got = {
+            (r.doc_id, r.s, r.draw_rank)
+            for r in stratified_take_k(
+                df.repartition(n_salt + 3), "doc_id", "s", 50, n_salt=n_salt
+            ).collect()
+        }
+        assert got == want
+    assert sum(1 for _, s, _ in want if s == "tiny") == tiny_n

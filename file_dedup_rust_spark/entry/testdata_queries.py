@@ -967,6 +967,77 @@ def q_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-chaining diagnosis over the dup clusters: connected
+    components merge a..b..c even when a and c are NOT similar, and a
+    long chain of 0.8-edges can fuse unrelated documents — the known
+    failure mode of LSH+CC dedup (the reason SlimPajama/Gopher audit
+    cluster quality before dropping).  Per multi-member cluster:
+    edge count, pairwise density (n_edges / C(size,2)), weakest edge,
+    and a chain_risk flag for tree-sparse clusters (n_edges ==
+    size - 1, size >= 3 — held together by single links).  Same
+    shuffle budget as cluster_summary: one label join + one agg."""
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = _doc_edges(spark, sf_dir)
+    verts = corpus_exact(spark, sf_dir).select(F.col("doc_id").alias("clip_id"))
+    cc = connected_components(edges.select("a", "b"), verts)
+    sizes = (
+        cc.groupBy("cluster_id").agg(F.count("*").cast("long").alias("size"))
+        .filter(F.col("size") > 1)
+    )
+    lbl = cc.select(F.col("clip_id").alias("a"), "cluster_id")
+    es = (
+        edges.join(lbl, "a")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.round(F.min("sim"), 4).alias("min_sim"),
+        )
+    )
+    return sizes.join(es, "cluster_id").select(
+        "cluster_id",
+        "size",
+        "n_edges",
+        F.round(
+            F.col("n_edges") / (F.col("size") * (F.col("size") - 1) / 2), 4
+        ).alias("density"),
+        "min_sim",
+        (
+            (F.col("n_edges") == F.col("size") - 1) & (F.col("size") >= 3)
+        ).alias("chain_risk"),
+    )
+
+
+SQL_CLUSTER_COHERENCE = f"""
+WITH RECURSIVE {SQL_DOC_EDGES},
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+verts AS (SELECT DISTINCT doc_id FROM corpus),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS size FROM cc
+  GROUP BY 1 HAVING count(*) > 1
+),
+es AS (
+  SELECT cc.cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+         round(min(e.sim), 4) AS min_sim
+  FROM edges e JOIN cc ON cc.id = e.a GROUP BY 1
+)
+SELECT s.cluster_id, s.size, es.n_edges,
+       round(es.n_edges / (s.size * (s.size - 1) / 2.0), 4) AS density,
+       es.min_sim,
+       (es.n_edges = s.size - 1 AND s.size >= 3) AS chain_risk
+FROM sizes s JOIN es ON es.cluster_id = s.cluster_id
+"""
+
+
 SQL_CLUSTER_SUMMARY = f"""
 WITH RECURSIVE {SQL_DOC_EDGES},
 sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
@@ -4183,6 +4254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tier_dedup_summary": q_tier_dedup_summary,
     "cc_clusters": q_cc_clusters,
     "cluster_summary": q_cluster_summary,
+    "cluster_coherence": q_cluster_coherence,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
@@ -4256,6 +4328,7 @@ ORACLES: dict[str, str] = {
     "tier_dedup_summary": SQL_TIER_DEDUP_SUMMARY,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_summary": SQL_CLUSTER_SUMMARY,
+    "cluster_coherence": SQL_CLUSTER_COHERENCE,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY_SCORE,
     "token_counts": SQL_TOKEN_COUNTS,

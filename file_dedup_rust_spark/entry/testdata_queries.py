@@ -967,6 +967,63 @@ def q_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source
+    pair, how many DISTINCT texts appear in both — the first question
+    a corpus assembled from N crawls/vendors must answer (C4 vs
+    CC-derived sets overlap massively; double-counting inflates both
+    source quotas and dedup ratios).  Derived corpus: documents ∪ a
+    'mirror' vendor re-shipping every 3rd doc, so every planted pair
+    crosses (srcX, mirror) while organic same-text cross-source pairs
+    surface on their own.
+
+    Scale shape: rows contract to DISTINCT (xxhash64(text), source)
+    FIRST — one map-side-combined shuffle, 8-byte keys — then the
+    per-text source set expands pairwise: O(m^2) per text with m
+    bounded by the SOURCE COUNT (tens), never by copies-per-text, and
+    the equi-join runs hash-to-hash.  Output is bounded by
+    C(n_sources, 2)."""
+    d = _docs(spark, sf_dir).select(
+        F.lower(F.coalesce("text", F.lit(""))).alias("t"), "source"
+    )
+    mirror = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % EXACT_COPY_MOD == 0)
+        .select(
+            F.lower(F.coalesce("text", F.lit(""))).alias("t"),
+            F.lit("mirror").alias("source"),
+        )
+    )
+    hs = (
+        d.unionByName(mirror)
+        .select(F.xxhash64("t").alias("h"), "source")
+        .distinct()
+    )
+    a = hs.select("h", F.col("source").alias("src_a"))
+    b = hs.select("h", F.col("source").alias("src_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("shared_texts"))
+    )
+
+
+SQL_SOURCE_OVERLAP_MATRIX = f"""
+WITH corpus AS (
+  SELECT lower(coalesce(text, '')) AS t, source FROM documents
+  UNION ALL
+  SELECT lower(coalesce(text, '')), 'mirror'
+  FROM documents WHERE doc_id % {EXACT_COPY_MOD} = 0
+),
+hs AS (SELECT DISTINCT t, source FROM corpus)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS shared_texts
+FROM hs a JOIN hs b ON a.t = b.t AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def q_cluster_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-chaining diagnosis over the dup clusters: connected
     components merge a..b..c even when a and c are NOT similar, and a
@@ -4255,6 +4312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_clusters": q_cc_clusters,
     "cluster_summary": q_cluster_summary,
     "cluster_coherence": q_cluster_coherence,
+    "source_overlap_matrix": q_source_overlap_matrix,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
@@ -4329,6 +4387,7 @@ ORACLES: dict[str, str] = {
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_summary": SQL_CLUSTER_SUMMARY,
     "cluster_coherence": SQL_CLUSTER_COHERENCE,
+    "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY_SCORE,
     "token_counts": SQL_TOKEN_COUNTS,

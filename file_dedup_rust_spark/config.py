@@ -88,6 +88,28 @@ class DedupConfig:
     ac_min_matches: int = 4        # absolute vote floor per (a, b, offset)
     ac_post_cap: int = 2000        # drop hashes with more posting rows than this
 
+    # ---- speed-ladder tier (operators/speed_ladder.py — opt-in
+    # detection of small speed/pitch perturbations; same
+    # config-not-operator-default rule as the ac_* block) ----
+    # Hypothesis grid of time-stretch corrections applied to the PROBE
+    # side.  A re-upload sped by r matches when some grid factor g
+    # leaves a residual |log(g/r)| small enough that the SimHash
+    # Hamming distance falls back inside sp_hamming_max.  Step 2%
+    # keeps the residual <= 1%, where planted sped copies of >= 2 s
+    # clips measure d <= ~8 vs unrelated >= 18 (see
+    # operators/speed_ladder.py for the measurement) — claimed
+    # tolerance r in [0.95, 1.05], graceful degradation just outside.
+    sp_grid: tuple[float, ...] = (0.95, 0.97, 0.99, 1.01, 1.03, 1.05)
+    sp_hamming_max: int = 10       # verify threshold per hypothesis pair
+    # ladder posting keys use arity-2 band combinations (the main tier
+    # uses arity 3): the pigeonhole guarantee then covers d <=
+    # sim_bands - 2 = 6, which residual-corrected sped pairs usually
+    # meet while the main tier's d <= 5 guarantee misses them.  The
+    # ~256x higher random-collision rate is confined to this opt-in
+    # tier and bounded by its bucket cap.
+    sp_key_arity: int = 2
+    sp_bucket_cap: int = 200       # posting-bucket cap (counted drops)
+
     # ---- audio quality gates (operators/audio_quality.py; metrics
     # ride the single signature decode pass) ----
     q_silence_max: float = 0.95    # flag clips that are >= this frac silent

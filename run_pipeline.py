@@ -55,6 +55,16 @@ def main() -> int:
     p.add_argument("--ac-post-cap", type=int, default=None,
                    help="containment: drop hashes with more posting "
                         "rows than this")
+    p.add_argument("--speed-ladder", action="store_true",
+                   help="enable the speed-perturbation tier: clips "
+                        "re-uploaded resampled 0.95-1.05x (metadata "
+                        "unchanged) match via a hypothesis ladder "
+                        "over the SimHash features; intended for "
+                        "clips >= ~2 s (see operators/speed_ladder). "
+                        "Adds speed_edges counts to the summary and "
+                        "<output>/speed_edges when --output is set; "
+                        "costs one extra bytes pass with 1+|grid| "
+                        "feature extractions")
     p.add_argument("--decontam-clips", default=None, metavar="PATH",
                    help="audio benchmark decontamination: parquet of "
                         "eval clips (clip_id, bytes, sr_hz, codec[, "
@@ -145,6 +155,29 @@ def main() -> int:
             .agg(F.count("*").alias("n"))
             .collect()
         }
+    speed_summary = None
+    if args.speed_ladder:
+        from pyspark.sql import functions as F
+
+        from file_dedup_rust_spark.operators.speed_ladder import (
+            speed_edges,
+            speed_hypothesis_rows,
+            speed_ladder_dropped_buckets,
+        )
+
+        sp_rows = speed_hypothesis_rows(clips, cfg)
+        sp = speed_edges(sp_rows, cfg).persist()
+        non_ident = sp.filter(F.col("speed_ratio") != 1.0)
+        speed_summary = {
+            "edges": sp.count(),
+            "sped_edges": non_ident.count(),
+            "dropped_buckets": speed_ladder_dropped_buckets(
+                sp_rows, cfg
+            ).count(),
+        }
+        if args.output:
+            sp.write.mode("overwrite").parquet(f"{args.output}/speed_edges")
+        sp.unpersist()
     decontam_summary = None
     if args.decontam_clips:
         from pyspark.sql import functions as F
@@ -206,6 +239,8 @@ def main() -> int:
         summary["split"] = split_counts
     if decontam_summary is not None:
         summary["audio_decontam"] = decontam_summary
+    if speed_summary is not None:
+        summary["speed_ladder"] = speed_summary
     if cfg.seg_win_s:
         # the signatures stage rows ARE the segment count (incl.
         # quarantine rows) — no extra decode pass just for the summary

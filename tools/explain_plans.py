@@ -364,6 +364,71 @@ def main() -> int:
         ["xxhash64", "HashAggregate", "partial"],
     ))
 
+    sections.append((
+        "hard_negatives (contrastive-training negative mining: exact "
+        "blocked kNN candidates at width top_k + max_cluster - 1, two "
+        "joins against the cluster table, one window re-rank — no "
+        "BroadcastNestedLoopJoin, no cartesian)",
+        plan_text(Q.q_hard_negatives(spark, args.sf_dir)),
+        ["Window", "SortMergeJoin|BroadcastHashJoin"],
+    ))
+
+    sections.append((
+        "source_overlap_matrix (cross-source duplication: rows "
+        "contract to DISTINCT (xxhash64(text), source) BEFORE the "
+        "pairwise expansion, so per-text join work is bounded by the "
+        "source count; hash-to-hash equi-join, never text keys)",
+        plan_text(Q.q_source_overlap_matrix(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial_count"],
+    ))
+
+    sections.append((
+        "eval_carve_k (exact-k stratified draw: TWO window stages — "
+        "(stratum, salt) lanes then the bounded survivor re-rank — "
+        "never a SinglePartition window over a whole stratum)",
+        plan_text(Q.q_eval_carve_k(spark, args.sf_dir)),
+        ["Window", r"hashpartitioning\(lang"],
+    ))
+
+    sections.append((
+        "novelty_scores (first-occurrence gram census: grams cross "
+        "both shuffles as 8-byte xxhash64 keys with map-side partial "
+        "agg; no string keys, no window)",
+        plan_text(Q.q_novelty_scores(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial_min"],
+    ))
+
+    sections.append((
+        "consensus_transcript (medoid repair: pairwise stage joins "
+        "(key, variant, count) contractions with levenshtein as a JVM "
+        "codegen expression; medoid via min(struct) — declarative, no "
+        "per-group sort, no Python)",
+        plan_text(Q.q_consensus_transcript(spark, args.sf_dir)),
+        ["levenshtein", "HashAggregate", "partial_min"],
+    ))
+
+    # speed-ladder edges over a tiny synthetic clips table: posting
+    # equi-join on band keys, bit_count verify inline — no cartesian
+    sections.append((
+        "speed_edges (speed-perturbation tier: hypothesis rows join "
+        "IDENTITY posting rows on band keys (asymmetric — (1+S)n "
+        "rows), bit_count(xor) verify inside the join's codegen pass, "
+        "min(struct) merge — no cartesian, no BNLJ)",
+        plan_text(
+            __import__(
+                "file_dedup_rust_spark.operators.speed_ladder",
+                fromlist=["speed_edges", "speed_hypothesis_rows"],
+            ).speed_edges(
+                __import__(
+                    "file_dedup_rust_spark.operators.speed_ladder",
+                    fromlist=["speed_hypothesis_rows"],
+                ).speed_hypothesis_rows(clips, DEFAULT_CONFIG),
+                DEFAULT_CONFIG,
+            )
+        ),
+        ["bit_count", "HashAggregate", "partial_min"],
+    ))
+
     failures = []
     out_lines = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     for title, text, must in sections:

@@ -125,16 +125,25 @@ def speed_hypothesis_rows(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def speed_edges(
-    rows: DataFrame, cfg: DedupConfig | None = None
+    rows: DataFrame,
+    cfg: DedupConfig | None = None,
+    ident_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Hypothesis table -> verified speed-pair edges
     (a, b, sim, speed_ratio), a < b: sim = 1 - best_hamming/64 over
     the matching hypotheses, speed_ratio ~= duration(b)/duration(a)
-    (1.0 when the identity hypothesis matched — a plain near-dup)."""
+    (1.0 when the identity hypothesis matched — a plain near-dup).
+
+    With `ident_rows` set, the HYPOTHESIS side comes from `rows` and
+    the IDENTITY side from `ident_rows` — the incremental form the
+    streaming probe uses (arriving batch vs accumulated store, in
+    both role assignments); pairs are then strictly cross-set."""
     c = cfg if cfg is not None else _DEFAULTS
 
     ok = rows.filter(F.col("decode_ok"))
-    ident = ok.filter(F.col("hyp") == 0)
+    ident = (ident_rows if ident_rows is not None else rows).filter(
+        F.col("decode_ok") & (F.col("hyp") == 0)
+    )
     post_h = ok.select(
         F.explode("sim_keys").alias("key"),
         F.col("clip_id").alias("ha"), F.col("hyp").alias("g_idx"),
@@ -144,14 +153,23 @@ def speed_edges(
         F.explode("sim_keys").alias("key"),
         F.col("clip_id").alias("ib"), F.col("simhash").alias("sim_i"),
     )
-    # hot-bucket cap only — unlike the self-join candidate stage there
-    # is NO n>=2 floor: an identity key with a single member still
-    # pairs with other clips' HYPOTHESIS rows (the join is asymmetric)
-    keys_ok = (
-        post_i.groupBy("key").agg(F.count("*").alias("n"))
-        .filter(F.col("n") <= c.sp_bucket_cap)
-        .select("key")
+    # hot-bucket cap on BOTH sides, counted per DISTINCT clip so the
+    # threshold means the same thing for the (1+S)-rows-per-clip
+    # hypothesis side as for the identity side.  Unlike the self-join
+    # candidate stage there is NO n>=2 floor: an identity key with a
+    # single member still pairs with other clips' HYPOTHESIS rows
+    # (the join is asymmetric).
+    hot_i = (
+        post_i.groupBy("key").agg(F.count_distinct("ib").alias("n"))
+        .filter(F.col("n") > c.sp_bucket_cap).select("key")
     )
+    hot_h = (
+        post_h.groupBy("key").agg(F.count_distinct("ha").alias("n"))
+        .filter(F.col("n") > c.sp_bucket_cap).select("key")
+    )
+    hot = hot_i.unionByName(hot_h).distinct()
+    post_h = post_h.join(F.broadcast(hot), "key", "left_anti")
+    post_i = post_i.join(F.broadcast(hot), "key", "left_anti")
     d = F.bit_count(F.col("sim_h").bitwiseXOR(F.col("sim_i")))
     # grid ratio as a column expression (bounded CASE over hyp index)
     ratio = F.lit(1.0)
@@ -160,8 +178,7 @@ def speed_edges(
             ratio
         )
     cand = (
-        post_h.join(keys_ok, "key")
-        .join(post_i.join(keys_ok, "key"), "key")
+        post_h.join(post_i, "key")
         .filter(F.col("ha") != F.col("ib"))
         .withColumn("d", d)
         .filter(F.col("d") <= c.sp_hamming_max)
@@ -196,11 +213,11 @@ def speed_ladder_dropped_buckets(
     silent."""
     c = cfg if cfg is not None else _DEFAULTS
 
-    post_i = (
-        rows.filter(F.col("decode_ok") & (F.col("hyp") == 0))
+    post = (
+        rows.filter(F.col("decode_ok"))
         .select(F.explode("sim_keys").alias("key"), "clip_id")
     )
     return (
-        post_i.groupBy("key").agg(F.count("*").alias("n"))
+        post.groupBy("key").agg(F.count_distinct("clip_id").alias("n"))
         .filter(F.col("n") > c.sp_bucket_cap)
     )

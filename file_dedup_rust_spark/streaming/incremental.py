@@ -1364,3 +1364,83 @@ def windowed_ingest_stats(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_speed_probe(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    available_now: bool = True,
+    compact_every: int = 16,
+):
+    """Ingest-time twin of the opt-in speed-ladder tier
+    (operators/speed_ladder.py): a re-upload resampled 0.95-1.05x
+    (metadata unchanged) matches AT INGEST instead of at the next
+    batch run, in either arrival order.
+
+    Each micro-batch computes the full hypothesis table for the
+    arriving clips (identity + one signature per grid factor — its own
+    decode pass; the tier is opt-in and the batch side is small), then
+    probes three ways with the SAME operator:
+
+      * within-batch:       speed_edges(batch_rows)
+      * batch hyp vs store: speed_edges(batch_rows, ident_rows=store)
+      * store hyp vs batch: speed_edges(store_rows, ident_rows=batch)
+
+    The store accumulates ALL ladder rows (identity + hypotheses,
+    (1 + |sp_grid|) x clips rows — the price of covering both role
+    assignments, which is what makes the drained pair set equal the
+    batch operator's regardless of which side of a sped pair arrived
+    first; pinned in tests/test_speed_ladder.py).  Hot keys are
+    df-capped per distinct clip on BOTH posting sides inside
+    speed_edges (counted via speed_ladder_dropped_buckets on the
+    store).  Matches and store rows land idempotently under batch_id
+    partitions with pointer-committed compaction, the module's
+    standard store layer."""
+    from file_dedup_rust_spark.operators.speed_ladder import (
+        speed_edges,
+        speed_hypothesis_rows,
+    )
+
+    cfg = cfg or DedupConfig()
+    clips = read_clip_stream(spark, landing_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        rows = speed_hypothesis_rows(batch_df, cfg).persist()
+        try:
+            matches = speed_edges(rows, cfg)
+            store = read_store(spark_l, store_dir)
+            if store is not None:
+                matches = matches.unionByName(
+                    speed_edges(rows, cfg, ident_rows=store)
+                ).unionByName(speed_edges(store, cfg, ident_rows=rows))
+                matches = (
+                    matches.groupBy("a", "b")
+                    .agg(
+                        F.max(F.struct("sim", "speed_ratio")).alias("m")
+                    )
+                    .select(
+                        "a", "b",
+                        F.col("m.sim").alias("sim"),
+                        F.col("m.speed_ratio").alias("speed_ratio"),
+                    )
+                )
+            store_write(matches, out_dir, batch_id)
+            store_write(rows, store_dir, batch_id)
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                compact_store(spark_l, store_dir, int(batch_id) - 1)
+        finally:
+            rows.unpersist()
+
+    writer = (
+        clips.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -109,6 +109,13 @@ class DedupConfig:
     # tier and bounded by its bucket cap.
     sp_key_arity: int = 2
     sp_bucket_cap: int = 200       # posting-bucket cap (counted drops)
+    # clips shorter than this emit NO ladder rows: below ~2 s the
+    # 16-segment time pooling has 1-4 frames per segment and ANY
+    # resample jitters the features past the unrelated floor — the
+    # tier would emit noise edges (measured: 89k junk pairs on a 20k
+    # sub-second corpus) and burn (1+S) feature passes for them.
+    # Short clips belong to the default exact/SimHash tiers.
+    sp_min_s: float = 2.0
 
     # ---- audio quality gates (operators/audio_quality.py; metrics
     # ride the single signature decode pass) ----

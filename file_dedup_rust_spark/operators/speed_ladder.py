@@ -69,8 +69,10 @@ def speed_hypothesis_rows(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     the signature of the clip time-stretched by cfg.sp_grid[i-1].
     Keys use arity-2 band combinations (cfg.sp_key_arity) — the
     identity SIMHASH matches the signature pass bit-for-bit, but the
-    ladder's posting keys are its own.  Decode failures quarantine
-    with one hyp=-1 marker row."""
+    ladder's posting keys are its own.  Clips shorter than
+    cfg.sp_min_s emit NO rows (out of regime — the time pooling is
+    not stretch-stable there; they stay with the default tiers).
+    Decode failures quarantine with one hyp=-1 marker row."""
     import dataclasses
 
     planes = A.simhash_planes(cfg)
@@ -93,6 +95,10 @@ def speed_hypothesis_rows(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
                     out["decode_ok"].append(False)
                     continue
                 c_sr = int(row.sr_hz)
+                if pcm.size < cfg.sp_min_s * c_sr:
+                    # out of the tier's regime (see module docstring):
+                    # emit nothing — the default tiers own short clips
+                    continue
                 if cfg.cr_hz:
                     pcm = A.resample_linear(pcm, c_sr, cfg.cr_hz)
                     c_sr = cfg.cr_hz
@@ -113,13 +119,27 @@ def speed_hypothesis_rows(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
                         A.simhash_band_keys(sim, key_cfg).tolist()
                     )
                     out["decode_ok"].append(True)
-            yield pd.DataFrame(out)
+            if out["clip_id"]:
+                # an all-skipped batch yields nothing: an empty
+                # pandas frame has no dtype for the list column and
+                # Arrow cannot infer array<long> from it
+                yield pd.DataFrame(out)
 
     required = ("clip_id", "bytes", "sr_hz", "codec")
     missing = [c for c in required if c not in clips.columns]
     if missing:
         raise ValueError(
             f"speed_hypothesis_rows: clips table lacks columns {missing}"
+        )
+    # JVM prefilter on CLAIMED duration (half the real gate, so a lying
+    # header cannot hide a clip from the authoritative decoded-length
+    # check inside the pass): obviously-short clips skip the decode
+    # entirely — on a sub-second corpus the tier then scans metadata,
+    # not bytes.  Null/absent dur_ms rows fall through to the decode.
+    if "dur_ms" in clips.columns:
+        clips = clips.filter(
+            F.col("dur_ms").isNull()
+            | (F.col("dur_ms") >= int(cfg.sp_min_s * 500))
         )
     return clips.select(*required).mapInPandas(run, SPEED_SCHEMA)
 

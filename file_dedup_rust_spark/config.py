@@ -100,7 +100,11 @@ class DedupConfig:
     # operators/speed_ladder.py for the measurement) — claimed
     # tolerance r in [0.95, 1.05], graceful degradation just outside.
     sp_grid: tuple[float, ...] = (0.95, 0.97, 0.99, 1.01, 1.03, 1.05)
-    sp_hamming_max: int = 10       # verify threshold per hypothesis pair
+    # verify threshold per hypothesis pair.  Measured tradeoff on 5k
+    # unrelated 3 s clips + 2.5k planted sped copies (tests corpus,
+    # BENCH.md): d<=7 -> 91.8% recall / 0 false, d<=8 -> 97.7% / 10,
+    # d<=9 -> 98.8% / 33, d<=10 -> 99.2% / 131.  9 is the knee.
+    sp_hamming_max: int = 9
     # ladder posting keys use arity-2 band combinations (the main tier
     # uses arity 3): the pigeonhole guarantee then covers d <=
     # sim_bands - 2 = 6, which residual-corrected sped pairs usually

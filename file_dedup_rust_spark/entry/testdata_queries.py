@@ -3814,6 +3814,48 @@ FROM a
 """
 
 
+MIX_ALPHA = 0.7   # XLM-R's multilingual sampling temperature
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture rates
+    (functions.sampling.temperature_rates): the alpha-sampling rule
+    multilingual training uses (XLM-R / mT5, alpha=0.7) — target
+    share q_l ∝ p_l^alpha over the REAL lang strata weighted by
+    n_chars, rarest language binding at rate 1.0, heavier languages
+    downsampled by (w_l/w_min)^(alpha-1).  The computed-target cousin
+    of mixture_weights; pow() output rounded to 4 decimals on both
+    engines (pow is not bit-identical across libms, unlike the pure
+    division chains)."""
+    from file_dedup_rust_spark.functions.sampling import temperature_rates
+
+    d = _docs(spark, sf_dir).select(
+        "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return temperature_rates(d, "lang", "n_chars", MIX_ALPHA)
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH a AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS weight
+  FROM documents GROUP BY lang
+), b AS (
+  SELECT lang, n_rows, weight,
+         weight * 1.0 / sum(weight) OVER () AS p_raw,
+         weight * 1.0 / min(weight) OVER () AS wr
+  FROM a
+)
+SELECT lang, n_rows, weight,
+       round(p_raw, 4) AS p,
+       round(pow(p_raw, {MIX_ALPHA})
+             / sum(pow(p_raw, {MIX_ALPHA})) OVER (), 4) AS q,
+       round(pow(wr, {MIX_ALPHA} - 1.0), 4) AS sample_rate
+FROM b
+"""
+
+
 def q_mixture_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Close the data-mixing loop end-to-end: mixture_rates ->
     floor(1000 * rate) per-mille -> stratified_sample -> realized
@@ -4360,6 +4402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_prune": q_boilerplate_prune,
     "leakage_safe_split": q_leakage_safe_split,
     "mixture_weights": q_mixture_weights,
+    "temperature_mix": q_temperature_mix,
     "conflict_repair": q_conflict_repair,
     "consensus_transcript": q_consensus_transcript,
     "mixture_applied": q_mixture_applied,
@@ -4441,6 +4484,7 @@ ORACLES: dict[str, str] = {
     "boilerplate_prune": SQL_BOILERPLATE_PRUNE,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "conflict_repair": SQL_CONFLICT_REPAIR,
     "consensus_transcript": SQL_CONSENSUS_TRANSCRIPT,
     "mixture_applied": SQL_MIXTURE_APPLIED,

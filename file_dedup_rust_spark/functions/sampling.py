@@ -186,3 +186,50 @@ def stratified_take_k(
         .filter(F.col("draw_rank") <= k)
         .drop("_lrank")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Temperature-scaled mixture rates (the multilingual alpha-
+    sampling rule, XLM-R / mT5: sample stratum s proportional to
+    p_s^alpha, alpha in (0, 1], flattening the natural distribution
+    toward the rare strata): the per-stratum keep rate of the largest
+    no-upsampling corpus realizing q_s = p_s^alpha / sum_u p_u^alpha.
+
+    rate_s = (q_s/p_s) / max_u(q_u/p_u) = (w_s / w_min)^(alpha-1) —
+    the rarest stratum is binding (rate exactly 1.0) and heavier
+    strata are downsampled by their weight ratio to the alpha-1
+    power.  alpha=1 keeps everything; alpha->0 approaches uniform.
+    The computed-target cousin of `mixture_rates` (which takes the
+    target mix as input); feeds `stratified_sample` the same way.
+
+    Output: stratum, n_rows, weight, p (natural share), q (target
+    share), sample_rate — non-integer columns rounded to 4 decimals
+    (pow() is not guaranteed bit-identical across engines, unlike the
+    pure division chains in mixture_rates).
+
+    At 100 TB: one partial-agg groupBy over the strata; the window
+    runs on a relation bounded by stratum cardinality.
+    """
+    agg = df.groupBy(stratum_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(weight_col).cast("long").alias("weight"),
+    )
+    w = Window.partitionBy()  # bounded: one row per stratum
+    p = F.col("weight") / F.sum("weight").over(w)
+    qn = F.pow(p, F.lit(alpha)) / F.sum(F.pow(p, F.lit(alpha))).over(w)
+    rate = F.pow(
+        F.col("weight") / F.min("weight").over(w), F.lit(alpha - 1.0)
+    )
+    return agg.select(
+        stratum_col,
+        "n_rows",
+        "weight",
+        F.round(p, 4).alias("p"),
+        F.round(qn, 4).alias("q"),
+        F.round(rate, 4).alias("sample_rate"),
+    )

@@ -1158,6 +1158,58 @@ FROM toks
 """
 
 
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Claimed-vs-detected language audit — the text analog of the
+    audio meta_mismatch gate: vendor metadata lies (mislabeled
+    crawls, default-'en' uploads) and a mixture built on the CLAIMED
+    lang column then trains on the wrong distribution.  Flags docs
+    whose claimed lang disagrees with the stopword detector at the
+    en/other granularity it supports; the narrow projection means the
+    scan prunes text+lang only.  One codegen projection + filter,
+    zero shuffle."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.split(F.lower(F.coalesce("text", F.lit(""))), " ").alias("w"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    score = F.round(
+        F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
+        / F.greatest(F.size("w"), F.lit(1)),
+        4,
+    )
+    det = F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+    return (
+        d.select("doc_id", "lang", det.alias("detected"),
+                 score.alias("stopword_score"))
+        .filter(
+            ((F.col("lang") == "en") & (F.col("detected") != "en"))
+            | ((F.col("lang") != "en") & (F.col("detected") == "en"))
+        )
+    )
+
+
+SQL_LANG_MISMATCH = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split(lower(coalesce(text, '')), ' ') AS w
+  FROM documents
+), det AS (
+  SELECT doc_id, lang,
+         CASE WHEN round(len(list_filter(w, x ->
+                     list_contains({_SQL_STOPLIST}, x)))
+                   * 1.0 / greatest(len(w), 1), 4) >= 0.05
+              THEN 'en' ELSE 'other' END AS detected,
+         round(len(list_filter(w, x -> list_contains({_SQL_STOPLIST}, x)))
+               * 1.0 / greatest(len(w), 1), 4) AS stopword_score
+  FROM toks
+)
+SELECT doc_id, lang, detected, stopword_score
+FROM det
+WHERE (lang = 'en' AND detected <> 'en')
+   OR (lang <> 'en' AND detected = 'en')
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs_corpus(spark, sf_dir).select(
         "doc_id", "t", F.split("t", " ").alias("w")
@@ -4356,6 +4408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_coherence": q_cluster_coherence,
     "source_overlap_matrix": q_source_overlap_matrix,
     "lang_id": q_lang_id,
+    "lang_mismatch": q_lang_mismatch,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
@@ -4432,6 +4485,7 @@ ORACLES: dict[str, str] = {
     "cluster_coherence": SQL_CLUSTER_COHERENCE,
     "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
     "lang_id": SQL_LANG_ID,
+    "lang_mismatch": SQL_LANG_MISMATCH,
     "quality_score": SQL_QUALITY_SCORE,
     "token_counts": SQL_TOKEN_COUNTS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

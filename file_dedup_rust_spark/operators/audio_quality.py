@@ -150,6 +150,27 @@ def transcript_conflicts(signatures: DataFrame) -> DataFrame:
     return value_conflicts(base, "pcm_sha", "t_norm")
 
 
+def transcript_consensus(
+    signatures: DataFrame, variant_cap: int = 64
+) -> DataFrame:
+    """The conflict groups of `transcript_conflicts` repaired by the
+    MEDOID transcript instead of the majority: the variant minimizing
+    the multiplicity-weighted sum of edit distances to the rest
+    (operators.conflicts.medoid_repair — ROVER-style voting).  Right
+    when vendors ship three one-word-apart transcripts and no
+    majority exists; groups with more than variant_cap variants are
+    excluded and surfaced via conflicts.oversize_groups.
+
+    Columns: pcm_sha, n_rows, n_variants, medoid_val (the repaired
+    transcript), medoid_cost."""
+    from file_dedup_rust_spark.operators.conflicts import medoid_repair
+
+    base = signatures.filter(
+        F.col("decode_ok") & (F.col("pcm_sha") != "")
+    ).select("pcm_sha", "t_norm")
+    return medoid_repair(base, "pcm_sha", "t_norm", variant_cap)
+
+
 def quality_report(flagged: DataFrame) -> dict:
     """Aggregate gate counts for the pipeline summary JSON: total,
     passed, and clips per flag (a clip tripping two gates counts in

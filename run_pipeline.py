@@ -55,6 +55,16 @@ def main() -> int:
     p.add_argument("--ac-post-cap", type=int, default=None,
                    help="containment: drop hashes with more posting "
                         "rows than this")
+    p.add_argument("--repair", choices=("majority", "medoid"), default=None,
+                   help="repair same-audio/different-transcript "
+                        "conflicts: 'majority' = most frequent "
+                        "transcript per decoded-PCM identity, "
+                        "'medoid' = edit-distance consensus (ROVER-"
+                        "style; wins when no majority exists). Adds "
+                        "conflict counts to the summary and writes "
+                        "<output>/repaired_transcripts when --output "
+                        "is set; rides the signature pass, no extra "
+                        "decode")
     p.add_argument("--speed-ladder", action="store_true",
                    help="enable the speed-perturbation tier: clips "
                         "re-uploaded resampled 0.95-1.05x (metadata "
@@ -155,6 +165,32 @@ def main() -> int:
             .agg(F.count("*").alias("n"))
             .collect()
         }
+    repair_summary = None
+    if args.repair:
+        from pyspark.sql import functions as F
+
+        from file_dedup_rust_spark.operators.audio_quality import (
+            transcript_conflicts,
+            transcript_consensus,
+        )
+
+        rep = (
+            transcript_conflicts(res.signatures)
+            if args.repair == "majority"
+            else transcript_consensus(res.signatures)
+        ).persist()
+        repair_summary = {
+            "mode": args.repair,
+            "conflicted_recordings": rep.count(),
+            "rows_affected": rep.agg(
+                F.coalesce(F.sum("n_rows"), F.lit(0))
+            ).collect()[0][0],
+        }
+        if args.output:
+            rep.write.mode("overwrite").parquet(
+                f"{args.output}/repaired_transcripts"
+            )
+        rep.unpersist()
     speed_summary = None
     if args.speed_ladder:
         from pyspark.sql import functions as F
@@ -241,6 +277,8 @@ def main() -> int:
         summary["audio_decontam"] = decontam_summary
     if speed_summary is not None:
         summary["speed_ladder"] = speed_summary
+    if repair_summary is not None:
+        summary["transcript_repair"] = repair_summary
     if cfg.seg_win_s:
         # the signatures stage rows ARE the segment count (incl.
         # quarantine rows) — no extra decode pass just for the summary

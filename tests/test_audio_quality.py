@@ -299,3 +299,42 @@ def test_streaming_transcript_conflicts_at_ingest(spark, tmp_path):
         ).collect()
     }
     assert got == {("w2", "w1"), ("v2", "v1")}
+
+
+def test_transcript_consensus_medoid_repair(spark):
+    """The medoid variant (pipeline --repair medoid): with a 3-variant
+    no-majority group {t, one-word-changed, two-words-changed}, the
+    CENTRAL transcript wins even though majority voting would fall to
+    its arbitrary-smallest tie-break."""
+    from file_dedup_rust_spark.operators.audio_quality import (
+        transcript_consensus,
+    )
+
+    sr = 8000
+    tone = _tone()
+    wav = bytearray(A.encode_wav(tone, sr))
+    rows = [
+        ("a1", wav, sr, 500, "wav", "the cat sat on a mat"),
+        ("a2", wav, sr, 500, "wav", "the cap sat on a mat"),
+        ("a3", wav, sr, 500, "wav", "the cap sat on a hat"),
+        # unanimous pair: never repaired
+        ("c1", bytearray(A.encode_wav(_tone(f=660.0), sr)), sr, 500,
+         "wav", "same"),
+        ("c2", bytearray(A.encode_wav(_tone(f=660.0), sr)), sr, 500,
+         "wav", "same"),
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    sigs = compute_signatures(clips, CFG)
+    out = transcript_consensus(sigs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # middle variant is central: one char to either end (cost 1+1=2)
+    # vs 1+2=3 for the ends — majority voting would have tie-broken
+    # to the lexicographically smallest instead
+    assert r["n_rows"] == 3 and r["n_variants"] == 3
+    assert r["medoid_val"] == "the cap sat on a mat"
+    assert r["medoid_cost"] == 2

@@ -189,9 +189,12 @@ def build_edges(
 # suffix-array pass; "audio_containment" (opt-in tier — frame
 # fingerprints ride the single decode pass since round 5) pays its
 # own FFT framing inside that pass plus the frame-fingerprint join.
+# "audio_speed" (opt-in — operators/speed_ladder.py) pays its own
+# decode + (1+|grid|) feature passes and is approximate, so it sits
+# last: a pair is attributed to it only when NO cheaper tier found it.
 TIER_LADDER = [
     "exact", "pcm_exact", "trim_exact", "transcript", "audio",
-    "containment", "audio_containment",
+    "containment", "audio_containment", "audio_speed",
 ]
 
 
@@ -251,6 +254,7 @@ def run_pipeline(
     resume: bool = True,
     stop_after: str | None = None,
     audio_containment: bool = False,
+    speed_ladder: bool = False,
 ) -> PipelineResult | None:
     """Checkpointed end-to-end run.  `stop_after` kills the run after a
     named stage commits (resume tests); returns None in that case.
@@ -262,7 +266,15 @@ def run_pipeline(
     signatures, so bytes are still read exactly ONCE — the tier's
     marginal cost is its own FFT framing inside that pass plus the
     posting join, not a second scan+decode.  Its edges are
-    checkpointed as their own stage and union into CC."""
+    checkpointed as their own stage and union into CC.
+
+    `speed_ladder=True` adds the speed-perturbation tier
+    (operators.speed_ladder): sped re-uploads (0.95-1.05x resample,
+    metadata unchanged) gain `audio_speed` edges and CO-CLUSTER with
+    their originals.  Unlike the containment tier it cannot ride the
+    signature pass (it needs 1+|grid| feature extractions per clip),
+    so it costs its own opt-in bytes pass; sub-sp_min_s clips emit
+    nothing (the gate)."""
     import hashlib
 
     io = TableIO(spark, checkpoint_dir)
@@ -276,7 +288,11 @@ def run_pipeline(
     # stage, not crash build_edges mid-pipeline on a missing column) —
     # this also means the fused frame_fps variant checkpoints
     # separately from the plain one.
-    fp_down = fp + "+ac" if audio_containment else fp
+    fp_down = fp + ("+ac" if audio_containment else "") + (
+        "+sp" if speed_ladder else ""
+    )
+    fp_ac = fp + "+ac"
+    fp_sp = fp + "+sp"
     sig_schema = FRAMES_SIGNATURE_SCHEMA if audio_containment else SIGNATURE_SCHEMA
     fp_sig = fp + "+s" + hashlib.sha256(sig_schema.encode()).hexdigest()[:8]
     stages: list[StageResult] = []
@@ -343,7 +359,7 @@ def run_pipeline(
         def build_ac() -> DataFrame:
             return audio_containment_edges(frames, cfg=cfg).select(*EDGE_COLS)
 
-        ac_edges, r = io.stage("ac_edges", fp_down, build_ac, resume=resume)
+        ac_edges, r = io.stage("ac_edges", fp_ac, build_ac, resume=resume)
         stages.append(r)
         if done("ac_edges"):
             # stop_after contract: kill IMMEDIATELY after the named
@@ -353,18 +369,54 @@ def run_pipeline(
             return None
         # stop-hash drop accounting (manifest parity with the LSH
         # dropped_buckets stage — no silent truncation)
-        if not (resume and io.is_committed("ac_dropped_hashes", fp_down)):
+        if not (resume and io.is_committed("ac_dropped_hashes", fp_ac)):
             from file_dedup_rust_spark.operators.audio_containment import (
                 dropped_stop_hashes,
             )
 
             _, r = io.stage(
-                "ac_dropped_hashes", fp_down,
+                "ac_dropped_hashes", fp_ac,
                 lambda: dropped_stop_hashes(frames, cfg=cfg), resume=resume,
             )
             stages.append(r)
         frames.unpersist()
         edges = edges.unionByName(ac_edges)
+
+    if speed_ladder:
+        from file_dedup_rust_spark.operators.speed_ladder import (
+            speed_edges,
+            speed_hypothesis_rows,
+            speed_ladder_dropped_buckets,
+        )
+
+        # own bytes pass (cannot fuse into the signature decode — the
+        # tier is 1+|grid| feature extractions per clip); persisted
+        # across the edge build and the drop accounting
+        sp_rows = speed_hypothesis_rows(clips, cfg).persist()
+
+        def build_sp() -> DataFrame:
+            # full output incl. speed_ratio checkpoints; the union
+            # below projects to EDGE_COLS
+            return speed_edges(sp_rows, cfg)
+
+        sp_edges_df, r = io.stage("sp_edges", fp_sp, build_sp, resume=resume)
+        stages.append(r)
+        if done("sp_edges"):
+            sp_rows.unpersist()
+            return None
+        if not (resume and io.is_committed("sp_dropped_buckets", fp_sp)):
+            _, r = io.stage(
+                "sp_dropped_buckets", fp_sp,
+                lambda: speed_ladder_dropped_buckets(sp_rows, cfg),
+                resume=resume,
+            )
+            stages.append(r)
+        sp_rows.unpersist()
+        edges = edges.unionByName(
+            sp_edges_df.select(
+                "a", "b", F.lit("audio_speed").alias("kind"), "sim"
+            )
+        )
 
     # dropped-bucket accounting (manifest metrics; SURVEY.md 7.3.2) —
     # reuses the persisted rep tables from the edges stage above

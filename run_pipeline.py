@@ -66,15 +66,15 @@ def main() -> int:
                         "is set; rides the signature pass, no extra "
                         "decode")
     p.add_argument("--speed-ladder", action="store_true",
-                   help="enable the speed-perturbation tier: clips "
+                   help="enable the speed-perturbation TIER: clips "
                         "re-uploaded resampled 0.95-1.05x (metadata "
-                        "unchanged) match via a hypothesis ladder "
-                        "over the SimHash features; intended for "
-                        "clips >= ~2 s (see operators/speed_ladder). "
-                        "Adds speed_edges counts to the summary and "
-                        "<output>/speed_edges when --output is set; "
-                        "costs one extra bytes pass with 1+|grid| "
-                        "feature extractions")
+                        "unchanged) gain audio_speed edges and "
+                        "CO-CLUSTER with their originals; intended "
+                        "for clips >= ~2 s (operators/speed_ladder; "
+                        "shorter clips emit nothing). Checkpointed "
+                        "as its own sp_edges stage; costs one extra "
+                        "bytes pass with 1+|grid| feature "
+                        "extractions")
     p.add_argument("--decontam-clips", default=None, metavar="PATH",
                    help="audio benchmark decontamination: parquet of "
                         "eval clips (clip_id, bytes, sr_hz, codec[, "
@@ -145,6 +145,7 @@ def main() -> int:
     res = run_pipeline(
         spark, clips, cfg, args.checkpoint, resume=not args.no_resume,
         audio_containment=args.audio_containment,
+        speed_ladder=args.speed_ladder,
     )
     n_clips = res.assignments.count()
     n_clusters = res.clusters.count()
@@ -195,25 +196,15 @@ def main() -> int:
     if args.speed_ladder:
         from pyspark.sql import functions as F
 
-        from file_dedup_rust_spark.operators.speed_ladder import (
-            speed_edges,
-            speed_hypothesis_rows,
-            speed_ladder_dropped_buckets,
-        )
-
-        sp_rows = speed_hypothesis_rows(clips, cfg)
-        sp = speed_edges(sp_rows, cfg).persist()
-        non_ident = sp.filter(F.col("speed_ratio") != 1.0)
+        sp = res.edges.filter(F.col("kind") == "audio_speed")
         speed_summary = {
             "edges": sp.count(),
-            "sped_edges": non_ident.count(),
-            "dropped_buckets": speed_ladder_dropped_buckets(
-                sp_rows, cfg
-            ).count(),
+            "dropped_buckets": next(
+                (s.row_count for s in res.stages
+                 if s.name == "sp_dropped_buckets"), 0),
         }
         if args.output:
             sp.write.mode("overwrite").parquet(f"{args.output}/speed_edges")
-        sp.unpersist()
     decontam_summary = None
     if args.decontam_clips:
         from pyspark.sql import functions as F

@@ -50,7 +50,9 @@ def _row(clip_id: str, pcm: np.ndarray, sr: int) -> dict:
         "sr_hz": sr,
         "dur_ms": int(1000 * pcm.size / sr),
         "codec": "wav",
-        "transcript": "t",
+        # unique per clip: the transcript tiers must stay out of the
+        # way when these corpora drive pipeline-level tests
+        "transcript": f"transcript of {clip_id} only",
     }
 
 
@@ -189,3 +191,35 @@ def test_streaming_speed_probe_parity_both_arrival_orders(spark, tmp_path):
     drained = read_store(spark, str(tmp_path / "out"))
     got = {(r["a"], r["b"]) for r in drained.collect()}
     assert got == batch_pairs
+
+
+def test_pipeline_speed_ladder_tier_coclusters(spark, tmp_path):
+    """speed_ladder=True in the checkpointed pipeline: sped re-uploads
+    gain audio_speed edges and CO-CLUSTER with their originals; bases
+    never merge with other bases; a rerun resumes the sp stages."""
+    from file_dedup_rust_spark.datagen import CLIP_SCHEMA
+    from file_dedup_rust_spark.plans.pipeline import run_pipeline
+
+    cfg = DedupConfig()
+    corpus, want = _corpus(8)
+    clips = spark.createDataFrame(
+        corpus[CLIP_COLS].to_dict("records"), CLIP_SCHEMA
+    )
+    res = run_pipeline(
+        spark, clips, cfg, str(tmp_path / "ck"), speed_ladder=True
+    )
+    lbl = {
+        r["clip_id"]: r["cluster_id"] for r in res.assignments.collect()
+    }
+    co = sum(1 for a, b in want if lbl[a] == lbl[b])
+    assert co >= len(want) - 1, f"only {co}/{len(want)} pairs co-cluster"
+    base_ids = [f"clip{i:03d}" for i in range(8)]
+    base_labels = [lbl[c] for c in base_ids]
+    assert len(set(base_labels)) == 8, "unrelated bases merged"
+    kinds = {r["kind"] for r in res.edges.select("kind").distinct().collect()}
+    assert "audio_speed" in kinds
+
+    res2 = run_pipeline(
+        spark, clips, cfg, str(tmp_path / "ck"), speed_ladder=True
+    )
+    assert all(s.skipped for s in res2.stages if s.name == "sp_edges")

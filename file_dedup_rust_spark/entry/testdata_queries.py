@@ -4384,6 +4384,139 @@ ORDER BY c DESC, wd LIMIT {VOCAB_TOP_K}
 """
 
 
+PCTL_QS = (0.5, 0.9, 0.99)
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language token-length percentiles (p50/p90/p99, disc
+    semantics: the smallest length whose cumulative count reaches
+    ceil(q*n)) — the batch-assembly planning stat (bucket boundaries,
+    padding budgets, truncation limits all come from this table).
+
+    Scale shape: a naive row_number per language is one task per
+    language over ALL its rows; this contracts rows to a (lang, len)
+    CENSUS first (one map-side-combined shuffle, output bounded by
+    distinct lengths per language — thousands, not rows), then runs
+    the cumulative window over the census.  Exact, engine-stable
+    (pure integer comparisons), no approx_percentile sketch."""
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.size(F.split(F.lower(F.coalesce("text", F.lit(""))), " "))
+        .alias("len"),
+    )
+    census = d.groupBy("lang", "len").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy("len")
+    cum = census.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    out = None
+    for q in PCTL_QS:
+        tgt = F.ceil(F.lit(q) * F.col("n"))
+        hit = (
+            cum.filter(F.col("cum") >= tgt)
+            .groupBy("lang")
+            .agg(F.min("len").alias("value"))
+            .select(
+                "lang",
+                F.lit(q).alias("q"),
+                F.col("value").cast("long").alias("value"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+SQL_LENGTH_PERCENTILES = f"""
+WITH d AS (
+  SELECT lang,
+         len(string_split(lower(coalesce(text, '')), ' ')) AS l
+  FROM documents
+),
+census AS (SELECT lang, l, count(*) AS c FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT lang, l, sum(c) OVER (PARTITION BY lang ORDER BY l) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM census
+),
+qs AS (
+  SELECT CAST(unnest(ARRAY[{", ".join(str(q) for q in PCTL_QS)}]) AS DOUBLE)
+    AS q
+)
+SELECT lang, q, CAST(min(l) AS BIGINT) AS value
+FROM cum, qs
+WHERE cum >= ceil(q * n)
+GROUP BY lang, q
+"""
+
+
+ZIPF_TOP_K = 100
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-{ZIPF_TOP_K} vocabulary: OLS slope of
+    ln(freq) on ln(rank) — natural corpora sit near -1; a corpus
+    whose slope collapses toward 0 is boilerplate/template-dominated
+    and one that dives below ~-1.5 lost its long tail (over-
+    aggressive filtering).  One census shuffle + a TakeOrdered top-K;
+    the regression runs on the K-row relation.  Rank ties break
+    (count desc, word asc), both engines identically; slope rounded
+    to 4 decimals (ln() ulps)."""
+    toks = docs_corpus(spark, sf_dir).select(
+        F.explode(F.split("t", " ")).alias("wd")
+    )
+    top = (
+        toks.groupBy("wd")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "wd")
+        .limit(ZIPF_TOP_K)
+    )
+    w = Window.orderBy(F.col("c").desc(), "wd")
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("top_k"),
+        F.round(slope, 4).alias("zipf_slope"),
+    )
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS wd
+  FROM documents
+),
+top AS (
+  SELECT wd, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY wd
+  ORDER BY c DESC, wd LIMIT {ZIPF_TOP_K}
+),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, wd) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM top
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+)
+SELECT n AS top_k,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4463,6 +4596,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_token_quota": q_source_token_quota,
     "corpus_diversity": q_corpus_diversity,
     "vocab_top_terms": q_vocab_top_terms,
+    "length_percentiles": q_length_percentiles,
+    "zipf_slope": q_zipf_slope,
 }
 
 ORACLES: dict[str, str] = {
@@ -4546,4 +4681,6 @@ ORACLES: dict[str, str] = {
     "source_token_quota": SQL_SOURCE_TOKEN_QUOTA,
     "corpus_diversity": SQL_CORPUS_DIVERSITY,
     "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
+    "length_percentiles": SQL_LENGTH_PERCENTILES,
+    "zipf_slope": SQL_ZIPF_SLOPE,
 }

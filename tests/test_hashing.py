@@ -530,3 +530,99 @@ def test_stratified_take_k_exact_and_salt_invariant(spark):
         }
         assert got == want
     assert sum(1 for _, s, _ in want if s == "tiny") == tiny_n
+
+
+def test_temperature_rates_property_vs_python(spark):
+    """temperature_rates matches a plain-Python alpha-sampling
+    computation on arbitrary small weighted strata — rarest stratum
+    binds at exactly 1.0, shares sum to ~1."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from file_dedup_rust_spark.functions.sampling import temperature_rates
+
+    strata = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(strata, st.sampled_from([0.3, 0.5, 0.7, 1.0]))
+    def run(rows, alpha):
+        df = spark.createDataFrame(rows, "s string, w long")
+        got = {
+            r["s"]: (r["n_rows"], r["weight"], r["p"], r["q"],
+                     r["sample_rate"])
+            for r in temperature_rates(df, "s", "w", alpha).collect()
+        }
+        agg: dict[str, list[int]] = {}
+        for s, w in rows:
+            agg.setdefault(s, [0, 0])
+            agg[s][0] += 1
+            agg[s][1] += w
+        total = sum(v[1] for v in agg.values())
+        wmin = min(v[1] for v in agg.values())
+        zs = sum((v[1] / total) ** alpha for v in agg.values())
+        for s, (n, w) in agg.items():
+            p = w / total
+            want = (
+                n, w, round(p, 4), round(p ** alpha / zs, 4),
+                round((w / wmin) ** (alpha - 1.0), 4),
+            )
+            assert got[s] == want, (s, got[s], want)
+        binding = min(agg, key=lambda s: (agg[s][1], s))
+        assert got[binding][4] == 1.0
+        assert abs(sum(v[3] for v in got.values()) - 1.0) < 1e-2
+
+    run()
+
+
+def test_novelty_scores_property_vs_python(spark):
+    """novelty_scores matches a brute-force Python first-occurrence
+    count on tiny-vocab corpora (heavy gram sharing, short docs
+    dropping out, exact copies scoring 0)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from file_dedup_rust_spark.operators.dup_spans import novelty_scores
+
+    word = st.sampled_from(["x", "y", "z"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=10))
+    def run(texts):
+        n = 3
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, t string")
+        got = {
+            r["doc_id"]: (r["n_grams"], r["novel_grams"],
+                          r["novelty_frac"])
+            for r in novelty_scores(df, n=n).collect()
+        }
+        grams = {}
+        for i, t in rows:
+            ws = t.split(" ") if t else []
+            gs = {
+                " ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)
+            } if len(ws) >= n else set()
+            grams[i] = gs
+        first = {}
+        for i in sorted(grams):
+            for g in grams[i]:
+                first.setdefault(g, i)
+        want = {}
+        for i, gs in grams.items():
+            if not gs:
+                continue
+            nov = sum(1 for g in gs if first[g] == i)
+            want[i] = (len(gs), nov, round(nov / len(gs), 4))
+        assert got == want
+
+    run()

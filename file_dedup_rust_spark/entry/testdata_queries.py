@@ -4518,6 +4518,262 @@ FROM a
 
 
 # ---------------------------------------------------------------------------
+# round 5b: soft dedup weighting, reorder-invariant dedup, fuzzy gram
+# containment, semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup (He et al. 2024): keep every copy, reweight by
+    1/group_size so each distinct content carries equal sampling mass —
+    the non-destructive alternative to dropping duplicates when
+    commonness is itself a signal.  eff_tokens is the doc's token count
+    under that weight (the corpus's effective size after reweighting).
+
+    Plan shape: ONE window count over xxhash64(t) — the same single
+    shuffle as the exact-dup star, 8-byte keys (never raw text) through
+    the exchange; the oracle groups by t directly (hash collisions at
+    ~n^2/2^65 are the documented engine-side risk, same contract as
+    dedup_new_vs_corpus)."""
+    from file_dedup_rust_spark.operators.exact import duplication_weights
+
+    c = corpus_exact(spark, sf_dir)
+    keyed = c.select(
+        "doc_id",
+        F.xxhash64("t").alias("k"),
+        F.size(F.split("t", " ")).alias("n_tokens"),
+    )
+    return duplication_weights(keyed, "k").select(
+        "doc_id",
+        "group_size",
+        "weight",
+        F.round(F.col("n_tokens") / F.col("group_size"), 4).alias("eff_tokens"),
+    )
+
+
+SQL_SOFT_DEDUP_WEIGHTS = f"""
+WITH {SQL_CORPUS_EXACT},
+g AS (
+  SELECT doc_id, len(string_split(t, ' ')) AS n_tokens,
+         count(*) OVER (PARTITION BY t) AS group_size
+  FROM corpus
+)
+SELECT doc_id, CAST(group_size AS BIGINT) AS group_size,
+       round(1.0 / group_size, 6) AS weight,
+       round(n_tokens * 1.0 / group_size, 4) AS eff_tokens
+FROM g
+"""
+
+
+SHUF_COPY_MOD = 7          # corpus_shuffled: every 7th doc gets a reversed copy
+SHUF_ID_OFFSET = 3_000_000
+
+
+def corpus_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ word-REVERSED copies of every 7th doc (id+3e6): a
+    reordered re-upload — same word multiset, permuted order — invisible
+    to the byte hash AND to every n-gram tier (word-3-gram Jaccard of a
+    reversed doc vs its source is ~0)."""
+    d = docs_corpus(spark, sf_dir)
+    rev = d.filter(F.col("doc_id") % SHUF_COPY_MOD == 0).select(
+        (F.col("doc_id") + SHUF_ID_OFFSET).alias("doc_id"),
+        F.array_join(F.reverse(F.split("t", " ")), " ").alias("t"),
+    )
+    return d.unionByName(rev)
+
+
+SQL_CORPUS_SHUFFLED = f"""
+corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + {SHUF_ID_OFFSET},
+         array_to_string(
+           list_reverse(string_split(lower(coalesce(text, '')), ' ')), ' ')
+  FROM documents WHERE doc_id % {SHUF_COPY_MOD} = 0
+)
+"""
+
+
+def q_bow_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-invariant exact tier: duplicate groups under the
+    canonical bag-of-words key (operators.exact.reorder_invariant_key —
+    md5 over the SORTED word multiset).  Catches shuffled/permuted
+    re-uploads that break the byte hash and every n-gram window; at
+    sf0.01 all 72 planted reversed copies differ byte-wise from their
+    source (the exact tier sees none of them) and all 72 groups land
+    here.  Same plan as exact_dup_groups: one codegen projection, one
+    groupBy on a 32-byte digest."""
+    from file_dedup_rust_spark.operators.exact import reorder_invariant_key
+
+    c = corpus_shuffled(spark, sf_dir)
+    return (
+        c.select("doc_id", reorder_invariant_key(F.col("t")).alias("bow_key"))
+        .groupBy("bow_key")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+SQL_BOW_DUP_GROUPS = f"""
+WITH {SQL_CORPUS_SHUFFLED}
+SELECT md5(array_to_string(list_sort(string_split(t, ' ')), ' ')) AS bow_key,
+       count(*) AS n_members,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM corpus
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+CONT_FRAC_T = 0.9   # fuzzy containment threshold (fraction of a's grams in b)
+
+
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY containment: |grams(a) ∩ grams(b)| / |grams(a)| ≥ 0.9 over
+    word-3-gram sets (ordered pairs, a≠b) — the gram-fraction version
+    of the exact substring tier (containment_pairs).  An edited quote
+    or a prefix with a few words substituted stops being an exact
+    substring (the suffix-array tier misses it) but keeps ≥90% of its
+    grams; this is the asymmetric inclusion rule Jaccard also misses
+    when |b| >> |a| (the union denominator drowns the overlap).
+
+    Plan shape: the same posting-list equi-join + partial-agg count as
+    jaccard_pairs, then ONE size join (only the contained side's size
+    normalizes).  Word-3-gram posting lists are short on this corpus;
+    the capped/salted variant (operators.candidates) is the 100-TB
+    path, same as the Jaccard tier."""
+    sh = shingles(corpus_near(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("ia"), "g")
+    b = sh.select(F.col("doc_id").alias("ib"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
+    return (
+        inter.join(sa, "ia")
+        .select(
+            "ia", "ib",
+            F.round(F.col("c") / F.col("na"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONT_FRAC_T)
+    )
+
+
+SQL_NGRAM_CONTAINMENT_PAIRS = f"""
+WITH {_sql_shingles(SQL_CORPUS_NEAR)},
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia, ib, round(c * 1.0 / sa.n, 4) AS containment
+FROM inter JOIN sz sa ON sa.doc_id = ia
+WHERE round(c * 1.0 / sa.n, 4) >= {CONT_FRAC_T}
+"""
+
+
+EMB_DECONTAM_T = 0.35    # semantic contamination threshold
+EMB_LEAK_MOD = 3         # eval vecs with vec_id % 3 == 1 leak into the corpus
+EMB_LEAK_OFFSET = 6_000_000
+EMB_LEAK_SHIFT = 0.02    # element-wise shift applied to the leaked copy
+
+
+def _emb_corpus_and_eval(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split embeddings into (corpus ∪ planted leaks, eval).  Leaks are
+    element-shifted copies of every 3rd eval vector (id+6e6) — near-1.0
+    cosine to their source, the semantic analog of the planted prefix
+    leaks the text decontam queries use.  Elements are cast to DOUBLE
+    BEFORE the shift so the arithmetic is IEEE-double in both engines."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ev = e.filter(F.col("vec_id") % EVAL_MOD == EVAL_RESIDUE)
+    base = e.filter(F.col("vec_id") % EVAL_MOD != EVAL_RESIDUE)
+    leaked = ev.filter(F.col("vec_id") % EMB_LEAK_MOD == 1).select(
+        (F.col("vec_id") + EMB_LEAK_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.lit(EMB_LEAK_SHIFT)
+        ).alias("embedding"),
+    )
+    return base.unionByName(leaked), ev
+
+
+def q_embedding_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination
+    (operators.decontaminate.embedding_contamination_hits): corpus
+    vectors whose cosine to any eval vector clears the threshold, with
+    the best-matching eval id — catches rewrites/translations sharing
+    no n-gram, and re-recorded readings of eval prompts no PCM or frame
+    hash can see.  The eval matrix is a bounded broadcast-style collect
+    (the semdedup seed contract); the corpus streams through ONE
+    mapInPandas BLAS pass — zero shuffle (plan-pinned)."""
+    from file_dedup_rust_spark.operators.decontaminate import (
+        embedding_contamination_hits,
+    )
+
+    corpus, ev = _emb_corpus_and_eval(spark, sf_dir)
+    return embedding_contamination_hits(corpus, ev, EMB_DECONTAM_T)
+
+
+SQL_EMBEDDING_DECONTAM_HITS = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ev AS (SELECT vec_id, v FROM base WHERE vec_id % {EVAL_MOD} = {EVAL_RESIDUE}),
+corpus AS (
+  SELECT vec_id, v FROM base WHERE vec_id % {EVAL_MOD} != {EVAL_RESIDUE}
+  UNION ALL
+  SELECT vec_id + {EMB_LEAK_OFFSET},
+         list_transform(v, x -> x + {EMB_LEAK_SHIFT})
+  FROM ev WHERE vec_id % {EMB_LEAK_MOD} = 1
+),
+celems AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM corpus, unnest(generate_series(1, len(v))) AS u(i)
+),
+eelems AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM ev, unnest(generate_series(1, len(v))) AS u(i)
+),
+cn AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM celems GROUP BY 1),
+en AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM eelems GROUP BY 1),
+dots AS (
+  SELECT c.vec_id AS cid, e.vec_id AS eid, sum(c.x * e.x) AS dot
+  FROM celems c JOIN eelems e ON c.i = e.i
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT cid, eid, round(dot / (cn.n * en.n), 4) AS sim
+  FROM dots JOIN cn ON cn.vec_id = cid JOIN en ON en.vec_id = eid
+),
+best AS (
+  SELECT cid, eid, sim,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY sim DESC, eid ASC) AS rn
+  FROM sims
+)
+SELECT cid AS vec_id, eid AS best_eval_id, sim
+FROM best WHERE rn = 1 AND sim >= {EMB_DECONTAM_T}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4598,6 +4854,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_top_terms": q_vocab_top_terms,
     "length_percentiles": q_length_percentiles,
     "zipf_slope": q_zipf_slope,
+    "soft_dedup_weights": q_soft_dedup_weights,
+    "bow_dup_groups": q_bow_dup_groups,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
+    "embedding_decontam_hits": q_embedding_decontam_hits,
 }
 
 ORACLES: dict[str, str] = {
@@ -4683,4 +4943,8 @@ ORACLES: dict[str, str] = {
     "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
     "length_percentiles": SQL_LENGTH_PERCENTILES,
     "zipf_slope": SQL_ZIPF_SLOPE,
+    "soft_dedup_weights": SQL_SOFT_DEDUP_WEIGHTS,
+    "bow_dup_groups": SQL_BOW_DUP_GROUPS,
+    "ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS,
+    "embedding_decontam_hits": SQL_EMBEDDING_DECONTAM_HITS,
 }

@@ -179,6 +179,72 @@ def fuzzy_contamination_hits(
     )
 
 
+def embedding_contamination_hits(
+    corpus_e: DataFrame, eval_e: DataFrame, threshold: float
+) -> DataFrame:
+    """SEMANTIC decontamination: flag corpus vectors whose cosine
+    similarity to ANY eval-set vector reaches `threshold` — the
+    embedding-space analog of contamination_hits, catching rewrites
+    and translations that share no n-gram (and, for audio, re-recorded
+    readings of eval prompts that no PCM/frame hash can see).
+
+    Returns one row per contaminated corpus vector:
+    (vec_id, best_eval_id, sim) — the best-matching eval vector by
+    ROUNDED cosine (4 decimals), ties to the smallest eval id (the
+    same argmax contract as operators.semdedup.assign_to_seeds, so a
+    SQL oracle reproduces the choice).  Clean vectors emit nothing.
+
+    Scale shape: the eval matrix is bounded (the broadcast premise of
+    every decontamination surface here) — it is collected ONCE to a
+    (k x d) numpy matrix, same bounded-collect contract as semdedup's
+    seed matrix, and shipped in the task closure; the corpus then
+    streams through ONE mapInPandas BLAS pass ((n x d) @ (d x k) per
+    Arrow batch).  ZERO shuffle, no join, output bounded by the
+    contaminated count.  Past broadcast scale (~1e7 eval vectors) the
+    right tool is the IVF index (operators.ann) probed with eval
+    vectors instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = eval_e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    eid = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            raw = V @ E.T
+            # argmax over ROUNDED sims so the winner equals the
+            # oracle's ORDER BY round(sim,4) DESC, eval_id ASC (the
+            # eval axis is sorted by id; np.argmax takes the first
+            # maximum) — the semdedup assign-kernel contract
+            best = np.round(raw, 4).argmax(axis=1)
+            mx = raw[np.arange(len(V)), best]
+            # pre-filter with a raw-value margin; the BINDING
+            # threshold compare runs JVM-side on F.round (HALF_UP,
+            # matching DuckDB round()) below
+            keep = mx >= threshold - 1e-3
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)[keep],
+                    "best_eval_id": eid[best[keep]],
+                    "raw_sim": mx[keep],
+                }
+            )
+
+    scored = corpus_e.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, best_eval_id long, raw_sim double"
+    )
+    return scored.select(
+        "vec_id", "best_eval_id", F.round("raw_sim", 4).alias("sim")
+    ).filter(F.col("sim") >= threshold)
+
+
 def decontaminated(train: DataFrame, eval_docs: DataFrame, n: int = 8) -> DataFrame:
     """The clean corpus: train rows minus contamination_hits (left
     anti on doc_id — the hits side is bounded, so this broadcasts)."""

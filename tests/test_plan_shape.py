@@ -122,6 +122,25 @@ def test_decontam_broadcasts_eval_grams(spark):
     assert "BatchEvalPython" not in text
 
 
+def test_round5b_query_plans(spark):
+    """Round-5b queries keep their scale shapes: the semantic decontam
+    query is ONE mapInPandas pass (zero Exchange, no join of any
+    kind); the soft-weight and bag-of-words queries are pure JVM
+    expressions + hash exchanges (no row-wise Python anywhere)."""
+    from file_dedup_rust_spark.entry import testdata_queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    text = _plan(Q.q_embedding_decontam_hits(spark, sf))
+    assert "Exchange" not in text
+    assert "Join" not in text
+    for q in (Q.q_soft_dedup_weights, Q.q_bow_dup_groups,
+              Q.q_ngram_containment_pairs):
+        text = _plan(q(spark, sf))
+        assert "BatchEvalPython" not in text, q.__name__
+        assert "BroadcastNestedLoopJoin" not in text, q.__name__
+        assert "CartesianProduct" not in text, q.__name__
+
+
 def test_audio_containment_join_is_hash_equi(spark):
     """The frame-hash posting self-join must plan as an equi-join
     (SMJ/SHJ on fhash) with hash aggregates — never a nested-loop or

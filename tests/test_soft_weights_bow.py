@@ -1,0 +1,125 @@
+"""Round-5b operators: SoftDeDup duplication weights, the
+reorder-invariant bag-of-words key, and semantic (embedding-space)
+decontamination.  The oracle-checked driver queries cover the
+end-to-end results; these tests pin the operator-level invariants the
+hash compare can't express (per-group mass conservation, permutation
+invariance, leak attribution)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from file_dedup_rust_spark.operators.decontaminate import (
+    embedding_contamination_hits,
+)
+from file_dedup_rust_spark.operators.exact import (
+    duplication_weights,
+    reorder_invariant_key,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=40)
+)
+def test_duplication_weights_conserve_unit_mass_per_group(spark, keys):
+    """sum(weight) over each exact-dup group == 1 (to rounding): the
+    SoftDeDup contract — every distinct content carries equal total
+    sampling mass regardless of how many copies exist."""
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)], "i long, k long")
+    out = duplication_weights(df, "k")
+    sums = {
+        r["k"]: (r["s"], r["n"])
+        for r in out.groupBy("k")
+        .agg(F.sum("weight").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    import collections
+
+    truth = collections.Counter(keys)
+    assert set(sums) == set(truth)
+    for k, m in truth.items():
+        s, n = sums[k]
+        assert n == m
+        # m copies at round(1/m, 6) each: within m * 5e-7 of 1
+        assert abs(s - 1.0) <= m * 5e-7
+
+
+def test_reorder_invariant_key_permutation_and_multiset(spark):
+    """Any permutation of the words collides; a different MULTISET
+    (extra copy of a word) must not."""
+    rows = [
+        ("fwd", "alpha beta gamma delta"),
+        ("rev", "delta gamma beta alpha"),
+        ("shuf", "gamma alpha delta beta"),
+        ("multi", "alpha alpha beta gamma delta"),
+        ("other", "alpha beta gamma epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, t string")
+    keys = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", reorder_invariant_key(F.col("t")).alias("k")
+        ).collect()
+    }
+    assert keys["fwd"] == keys["rev"] == keys["shuf"]
+    assert keys["multi"] != keys["fwd"]
+    assert keys["other"] != keys["fwd"]
+
+
+@pytest.fixture(scope="module")
+def emb_tables(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    ev = [(100 + i, rng.standard_normal(16).tolist()) for i in range(5)]
+    # corpus: 40 random vectors + a leaked near-copy of eval vec 102
+    corpus = [(i, rng.standard_normal(16).tolist()) for i in range(40)]
+    leak_src = dict(ev)[102]
+    corpus.append((9000, [x + 0.01 for x in leak_src]))
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(corpus, schema),
+        spark.createDataFrame(ev, schema),
+    )
+
+
+def test_embedding_decontam_flags_planted_leak(emb_tables):
+    corpus, ev = emb_tables
+    hits = {
+        r["vec_id"]: (r["best_eval_id"], r["sim"])
+        for r in embedding_contamination_hits(corpus, ev, 0.95).collect()
+    }
+    # exactly the planted leak survives a 0.95 threshold on 16-d
+    # gaussians (random cosines concentrate near 0), attributed to its
+    # true source
+    assert set(hits) == {9000}
+    eid, sim = hits[9000]
+    assert eid == 102
+    assert sim >= 0.99
+
+
+def test_embedding_decontam_clean_corpus_is_empty(emb_tables):
+    corpus, ev = emb_tables
+    clean = corpus.filter(F.col("vec_id") != 9000)
+    assert embedding_contamination_hits(clean, ev, 0.95).count() == 0
+
+
+def test_embedding_decontam_zero_shuffle_plan(emb_tables):
+    """The scale contract: ONE mapInPandas pass against the collected
+    eval matrix — no Exchange, no join operator of any kind."""
+    import contextlib
+    import io
+
+    corpus, ev = emb_tables
+    df = embedding_contamination_hits(corpus, ev, 0.5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    assert "Exchange" not in text
+    assert "Join" not in text
+    assert "CartesianProduct" not in text

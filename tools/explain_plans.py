@@ -158,6 +158,32 @@ def main() -> int:
     ))
 
     sections.append((
+        "embedding_decontam_hits (semantic decontamination: corpus "
+        "streams through ONE mapInPandas BLAS pass against the bounded "
+        "collected eval matrix — ZERO Exchange, no join operator in "
+        "the plan at all)",
+        plan_text(Q.q_embedding_decontam_hits(spark, args.sf_dir)),
+        ["MapInPandas"],
+    ))
+
+    sections.append((
+        "soft_dedup_weights (SoftDeDup reweighting: ONE window count "
+        "over xxhash64(t) — the same single shuffle as the exact-dup "
+        "star, 8-byte keys, no join back)",
+        plan_text(Q.q_soft_dedup_weights(spark, args.sf_dir)),
+        ["Window", "xxhash64"],
+    ))
+
+    sections.append((
+        "bow_dup_groups (reorder-invariant exact tier: split -> "
+        "array_sort -> md5 inside one codegen projection, then one "
+        "groupBy on the 32-byte digest — no Python, no text through "
+        "the exchange)",
+        plan_text(Q.q_bow_dup_groups(spark, args.sf_dir)),
+        ["md5", "HashAggregate", "partial"],
+    ))
+
+    sections.append((
         "corpus_build_funnel (raw -> exact-dedup reps -> decontaminate "
         "-> stratified sample: window rep contraction, broadcast eval "
         "grams, Knuth-hash sample filter — four operators, no "

@@ -168,7 +168,10 @@ def main() -> int:
                      "boilerplate_prune", "leakage_safe_split",
                      "mixture_weights", "conflict_repair",
                      "mixture_applied", "edit_verified_pairs",
-                     "source_token_quota", "corpus_diversity"]:
+                     "source_token_quota", "corpus_diversity",
+                     "soft_dedup_weights", "bow_dup_groups",
+                     "ngram_containment_pairs",
+                     "embedding_decontam_hits"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

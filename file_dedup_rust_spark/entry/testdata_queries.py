@@ -4529,11 +4529,13 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     commonness is itself a signal.  eff_tokens is the doc's token count
     under that weight (the corpus's effective size after reweighting).
 
-    Plan shape: ONE window count over xxhash64(t) — the same single
-    shuffle as the exact-dup star, 8-byte keys (never raw text) through
-    the exchange; the oracle groups by t directly (hash collisions at
-    ~n^2/2^65 are the documented engine-side risk, same contract as
-    dedup_new_vs_corpus)."""
+    Plan shape: partial-agg groupBy count + join back on xxhash64(t) —
+    8-byte keys (never raw text) through the exchange, and the hot-key
+    worst case map-side-combines instead of concentrating in one
+    window task (measured 1.5x at 1 M rows / 50% hot key,
+    tools/probe_round5b_scale.py); the oracle groups by t directly
+    (hash collisions at ~n^2/2^65 are the documented engine-side risk,
+    same contract as dedup_new_vs_corpus)."""
     from file_dedup_rust_spark.operators.exact import duplication_weights
 
     c = corpus_exact(spark, sf_dir)
@@ -4773,6 +4775,150 @@ FROM best WHERE rn = 1 AND sim >= {EMB_DECONTAM_T}
 """
 
 
+def q_contam_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination ATTRIBUTION: the per-source rollup of
+    decontam_hits — which ingestion source is leaking eval data, at
+    what rate, with how many gram hits.  The report a pipeline owner
+    reads to decide which feed to quarantine (per-doc hits alone don't
+    say WHERE the leak enters).  Planted leaks carry source='leaked'
+    so the attribution is verifiable; zero-hit sources still appear
+    (LEFT join) — absence of contamination is part of the report.
+
+    Plan shape: the decontam probe is unchanged (broadcast eval grams,
+    corpus streamed); the rollup adds one LEFT join against the
+    bounded hits table and one groupBy on source — both tiny next to
+    the gram join at any scale."""
+    from file_dedup_rust_spark.operators.decontaminate import (
+        contamination_hits,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.coalesce("text", F.lit(""))).alias("t"), "source"
+    )
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE).select(
+        "doc_id", "t"
+    )
+    leaks = (
+        d.filter(F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE)
+        .filter(F.col("doc_id") % CONTAM_MOD == 1)
+        .select(
+            (F.col("doc_id") + CONTAM_ID_OFFSET).alias("doc_id"),
+            _decontam_prefix().alias("t"),
+            F.lit("leaked").alias("source"),
+        )
+    )
+    train = d.filter(F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE).unionByName(
+        leaks
+    )
+    hits = contamination_hits(train.select("doc_id", "t"), ev, DECONTAM_N)
+    per_doc = train.select("doc_id", "source").join(hits, "doc_id", "left")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("n_gram_hits").alias("n_contaminated"),
+        F.round(
+            F.count("n_gram_hits") * 100.0 / F.count("*"), 4
+        ).alias("contam_pct"),
+        F.coalesce(F.sum("n_gram_hits"), F.lit(0))
+        .cast("long")
+        .alias("total_gram_hits"),
+    )
+
+
+SQL_CONTAM_BY_SOURCE = f"""
+WITH docs_t AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t, source FROM documents
+),
+evalset AS (
+  SELECT doc_id, t FROM docs_t WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+),
+train AS (
+  SELECT doc_id, t, source FROM docs_t
+  WHERE doc_id % {EVAL_MOD} != {EVAL_RESIDUE}
+  UNION ALL
+  SELECT doc_id + {CONTAM_ID_OFFSET},
+         array_to_string(
+           w[1:greatest(CAST(floor(len(w) * 3 / 5) AS INT), {DECONTAM_N})], ' '),
+         'leaked'
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM evalset
+        WHERE doc_id % {CONTAM_MOD} = 1)
+),
+tg AS ({_sql_ngrams('train', DECONTAM_N)}),
+eg AS ({_sql_ngrams('evalset', DECONTAM_N)}),
+hits AS (
+  SELECT t.doc_id, count(DISTINCT t.g) AS n_gram_hits
+  FROM tg t JOIN eg e ON e.g = t.g
+  GROUP BY 1
+)
+SELECT source, count(*) AS n_docs,
+       count(h.doc_id) AS n_contaminated,
+       round(count(h.doc_id) * 100.0 / count(*), 4) AS contam_pct,
+       CAST(coalesce(sum(h.n_gram_hits), 0) AS BIGINT) AS total_gram_hits
+FROM train LEFT JOIN hits h USING (doc_id)
+GROUP BY 1
+"""
+
+
+DRIFT_BUCKET = 100   # ingestion-window width (docs per bucket by doc_id)
+
+
+def q_dup_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-rate DRIFT monitor: per ingestion window (doc_id bucket of
+    {DRIFT_BUCKET}), how many arriving docs were first occurrences of
+    their content vs re-uploads of something already seen (global
+    first-seen = min doc_id per content hash).  A crawl that starts
+    re-fetching old pages shows up as a dup_pct step — the time-series
+    a pipeline owner alarms on; the planted copies (id+1e6) land in
+    late buckets at 100%.
+
+    Plan shape: partial-agg min per xxhash64(t) key + join back (8-byte
+    keys; the groupBy-not-window choice is the duplication_weights
+    hot-key rule — a 1 B-copy boilerplate key map-side-combines to one
+    partial row per task instead of one task sorting 1 B rows), then
+    one bounded groupBy on the bucket — never a global row_number,
+    never a single-partition window."""
+    c = corpus_exact(spark, sf_dir)
+    keyed = c.select("doc_id", F.xxhash64("t").alias("k"))
+    mins = keyed.groupBy("k").agg(F.min("doc_id").alias("first_id"))
+    firsts = keyed.join(mins, "k")
+    return (
+        firsts.groupBy(
+            F.floor(F.col("doc_id") / DRIFT_BUCKET).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_id")).cast("long")
+            ).alias("n_new"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_new",
+            F.round(
+                (F.col("n_docs") - F.col("n_new")) * 100.0 / F.col("n_docs"),
+                4,
+            ).alias("dup_pct"),
+        )
+    )
+
+
+SQL_DUP_RATE_DRIFT = f"""
+WITH {SQL_CORPUS_EXACT},
+firsts AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY t) AS first_id
+  FROM corpus
+)
+SELECT CAST(floor(doc_id / {DRIFT_BUCKET}) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       round((count(*) - sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END))
+             * 100.0 / count(*), 4) AS dup_pct
+FROM firsts
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4858,6 +5004,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bow_dup_groups": q_bow_dup_groups,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "embedding_decontam_hits": q_embedding_decontam_hits,
+    "contam_by_source": q_contam_by_source,
+    "dup_rate_drift": q_dup_rate_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -4947,4 +5095,6 @@ ORACLES: dict[str, str] = {
     "bow_dup_groups": SQL_BOW_DUP_GROUPS,
     "ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS,
     "embedding_decontam_hits": SQL_EMBEDDING_DECONTAM_HITS,
+    "contam_by_source": SQL_CONTAM_BY_SOURCE,
+    "dup_rate_drift": SQL_DUP_RATE_DRIFT,
 }

@@ -112,14 +112,20 @@ def duplication_weights(keyed: DataFrame, key_col: str = "k") -> DataFrame:
     weighting is the non-destructive alternative a 100 TB pipeline
     prefers when duplication count is itself a quality signal.
 
-    Plan shape: ONE window count over the content key — the same
-    single shuffle as the exact-dup star (exact_dup_edges), no join
-    back, no second pass.  The key should be a HASH of the content
-    (xxhash64/sha2), never the raw text, so the shuffle ships 8-byte
-    keys (VERDICT r4 "what's wrong" #1 convention).
+    Plan shape: partial-agg groupBy count + equi-join back on the key —
+    deliberately NOT a window count.  Measured at the hot-key worst
+    case (1 M rows, ONE key on half the corpus,
+    tools/probe_round5b_scale.py): the window variant concentrates the
+    500 k-row partition in one task (a window cannot split a hot
+    partition) at 11.5 s, while the groupBy's map-side combine crosses
+    the shuffle as one partial row per task and AQE can skew-split the
+    join probe side — 7.5 s, and the gap widens with the hot group.
+    The key should be a HASH of the content (xxhash64/sha2), never the
+    raw text, so the shuffle ships 8-byte keys (VERDICT r4 "what's
+    wrong" #1 convention).
     """
-    w = Window.partitionBy(key_col)
-    return keyed.withColumn("group_size", F.count("*").over(w)).withColumn(
+    counts = keyed.groupBy(key_col).agg(F.count("*").alias("group_size"))
+    return keyed.join(counts, key_col).withColumn(
         "weight", F.round(F.lit(1.0) / F.col("group_size"), 6)
     )
 

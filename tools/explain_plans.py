@@ -167,11 +167,13 @@ def main() -> int:
     ))
 
     sections.append((
-        "soft_dedup_weights (SoftDeDup reweighting: ONE window count "
-        "over xxhash64(t) — the same single shuffle as the exact-dup "
-        "star, 8-byte keys, no join back)",
+        "soft_dedup_weights (SoftDeDup reweighting: partial-agg "
+        "groupBy count + join back on xxhash64(t) — map-side combine "
+        "beats a window count 1.5x at the 50%-hot-key worst case, and "
+        "AQE can skew-split the join where a window partition cannot "
+        "split)",
         plan_text(Q.q_soft_dedup_weights(spark, args.sf_dir)),
-        ["Window", "xxhash64"],
+        ["HashAggregate", "partial", "xxhash64"],
     ))
 
     sections.append((

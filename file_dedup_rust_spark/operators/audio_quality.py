@@ -150,6 +150,50 @@ def transcript_conflicts(signatures: DataFrame) -> DataFrame:
     return value_conflicts(base, "pcm_sha", "t_norm")
 
 
+def reread_groups(signatures: DataFrame) -> DataFrame:
+    """The CONVERSE of transcript_conflicts: clips whose normalized
+    transcript is identical but whose decoded audio differs (distinct
+    codec-invariant pcm_sha) — multiple recordings ("re-reads") of one
+    text.  The pipeline's exact-transcript tier deliberately stars
+    these into one cluster (a re-read adds no new text); this report
+    quantifies the ACOUSTIC diversity that choice collapses, so a
+    TTS/multi-speaker corpus owner can decide to keep the tier off —
+    or mine re-read groups as speaker-variation training pairs.
+
+    Per group (only groups with >1 distinct recording):
+      t_key          xxhash64 of the normalized transcript (8-byte
+                     groupBy key; the text itself never shuffles)
+      n_clips        rows sharing the transcript
+      n_recordings   distinct decoded-audio identities (pcm_sha)
+      bit_spread     count of VARYING spectral-SimHash bits across the
+                     group (bit_count(bit_or ^ bit_and), 0..64) — an
+                     upper bound on pairwise Hamming distance and a
+                     shuffle-free acoustic-diversity proxy (exact max
+                     pairwise distance would need the pair explode the
+                     in-bucket verify tier reserves for candidates)
+      rms_spread     max - min of per-clip RMS (level diversity)
+
+    Zero extra decode — every input rides the signature pass; one
+    hash-keyed groupBy, all aggregates map-side-combining."""
+    base = signatures.filter(
+        F.col("decode_ok") & (F.col("pcm_sha") != "") & (F.col("t_norm") != "")
+    ).select("t_norm", "pcm_sha", "simhash", "pcm_rms")
+    return (
+        base.groupBy(F.xxhash64("t_norm").alias("t_key"))
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.count_distinct("pcm_sha").alias("n_recordings"),
+            F.bit_count(
+                F.bit_or("simhash").bitwiseXOR(F.bit_and("simhash"))
+            ).alias("bit_spread"),
+            F.round(F.max("pcm_rms") - F.min("pcm_rms"), 6).alias(
+                "rms_spread"
+            ),
+        )
+        .filter(F.col("n_recordings") > 1)
+    )
+
+
 def transcript_consensus(
     signatures: DataFrame, variant_cap: int = 64
 ) -> DataFrame:

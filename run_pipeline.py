@@ -282,12 +282,16 @@ def main() -> int:
         from file_dedup_rust_spark.operators.audio_quality import (
             quality_flags,
             quality_report,
+            reread_groups,
             transcript_conflicts,
         )
 
         summary["quality"] = quality_report(quality_flags(res.signatures, cfg))
         summary["quality"]["transcript_conflicts"] = (
             transcript_conflicts(res.signatures).count()
+        )
+        summary["quality"]["reread_groups"] = (
+            reread_groups(res.signatures).count()
         )
     print(json.dumps(summary))
     spark.stop()

@@ -247,6 +247,55 @@ def test_transcript_conflicts_majority_repair(spark):
     assert tie["majority_val"] == "apple"
 
 
+def test_reread_groups_same_text_different_audio(spark):
+    """The converse audit: identical normalized transcripts over
+    DISTINCT recordings form a re-read group with diversity metrics;
+    same-audio copies (even container-flipped) do NOT count as a
+    second recording, and undecodable / empty-transcript rows are
+    excluded."""
+    from file_dedup_rust_spark.operators.audio_quality import reread_groups
+
+    sr = 8000
+    t440 = _tone()
+    t880 = _tone(f=880.0)
+    wav440 = bytearray(A.encode_wav(t440, sr))
+    rows = [
+        # re-read group: same text, three clips but only TWO distinct
+        # recordings (r2 is a container flip of r1 — same pcm_sha)
+        ("r1", wav440, sr, 500, "wav", "hello world"),
+        (
+            "r2",
+            bytearray(
+                np.clip(np.round(t440 * 32767), -32768, 32767)
+                .astype("<i2").tobytes()
+            ),
+            sr,
+            500,
+            "pcm_s16le",
+            "hello world",
+        ),
+        ("r3", bytearray(A.encode_wav(t880, sr)), sr, 500, "wav", "hello world"),
+        # single-recording text: byte-identical pair, never a re-read
+        ("s1", wav440, sr, 500, "wav", "single take"),
+        ("s2", wav440, sr, 500, "wav", "single take"),
+        # undecodable: excluded
+        ("d1", bytearray(b"junk"), sr, 500, "wav", "hello world"),
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    out = reread_groups(compute_signatures(clips, CFG)).collect()
+    assert len(out) == 1
+    g = out[0].asDict()
+    assert g["n_clips"] == 3
+    assert g["n_recordings"] == 2
+    # different tones -> spectral SimHash bits vary; flips don't add
+    assert 0 < g["bit_spread"] <= 64
+    assert g["rms_spread"] >= 0.0
+
+
 def test_streaming_transcript_conflicts_at_ingest(spark, tmp_path):
     """Batch 1 stores a clip; batch 2 re-uploads the SAME audio under a
     flipped container with a DIFFERENT transcript -> the conflict is

@@ -4919,6 +4919,68 @@ GROUP BY 1
 """
 
 
+SKETCH_K = 64   # corpus-sketch lanes; std(est) = sqrt(p(1-p)/64)
+
+
+def q_source_jaccard_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level MinHash overlap ESTIMATION
+    (operators.corpus_sketch): each source reduces to a 64-lane
+    signature (lexicographic min of md5 lane hashes over its distinct
+    texts) and every source pair's Jaccard is estimated as the
+    agreeing-lane fraction — the scale path where the exact
+    source_overlap_matrix join is unaffordable (two 10-TB crawls never
+    shuffle against each other; adding a source never reprocesses the
+    rest).  Same planted mirror vendor as the exact matrix.  The lane
+    hash is md5 + string min — bit-identical in both engines, so the
+    ESTIMATE itself is the oracle surface (not just its expectation);
+    tests/test_soft_weights_bow.py additionally gates the estimator's
+    error against a controlled 0.5-overlap pair."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        sketch_jaccard,
+        source_minhash_sketch,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.lower(F.coalesce("text", F.lit(""))).alias("t"), "source"
+    )
+    mirror = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % EXACT_COPY_MOD == 0)
+        .select(
+            F.lower(F.coalesce("text", F.lit(""))).alias("t"),
+            F.lit("mirror").alias("source"),
+        )
+    )
+    corpus = d.unionByName(mirror)
+    return sketch_jaccard(
+        source_minhash_sketch(corpus, SKETCH_K), SKETCH_K
+    )
+
+
+SQL_SOURCE_JACCARD_SKETCH = f"""
+WITH corpus AS (
+  SELECT lower(coalesce(text, '')) AS t, source FROM documents
+  UNION ALL
+  SELECT lower(coalesce(text, '')), 'mirror'
+  FROM documents WHERE doc_id % {EXACT_COPY_MOD} = 0
+),
+dt AS (SELECT DISTINCT source, t FROM corpus),
+sigs AS (
+  SELECT source, lane,
+         min(md5(CAST(lane AS VARCHAR) || ':' || t)) AS sig
+  FROM dt, unnest(generate_series(0, {SKETCH_K - 1})) AS u(lane)
+  GROUP BY 1, 2
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT)
+         AS agree_lanes,
+       round(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)
+             / {SKETCH_K}.0, 4) AS jacc_est
+FROM sigs a JOIN sigs b ON a.lane = b.lane AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5006,6 +5068,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_decontam_hits": q_embedding_decontam_hits,
     "contam_by_source": q_contam_by_source,
     "dup_rate_drift": q_dup_rate_drift,
+    "source_jaccard_sketch": q_source_jaccard_sketch,
 }
 
 ORACLES: dict[str, str] = {
@@ -5097,4 +5160,5 @@ ORACLES: dict[str, str] = {
     "embedding_decontam_hits": SQL_EMBEDDING_DECONTAM_HITS,
     "contam_by_source": SQL_CONTAM_BY_SOURCE,
     "dup_rate_drift": SQL_DUP_RATE_DRIFT,
+    "source_jaccard_sketch": SQL_SOURCE_JACCARD_SKETCH,
 }

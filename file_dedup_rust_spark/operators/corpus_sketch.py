@@ -1,0 +1,90 @@
+"""Corpus-level MinHash sketches: estimate the Jaccard overlap between
+SOURCES (whole sub-corpora) without ever joining them.
+
+The exact cross-source overlap matrix
+(entry.testdata_queries.q_source_overlap_matrix) hash-joins every
+distinct text against every other — the right answer at test scale,
+but between two 10-TB crawls the distinct-text join is itself a
+corpus-sized shuffle.  The classic fix (Broder 1997, "On the
+resemblance and containment of documents" — applied here at corpus
+granularity) is a k-lane MinHash signature PER SOURCE: lane l's value
+is min over the source's distinct texts of a lane-salted hash, and
+E[fraction of agreeing lanes] = Jaccard(A, B).  Each source reduces to
+k values; the pairwise comparison is O(n_sources^2 * k) — driver-cheap
+for any real source count — and adding a source never reprocesses the
+others.
+
+Determinism/oracle contract: the lane hash is the LEXICOGRAPHIC min of
+the md5 hex digest of "<lane>:<text>" — md5 and string min are
+bit-identical in Spark and DuckDB, so the ESTIMATE itself (not just
+its expectation) is exactly reproducible by a SQL oracle.  MinHash
+needs only a total order on a uniform hash; the hex-string order is as
+good as an integer order and needs no hex->int conversion that one
+engine lacks.
+
+Scale shape: distinct (source, text) contracts first (one map-side-
+combined shuffle); the k-lane explode multiplies rows by k but the
+groupBy min map-side-combines each task down to (sources x k) partial
+rows before the exchange — the shuffle carries signatures, never
+texts.  k=64 gives std(est) = sqrt(p(1-p)/64) <= 0.0625.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def source_minhash_sketch(
+    corpus: DataFrame, k: int = 64
+) -> DataFrame:
+    """(source, t) rows -> (source, lane, sig) k-lane signatures.
+
+    sig is the lexicographic min md5("<lane>:<t>") over the source's
+    DISTINCT texts.  Re-hashing per lane (k md5 calls per row) keeps
+    the lanes independent; all of it runs in whole-stage codegen."""
+    lanes = F.explode(
+        F.array(*[F.lit(i) for i in range(k)])
+    ).alias("lane")
+    hashed = (
+        corpus.select("source", "t")
+        .distinct()
+        .select("source", "t", lanes)
+        .select(
+            "source",
+            "lane",
+            F.md5(
+                F.concat_ws(":", F.col("lane").cast("string"), F.col("t"))
+            ).alias("h"),
+        )
+    )
+    return hashed.groupBy("source", "lane").agg(F.min("h").alias("sig"))
+
+
+def sketch_jaccard(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """(source, lane, sig) -> (src_a, src_b, agree_lanes, jacc_est) for
+    every unordered source pair.  agree_lanes counts lanes whose min
+    hashes coincide; jacc_est = agree_lanes / k.  The join is
+    signatures-only: n_sources x k rows per side."""
+    a = sketch.select(
+        F.col("source").alias("src_a"), "lane", F.col("sig").alias("sig_a")
+    )
+    b = sketch.select(
+        F.col("source").alias("src_b"), "lane", F.col("sig").alias("sig_b")
+    )
+    return (
+        a.join(b, "lane")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                (F.col("sig_a") == F.col("sig_b")).cast("long")
+            ).alias("agree_lanes")
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "agree_lanes",
+            F.round(F.col("agree_lanes") / k, 4).alias("jacc_est"),
+        )
+    )

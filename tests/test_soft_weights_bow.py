@@ -108,6 +108,31 @@ def test_embedding_decontam_clean_corpus_is_empty(emb_tables):
     assert embedding_contamination_hits(clean, ev, 0.95).count() == 0
 
 
+def test_source_sketch_estimates_controlled_overlap(spark):
+    """Corpus-sketch estimator quality: two sources with EXACT Jaccard
+    0.5 (150 shared of 300 distinct texts) must estimate within 3+
+    sigma (std = sqrt(0.25/64) ~ 0.0625) of truth — and a disjoint
+    pair must estimate near zero."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        sketch_jaccard,
+        source_minhash_sketch,
+    )
+
+    rows = (
+        [("A", f"text number {i}") for i in range(200)]
+        + [("B", f"text number {i}") for i in range(100, 300)]
+        + [("C", f"other content {i}") for i in range(200)]
+    )
+    corpus = spark.createDataFrame(rows, "source string, t string")
+    est = {
+        (r["src_a"], r["src_b"]): r["jacc_est"]
+        for r in sketch_jaccard(source_minhash_sketch(corpus)).collect()
+    }
+    # A,B: inter 100, union 300 -> J = 1/3
+    assert abs(est[("A", "B")] - 1 / 3) <= 0.2
+    assert est[("A", "C")] <= 0.1 and est[("B", "C")] <= 0.1
+
+
 def test_embedding_decontam_zero_shuffle_plan(emb_tables):
     """The scale contract: ONE mapInPandas pass against the collected
     eval matrix — no Exchange, no join operator of any kind."""

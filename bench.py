@@ -171,7 +171,8 @@ def main() -> int:
                      "source_token_quota", "corpus_diversity",
                      "soft_dedup_weights", "bow_dup_groups",
                      "ngram_containment_pairs",
-                     "embedding_decontam_hits"]:
+                     "embedding_decontam_hits", "contam_by_source",
+                     "dup_rate_drift", "source_jaccard_sketch"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

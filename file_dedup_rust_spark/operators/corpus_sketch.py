@@ -61,6 +61,22 @@ def source_minhash_sketch(
     return hashed.groupBy("source", "lane").agg(F.min("h").alias("sig"))
 
 
+def merge_sketches(*sketches: DataFrame) -> DataFrame:
+    """Union per-batch (source, lane, sig) sketches into the corpus
+    sketch: min is associative/commutative/idempotent, so sketching
+    each ingest batch separately and folding with a lane-wise min is
+    EXACTLY the sketch of the union — the LSM-style incremental
+    maintenance story (same contract as operators.ann.append_ivf_index:
+    append equals rebuild, and replaying a batch is a no-op).  A
+    nightly overlap report therefore costs one bounded merge of
+    (sources x k)-row tables, never a corpus re-scan."""
+    it = iter(sketches)
+    acc = next(it)
+    for s in it:
+        acc = acc.unionByName(s)
+    return acc.groupBy("source", "lane").agg(F.min("sig").alias("sig"))
+
+
 def sketch_jaccard(sketch: DataFrame, k: int = 64) -> DataFrame:
     """(source, lane, sig) -> (src_a, src_b, agree_lanes, jacc_est) for
     every unordered source pair.  agree_lanes counts lanes whose min

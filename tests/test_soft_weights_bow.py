@@ -133,6 +133,40 @@ def test_source_sketch_estimates_controlled_overlap(spark):
     assert est[("A", "C")] <= 0.1 and est[("B", "C")] <= 0.1
 
 
+def test_sketch_merge_equals_rebuild_and_is_idempotent(spark):
+    """Incremental maintenance contract: sketching two ingest batches
+    separately and merging equals sketching their union in one pass,
+    and replaying a batch changes nothing (min is idempotent)."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        merge_sketches,
+        source_minhash_sketch,
+    )
+
+    b1 = spark.createDataFrame(
+        [("A", f"doc {i}") for i in range(60)]
+        + [("B", f"doc {i}") for i in range(30, 90)],
+        "source string, t string",
+    )
+    b2 = spark.createDataFrame(
+        [("A", f"doc {i}") for i in range(60, 120)]
+        + [("C", f"late {i}") for i in range(40)],
+        "source string, t string",
+    )
+    k = 16
+    merged = merge_sketches(
+        source_minhash_sketch(b1, k), source_minhash_sketch(b2, k)
+    )
+    rebuilt = source_minhash_sketch(b1.unionByName(b2), k)
+
+    def as_map(df):
+        return {(r["source"], r["lane"]): r["sig"] for r in df.collect()}
+
+    m, r = as_map(merged), as_map(rebuilt)
+    assert m == r
+    replayed = merge_sketches(merged, source_minhash_sketch(b2, k))
+    assert as_map(replayed) == m
+
+
 def test_embedding_decontam_zero_shuffle_plan(emb_tables):
     """The scale contract: ONE mapInPandas pass against the collected
     eval matrix — no Exchange, no join operator of any kind."""

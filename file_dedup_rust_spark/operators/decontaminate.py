@@ -208,6 +208,13 @@ def embedding_contamination_hits(
     import pandas as pd
 
     rows = eval_e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    if not rows:
+        # empty eval set: nothing can be contaminated — return an
+        # empty frame of the output schema instead of feeding a
+        # zero-row matrix to the BLAS kernel
+        return corpus_e.sparkSession.createDataFrame(
+            [], "vec_id long, best_eval_id long, sim double"
+        )
     eid = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     E = np.array([r["embedding"] for r in rows], dtype=np.float64)
     E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)

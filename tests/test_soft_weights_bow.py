@@ -167,6 +167,14 @@ def test_sketch_merge_equals_rebuild_and_is_idempotent(spark):
     assert as_map(replayed) == m
 
 
+def test_embedding_decontam_empty_eval_set(emb_tables, spark):
+    corpus, ev = emb_tables
+    empty = ev.filter("vec_id < 0")
+    out = embedding_contamination_hits(corpus, empty, 0.5)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "best_eval_id", "sim"]
+
+
 def test_embedding_decontam_zero_shuffle_plan(emb_tables):
     """The scale contract: ONE mapInPandas pass against the collected
     eval matrix — no Exchange, no join operator of any kind."""

@@ -4982,6 +4982,177 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# cross-modal audits: the text tier and the embedding tier disagree in
+# two useful directions — semantic-near / lexically-far pairs are
+# paraphrase candidates (contrastive positives / augmentation), and
+# lexically-near / embedding-far pairs expose stale or mismatched
+# embeddings (the re-embed queue)
+# ---------------------------------------------------------------------------
+
+PARA_JACCARD_MAX = 0.5   # below this, a semantic-near pair reads as a paraphrase
+STALE_COSINE_MAX = COSINE_T   # lexical-dup pairs whose vectors disagree
+
+
+def q_paraphrase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paraphrase mining: embedding-near (cosine >= COSINE_T) pairs
+    whose word-3-gram Jaccard is < PARA_JACCARD_MAX — same meaning,
+    different words.  These are exactly the pairs SemDeDup prunes but
+    a contrastive / augmentation pipeline wants to KEEP as positives,
+    so the op is the flip side of semdedup_prune.
+
+    Scale shape: the semantic tier's pair output bounds ALL lexical
+    work — the shingle table is semi-join-pruned to candidate ids
+    before its posting join, and the exact-Jaccard verify touches
+    candidate pairs only (never all-pairs text).  At 100 TB the
+    semantic side is the LSH-cosine / IVF path
+    (operators.cosine.hyperplane-LSH); here it is the exact blocked
+    matmul so brute-force SQL is the oracle.  Pairs sharing zero
+    shingles keep jac = 0.0 (left join + coalesce); degenerate
+    empty-text pairs (no shingles on either side) are treated as
+    lexically identical and excluded."""
+    sem = _neardup_cosine_pairs(spark, sf_dir)   # (ia, ib, sim)
+    sh = shingles(docs_corpus(spark, sf_dir))
+    cand_ids = (
+        sem.select(F.col("ia").alias("doc_id"))
+        .union(sem.select(F.col("ib").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sem.select("ia", "ib")
+        .join(shc.select(F.col("doc_id").alias("ia"), "g"), "ia")
+        .join(shc.select(F.col("doc_id").alias("ib"), "g"), ["ib", "g"])
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("c"))
+    )
+    c0 = F.coalesce(F.col("c"), F.lit(0).cast("long"))
+    denom = (
+        F.coalesce(F.col("na"), F.lit(0).cast("long"))
+        + F.coalesce(F.col("nb"), F.lit(0).cast("long"))
+        - c0
+    )
+    jac = F.round(F.when(denom > 0, c0 / denom), 4)
+    return (
+        sem.join(inter, ["ia", "ib"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na")),
+            "ia",
+            "left",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb")),
+            "ib",
+            "left",
+        )
+        .filter(F.coalesce(jac, F.lit(1.0)) < PARA_JACCARD_MAX)
+        .select("ia", "ib", "sim", jac.alias("jac"))
+    )
+
+
+SQL_PARAPHRASE_PAIRS = f"""
+WITH {SQL_COSINE_PAIRS},
+sem AS (SELECT ia, ib, sim FROM pairs WHERE sim >= {COSINE_T}),
+{_sql_shingles(SQL_DOCS_CORPUS)},
+inter AS (
+  SELECT s.ia, s.ib, count(*) AS c
+  FROM sem s
+  JOIN sh a ON a.doc_id = s.ia
+  JOIN sh b ON b.doc_id = s.ib AND b.g = a.g
+  GROUP BY 1, 2
+),
+jacs AS (
+  SELECT s.ia, s.ib, s.sim,
+         round(CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                         - coalesce(i.c, 0) > 0
+               THEN coalesce(i.c, 0) * 1.0
+                    / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                       - coalesce(i.c, 0))
+               END, 4) AS jac
+  FROM sem s
+  LEFT JOIN inter i ON i.ia = s.ia AND i.ib = s.ib
+  LEFT JOIN sz sa ON sa.doc_id = s.ia
+  LEFT JOIN sz sb ON sb.doc_id = s.ib
+)
+SELECT ia, ib, sim, jac FROM jacs
+WHERE coalesce(jac, 1.0) < {PARA_JACCARD_MAX}
+"""
+
+
+def q_stale_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift audit: word-3-gram Jaccard >= JACCARD_T pairs
+    whose embedding cosine is < STALE_COSINE_MAX — lexically the same
+    document but vectors that disagree, i.e. stale or wrongly-attached
+    embeddings.  Those rows silently poison SemDeDup (the dup never
+    co-clusters) and ANN recall; in production this output is the
+    re-embed queue.
+
+    Scale shape: the lexical tier's verified pairs bound all vector
+    work — one hash join per side fetches exactly two embeddings per
+    pair, and the cosine is a zip_with/aggregate over that pair row in
+    DOUBLE (no matmul, no all-pairs vector shuffle).  The reference's
+    per-file flow recomputes embeddings on upload and can never see
+    this class of drift
+    (/root/reference/backend/src/worker/deduplication_service.rs:247-254);
+    a batch corpus with separately-maintained embedding tables needs
+    the audit."""
+    lex = jaccard_pairs(shingles(docs_corpus(spark, sf_dir)), JACCARD_T)
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+
+    def _dvec(col: str):
+        return F.transform(col, lambda x: x.cast("double"))
+
+    def _nrm(col: str):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    ea = e.select(F.col("vec_id").alias("ia"), _dvec("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("ib"), _dvec("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(dot / (_nrm("va") * _nrm("vb")), 4)
+    return (
+        lex.join(ea, "ia")
+        .join(eb, "ib")
+        .filter(sim < STALE_COSINE_MAX)
+        .select("ia", "ib", "jac", sim.alias("sim"))
+    )
+
+
+SQL_STALE_EMBEDDING_PAIRS = f"""
+WITH {_sql_shingles(SQL_DOCS_CORPUS)},
+{SQL_JACCARD_PAIRS},
+lex AS (SELECT ia, ib, jac FROM jpairs WHERE jac >= {JACCARD_T}),
+elems AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elems GROUP BY 1),
+dots AS (
+  SELECT l.ia, l.ib, sum(a.x * b.x) AS dot
+  FROM lex l
+  JOIN elems a ON a.vec_id = l.ia
+  JOIN elems b ON b.vec_id = l.ib AND b.i = a.i
+  GROUP BY 1, 2
+)
+SELECT l.ia, l.ib, l.jac, round(d.dot / (sa.n * sb.n), 4) AS sim
+FROM lex l
+JOIN dots d ON d.ia = l.ia AND d.ib = l.ib
+JOIN nrm sa ON sa.vec_id = l.ia
+JOIN nrm sb ON sb.vec_id = l.ib
+WHERE round(d.dot / (sa.n * sb.n), 4) < {STALE_COSINE_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5069,6 +5240,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contam_by_source": q_contam_by_source,
     "dup_rate_drift": q_dup_rate_drift,
     "source_jaccard_sketch": q_source_jaccard_sketch,
+    "paraphrase_pairs": q_paraphrase_pairs,
+    "stale_embedding_pairs": q_stale_embedding_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5161,4 +5334,6 @@ ORACLES: dict[str, str] = {
     "contam_by_source": SQL_CONTAM_BY_SOURCE,
     "dup_rate_drift": SQL_DUP_RATE_DRIFT,
     "source_jaccard_sketch": SQL_SOURCE_JACCARD_SKETCH,
+    "paraphrase_pairs": SQL_PARAPHRASE_PAIRS,
+    "stale_embedding_pairs": SQL_STALE_EMBEDDING_PAIRS,
 }

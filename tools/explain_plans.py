@@ -435,6 +435,25 @@ def main() -> int:
         ["levenshtein", "HashAggregate", "partial_min"],
     ))
 
+    sections.append((
+        "paraphrase_pairs (cross-modal audit: semantic-near pairs from "
+        "the blocked cosine tier bound ALL lexical work — shingles are "
+        "LeftSemi-pruned to candidate ids before the posting join, the "
+        "exact-Jaccard verify touches candidate pairs only)",
+        plan_text(Q.q_paraphrase_pairs(spark, args.sf_dir)),
+        ["MapInPandas", "LeftSemi", "HashAggregate"],
+    ))
+
+    sections.append((
+        "stale_embedding_pairs (embedding drift audit: lexical-dup "
+        "pairs fetch exactly two embeddings each via hash joins, the "
+        "cosine is a zip_with/aggregate JVM expression on the pair row "
+        "— no matmul, no all-pairs vector shuffle, no Python)",
+        plan_text(Q.q_stale_embedding_pairs(spark, args.sf_dir)),
+        ["zip_with", "HashAggregate",
+         "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

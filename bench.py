@@ -172,7 +172,8 @@ def main() -> int:
                      "soft_dedup_weights", "bow_dup_groups",
                      "ngram_containment_pairs",
                      "embedding_decontam_hits", "contam_by_source",
-                     "dup_rate_drift", "source_jaccard_sketch"]:
+                     "dup_rate_drift", "source_jaccard_sketch",
+                     "paraphrase_pairs", "stale_embedding_pairs"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -173,7 +173,8 @@ def main() -> int:
                      "ngram_containment_pairs",
                      "embedding_decontam_hits", "contam_by_source",
                      "dup_rate_drift", "source_jaccard_sketch",
-                     "paraphrase_pairs", "stale_embedding_pairs"]:
+                     "paraphrase_pairs", "stale_embedding_pairs",
+                     "contam_coverage"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -2313,6 +2313,118 @@ GROUP BY 1
 """
 
 
+# contamination COVERAGE: the hit flag says "dirty"; the coverage
+# fraction says HOW dirty (drop vs redact routing).  The fixture
+# plants both ends: the 60%-prefix leaks from corpus_decontam (near
+# total coverage) plus STITCHED docs — one eval 8-gram grafted in
+# front of the same doc's word-REVERSED tail, so only the leading
+# window matches and covered_frac is a small partial fraction.
+
+STITCH_ID_OFFSET = 6_000_000
+
+
+def corpus_contam_coverage(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(train ∪ stitched partial-contamination docs, eval)."""
+    train, ev = corpus_decontam(spark, sf_dir)
+    w = F.split("t", " ")
+    stitched = (
+        ev.filter(F.col("doc_id") % CONTAM_MOD == 2)
+        .filter(F.size(w) >= 2 * DECONTAM_N)
+        .select(
+            (F.col("doc_id") + STITCH_ID_OFFSET).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.array_join(F.slice(w, 1, DECONTAM_N), " "),
+                F.array_join(
+                    F.reverse(
+                        F.expr(f"slice(split(t, ' '), {DECONTAM_N + 1}, "
+                               f"size(split(t, ' ')))")
+                    ),
+                    " ",
+                ),
+            ).alias("t"),
+        )
+    )
+    return train.unionByName(stitched), ev
+
+
+def q_contam_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level contamination fraction per contaminated doc
+    (operators.decontaminate.contamination_coverage): positioned train
+    grams stream through ONE BroadcastHashJoin against the distinct
+    eval gram set, then the per-doc interval union (the dup-span-census
+    JVM aggregate) converts matched windows into covered token
+    positions.  Planted truth spans both ends: 60%-prefix leaks read
+    ~1.0, stitched single-window grafts read ~8/n_tokens."""
+    from file_dedup_rust_spark.operators.decontaminate import (
+        contamination_coverage,
+    )
+
+    train, ev = corpus_contam_coverage(spark, sf_dir)
+    return contamination_coverage(train, ev, DECONTAM_N)
+
+
+SQL_CONTAM_COVERAGE = f"""
+WITH docs_t AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+evalset AS (
+  SELECT * FROM docs_t WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+),
+train AS (
+  SELECT * FROM docs_t WHERE doc_id % {EVAL_MOD} != {EVAL_RESIDUE}
+  UNION ALL
+  SELECT doc_id + {CONTAM_ID_OFFSET},
+         array_to_string(
+           w[1:greatest(CAST(floor(len(w) * 3 / 5) AS INT), {DECONTAM_N})], ' ')
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM evalset
+        WHERE doc_id % {CONTAM_MOD} = 1)
+  UNION ALL
+  SELECT doc_id + {STITCH_ID_OFFSET},
+         array_to_string(w[1:{DECONTAM_N}], ' ') || ' ' ||
+         array_to_string(list_reverse(w[{DECONTAM_N + 1}:]), ' ')
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM evalset
+        WHERE doc_id % {CONTAM_MOD} = 2)
+  WHERE len(w) >= {2 * DECONTAM_N}
+),
+tpos AS (
+  SELECT doc_id, len(w) AS n_tokens, i,
+         array_to_string(w[i:i+{DECONTAM_N - 1}], ' ') AS g
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM train),
+       unnest(generate_series(1, greatest(len(w) - {DECONTAM_N - 1}, 0)))
+         AS u(i)
+),
+eg AS (SELECT DISTINCT g FROM ({_sql_ngrams('evalset', DECONTAM_N)}) q),
+m AS (SELECT doc_id, n_tokens, i FROM tpos JOIN eg USING (g)),
+perdoc AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         count(*) AS matched_grams
+  FROM m GROUP BY 1
+),
+tokpos AS (
+  SELECT doc_id, u.j
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM train),
+       unnest(generate_series(1, len(w))) AS u(j)
+),
+cov AS (
+  SELECT doc_id, count(*) AS covered FROM (
+    SELECT DISTINCT t.doc_id, t.j
+    FROM tokpos t JOIN m d
+      ON d.doc_id = t.doc_id
+     AND d.i BETWEEN t.j - {DECONTAM_N - 1} AND t.j
+  ) GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(p.n_tokens AS INT) AS n_tokens,
+       p.matched_grams AS matched_grams,
+       c.covered AS covered_tokens,
+       round(c.covered * 1.0 / p.n_tokens, 4) AS covered_frac
+FROM perdoc p JOIN cov c USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # fuzzy (paraphrase-robust) decontamination: exact-gram decontam
 # misses eval leakage that was lightly EDITED — here every 40th word
@@ -5242,6 +5354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_jaccard_sketch": q_source_jaccard_sketch,
     "paraphrase_pairs": q_paraphrase_pairs,
     "stale_embedding_pairs": q_stale_embedding_pairs,
+    "contam_coverage": q_contam_coverage,
 }
 
 ORACLES: dict[str, str] = {
@@ -5336,4 +5449,5 @@ ORACLES: dict[str, str] = {
     "source_jaccard_sketch": SQL_SOURCE_JACCARD_SKETCH,
     "paraphrase_pairs": SQL_PARAPHRASE_PAIRS,
     "stale_embedding_pairs": SQL_STALE_EMBEDDING_PAIRS,
+    "contam_coverage": SQL_CONTAM_COVERAGE,
 }

@@ -91,6 +91,66 @@ def contamination_hits(
     )
 
 
+def contamination_coverage(
+    train: DataFrame, eval_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Token-level contamination fraction per contaminated doc — the
+    'dirtiness' metric the public decontamination recipes REPORT (not
+    just the hit flag): what fraction of a train document's token
+    positions sit inside at least one word-n-gram that also occurs in
+    the eval set (Brown et al. 2020 appendix C measure overlap at
+    token granularity; Chowdhery et al. 2022 §6.1 likewise).  A doc
+    with one boilerplate 8-gram hit and a doc that IS an eval document
+    both flag in contamination_hits; this operator separates them
+    (covered_frac 0.09 vs 1.0) so the pipeline can route
+    drop-vs-redact decisions.
+
+    Returns (doc_id, n_tokens, matched_grams, covered_tokens,
+    covered_frac) for contaminated docs only.
+
+    Scale shape: identical to contamination_hits — the distinct eval
+    gram set broadcasts, POSITIONED train grams stream through one
+    BroadcastHashJoin (the corpus is never shuffled on the gram key),
+    and the per-doc interval union is the same JVM aggregate as the
+    dup-span census (operators.dup_spans.covered_tokens_expr), bounded
+    by each doc's own token count."""
+    from file_dedup_rust_spark.operators.dup_spans import (
+        covered_tokens_expr,
+    )
+
+    lanes = ", ".join(f"w[i+{j}-1]" for j in range(n))
+    toks = train.select(
+        "doc_id", F.split("t", " ").alias("w")
+    ).select("doc_id", "w", F.size("w").alias("n_tokens"))
+    grams = F.when(
+        F.size("w") >= n,
+        F.expr(
+            f"transform(sequence(1, size(w) - {n - 1}),"
+            f" i -> concat_ws(' ', {lanes}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = toks.select(
+        "doc_id", "n_tokens", F.posexplode(grams).alias("p0", "g")
+    ).select("doc_id", "n_tokens", (F.col("p0") + 1).alias("i"), "g")
+    eg = word_ngrams(eval_docs, n).select("g").distinct()
+    per_doc = (
+        pos.join(F.broadcast(eg), "g")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("matched_grams"),
+            F.sort_array(F.collect_list("i")).alias("dps"),
+        )
+    )
+    covered = covered_tokens_expr(n)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "matched_grams",
+        covered.alias("covered_tokens"),
+        F.round(covered / F.col("n_tokens"), 4).alias("covered_frac"),
+    )
+
+
 def fuzzy_contamination_hits(
     train: DataFrame,
     eval_docs: DataFrame,

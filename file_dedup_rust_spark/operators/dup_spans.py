@@ -41,6 +41,29 @@ BLOCK_L = 8     # tokens per dedup block (dedup_blocks) — disjoint
                 # windows, unlike the census's overlapping grams
 
 
+def covered_tokens_expr(l: int):
+    """Interval-union token coverage over a SORTED gram-position array
+    column `dps`: the number of token positions inside at least one
+    [i, i+l) window — a JVM `aggregate` bounded by the document's own
+    token count.  Shared by the corpus dup-span census and the
+    decontamination coverage metric."""
+    return F.expr(
+        f"""
+        CASE WHEN size(dps) = 0 THEN CAST(0 AS BIGINT)
+        ELSE aggregate(
+          slice(dps, 2, size(dps) - 1),
+          named_struct('prev', element_at(dps, 1),
+                       'cov', CAST({l} AS BIGINT)),
+          (acc, p) -> named_struct(
+            'prev', p,
+            'cov', acc.cov + least(CAST({l} AS BIGINT),
+                                   CAST(p - acc.prev AS BIGINT))),
+          acc -> acc.cov)
+        END
+        """
+    )
+
+
 def dup_span_stats(docs_with_t: DataFrame, l: int = DUP_SPAN_L) -> DataFrame:
     """(doc_id, t) -> per-doc duplicated-span census.
 
@@ -74,21 +97,7 @@ def dup_span_stats(docs_with_t: DataFrame, l: int = DUP_SPAN_L) -> DataFrame:
             ).alias("dps"),
         )
     )
-    covered = F.expr(
-        f"""
-        CASE WHEN size(dps) = 0 THEN CAST(0 AS BIGINT)
-        ELSE aggregate(
-          slice(dps, 2, size(dps) - 1),
-          named_struct('prev', element_at(dps, 1),
-                       'cov', CAST({l} AS BIGINT)),
-          (acc, p) -> named_struct(
-            'prev', p,
-            'cov', acc.cov + least(CAST({l} AS BIGINT),
-                                   CAST(p - acc.prev AS BIGINT))),
-          acc -> acc.cov)
-        END
-        """
-    )
+    covered = covered_tokens_expr(l)
     return per_doc.select(
         "doc_id",
         "n_tokens",

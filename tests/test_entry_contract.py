@@ -17,7 +17,7 @@ def test_every_query_has_an_oracle_and_vice_versa():
         f"query/oracle drift: only-in-queries={sorted(set(q) - set(o))}, "
         f"only-in-oracles={sorted(set(o) - set(q))}"
     )
-    assert len(q) >= 85
+    assert len(q) >= 86
     for name, fn in q.items():
         assert callable(fn), name
         assert isinstance(o[name], str) and o[name].strip(), name

@@ -436,6 +436,15 @@ def main() -> int:
     ))
 
     sections.append((
+        "contam_coverage (token-level dirtiness: positioned corpus "
+        "grams stream through ONE BroadcastHashJoin against the "
+        "distinct eval gram set, per-doc interval union as a JVM "
+        "aggregate — the corpus is never shuffled on the gram key)",
+        plan_text(Q.q_contam_coverage(spark, args.sf_dir)),
+        ["BroadcastHashJoin", "HashAggregate", "posexplode"],
+    ))
+
+    sections.append((
         "paraphrase_pairs (cross-modal audit: semantic-near pairs from "
         "the blocked cosine tier bound ALL lexical work — shingles are "
         "LeftSemi-pruned to candidate ids before the posting join, the "

@@ -95,3 +95,43 @@ def test_fuzzy_plan_no_cartesian(spark):
     text = buf.getvalue()
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_coverage_interval_union_planted(spark):
+    """contamination_coverage on hand-built docs with KNOWN coverage:
+    one matching window covers exactly n tokens; two overlapping
+    windows union (not sum); a full leak covers everything; clean docs
+    emit nothing."""
+    from file_dedup_rust_spark.operators.decontaminate import (
+        contamination_coverage,
+    )
+
+    ev_words = [f"e{i}" for i in range(12)]           # 12-token eval doc
+    ev = spark.createDataFrame(
+        [(1, " ".join(ev_words))], "doc_id long, t string"
+    )
+    filler = [f"f{i}" for i in range(20)]
+    docs = [
+        # one 8-gram graft at the front: covers tokens 1..8 of 28
+        (10, " ".join(ev_words[:8] + filler)),
+        # 9-token graft = two overlapping matching windows (i=1,2):
+        # union covers 9 tokens, not 16
+        (11, " ".join(ev_words[:9] + filler)),
+        # the full eval doc leaked verbatim: 5 windows, 12/12 covered
+        (12, " ".join(ev_words)),
+        # clean doc: no row
+        (13, " ".join(filler + ["z1", "z2", "z3"])),
+    ]
+    train = spark.createDataFrame(docs, "doc_id long, t string")
+    got = {
+        r["doc_id"]: r
+        for r in contamination_coverage(train, ev, 8).collect()
+    }
+    assert set(got) == {10, 11, 12}
+    assert got[10]["matched_grams"] == 1
+    assert got[10]["covered_tokens"] == 8
+    assert got[11]["matched_grams"] == 2
+    assert got[11]["covered_tokens"] == 9          # union, not 16
+    assert got[12]["matched_grams"] == 5
+    assert got[12]["covered_tokens"] == 12
+    assert got[12]["covered_frac"] == 1.0

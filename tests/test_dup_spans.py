@@ -269,3 +269,45 @@ def test_prune_boilerplate_property_random_corpora(spark):
         for did, w in want.items():
             for k, v in w.items():
                 assert got[did][k] == v, (trial, did, k, got[did], w)
+
+
+def test_covered_tokens_expr_matches_python_interval_union(spark):
+    """Property: the JVM aggregate equals a plain-Python interval
+    union of [i, i+L) windows for random sorted position lists."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from file_dedup_rust_spark.operators.dup_spans import (
+        covered_tokens_expr,
+    )
+    import pyspark.sql.functions as F
+
+    L = 8
+
+    def py_union(dps):
+        covered = set()
+        for i in dps:
+            covered.update(range(i, i + L))
+        return len(covered)
+
+    @given(
+        st.lists(
+            st.lists(st.integers(1, 60), min_size=0, max_size=25),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(cases):
+        rows = [(k, sorted(set(c))) for k, c in enumerate(cases)]
+        df = spark.createDataFrame(rows, "k long, dps array<int>")
+        got = {
+            r["k"]: r["cov"]
+            for r in df.select(
+                "k", covered_tokens_expr(L).alias("cov")
+            ).collect()
+        }
+        for k, dps in rows:
+            assert got[k] == py_union(dps), (dps, got[k])
+
+    check()

@@ -5265,6 +5265,149 @@ WHERE round(d.dot / (sa.n * sb.n), 4) < {STALE_COSINE_MAX}
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. 2023) — score every raw doc by
+# how target-like its n-gram features are.  The target slice here is a
+# deterministic doc_id stratum (every 7th doc); in production it is the
+# high-quality corpus you want more of (e.g. Wikipedia vs Common
+# Crawl).  Selection by weight is composed downstream from
+# token_budget_select / stratified_sample.
+# ---------------------------------------------------------------------------
+
+DSIR_TGT_MOD = 7  # docs with doc_id % 7 == 1 form the target slice
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR log importance ratio of the raw slice vs the
+    target slice (mean over unigram+bigram feature occurrences of
+    ln p_tgt(f) - ln p_raw(f), add-1 smoothed over the union vocab).
+
+    Plan shape (see operators/dsir.py): one JVM gram projection, two
+    map-side partially-aggregated censuses on 8-byte xxhash64 keys, a
+    vocabulary-sized (NOT corpus-sized) log-ratio table joined back on
+    the hash, totals broadcast as a 1-row literal.  No window, no
+    Python, no strings through any exchange; `n_buckets` (unused here
+    so the oracle is exact) pins the ratio table to constant size at
+    100 TB."""
+    from file_dedup_rust_spark.operators.dsir import (
+        dsir_log_ratios,
+        ngram_features,
+    )
+
+    feats = ngram_features(docs_corpus(spark, sf_dir))
+    return dsir_log_ratios(
+        feats, F.col("doc_id") % DSIR_TGT_MOD == 1
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+wd AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+feats AS (
+  SELECT doc_id, u.x AS f FROM wd, unnest(w) AS u(x)
+  UNION ALL
+  SELECT doc_id, w[i-1] || ' ' || w[i] AS f
+  FROM wd, unnest(generate_series(2, len(w))) AS g(i)
+),
+tgt AS (SELECT f, count(*) AS ct FROM feats
+        WHERE doc_id % {DSIR_TGT_MOD} = 1 GROUP BY 1),
+raw AS (SELECT f, count(*) AS cr FROM feats
+        WHERE doc_id % {DSIR_TGT_MOD} <> 1 GROUP BY 1),
+vocab AS (
+  SELECT coalesce(tgt.f, raw.f) AS f,
+         coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+  FROM tgt FULL OUTER JOIN raw ON tgt.f = raw.f
+),
+tots AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS v FROM vocab)
+SELECT feats.doc_id,
+       CAST(count(*) AS INT) AS n_feats,
+       round(avg(ln(ct + 1) - ln(tt + v) - ln(cr + 1) + ln(tr + v)), 4)
+         AS dsir_logratio
+FROM feats JOIN vocab USING (f) CROSS JOIN tots
+WHERE feats.doc_id % {DSIR_TGT_MOD} <> 1
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-budget allocation (Chung et al. 2023, ICLR) — the
+# third mixture rule beside mixture_weights (DoReMi-style targets) and
+# temperature_mix (XLM-R alpha-sampling): spread the training budget
+# UNIFORMLY across languages, but cap every language at E epochs of
+# its available tokens and water-fill the leftover into the uncapped
+# (high-resource) languages.  Closed form once languages are sorted by
+# cap: the capped set is a prefix of the ascending order (if
+# cap_i >= remaining/slots then cap_{i+1} >= remaining'/slots' too), so
+# one cumulative-sum window over the LANGUAGE CENSUS — bounded rows,
+# never the corpus — decides capped/uncapped, and one tiny aggregate
+# redistributes.
+# ---------------------------------------------------------------------------
+
+UNIMAX_EPOCHS = 2         # per-language epoch ceiling E
+UNIMAX_BUDGET_FRAC = 1.5  # training budget B = floor(1.5 * corpus tokens)
+
+
+def q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language UniMax token allocation (n_tokens available,
+    alloc_tokens granted, epochs = alloc/available).
+
+    Plan shape: ONE corpus-wide shuffle (the per-language token
+    census, map-side partially aggregated); everything after runs on
+    the bounded language table — the row_number/cumsum window is over
+    |langs| rows, totals and the capped-prefix aggregate broadcast as
+    1-row literals.  All comparisons are exact integer-in-double
+    arithmetic; the only float division is the final share, rounded on
+    both sides."""
+    from file_dedup_rust_spark.functions.sampling import unimax_allocation
+
+    toks = _docs(spark, sf_dir).select(
+        F.coalesce("lang", F.lit("und")).alias("lang"),
+        F.size(F.split(F.lower(F.coalesce("text", F.lit(""))), " ")).alias("n"),
+    )
+    census = toks.groupBy("lang").agg(F.sum("n").alias("tok"))
+    return unimax_allocation(
+        census, "lang", "tok", UNIMAX_EPOCHS, UNIMAX_BUDGET_FRAC
+    )
+
+
+SQL_UNIMAX_ALLOC = f"""
+WITH toks AS (
+  SELECT coalesce(lang, 'und') AS lang,
+         len(string_split(lower(coalesce(text, '')), ' ')) AS n
+  FROM documents
+),
+census AS (SELECT lang, sum(n) AS tok FROM toks GROUP BY 1),
+tots AS (SELECT sum(tok) AS tt, count(*) AS nl FROM census),
+t AS (
+  SELECT lang, tok, nl,
+         CAST(tok * {UNIMAX_EPOCHS} AS DOUBLE) AS cap,
+         CAST(floor(tt * {UNIMAX_BUDGET_FRAC}) AS DOUBLE) AS b,
+         row_number() OVER
+           (ORDER BY CAST(tok * {UNIMAX_EPOCHS} AS DOUBLE), lang) AS i,
+         coalesce(sum(CAST(tok * {UNIMAX_EPOCHS} AS DOUBLE)) OVER
+           (ORDER BY CAST(tok * {UNIMAX_EPOCHS} AS DOUBLE), lang
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref
+  FROM census CROSS JOIN tots
+),
+t2 AS (SELECT *, cap * (nl - i + 1) < (b - pref) AS capped FROM t),
+caggs AS (
+  SELECT sum(CASE WHEN capped THEN cap ELSE 0 END) AS csum,
+         sum(CASE WHEN capped THEN 1 ELSE 0 END) AS ncap
+  FROM t2
+)
+SELECT lang,
+       CAST(tok AS BIGINT) AS n_tokens,
+       round(CASE WHEN capped THEN cap
+                  ELSE (b - csum) / (nl - ncap) END, 4) AS alloc_tokens,
+       round(round(CASE WHEN capped THEN cap
+                        ELSE (b - csum) / (nl - ncap) END, 4) / tok, 4)
+         AS epochs
+FROM t2 CROSS JOIN caggs
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5355,6 +5498,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paraphrase_pairs": q_paraphrase_pairs,
     "stale_embedding_pairs": q_stale_embedding_pairs,
     "contam_coverage": q_contam_coverage,
+    "dsir_weights": q_dsir_weights,
+    "unimax_alloc": q_unimax_alloc,
 }
 
 ORACLES: dict[str, str] = {
@@ -5450,4 +5595,6 @@ ORACLES: dict[str, str] = {
     "paraphrase_pairs": SQL_PARAPHRASE_PAIRS,
     "stale_embedding_pairs": SQL_STALE_EMBEDDING_PAIRS,
     "contam_coverage": SQL_CONTAM_COVERAGE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "unimax_alloc": SQL_UNIMAX_ALLOC,
 }

@@ -233,3 +233,73 @@ def temperature_rates(
         F.round(qn, 4).alias("q"),
         F.round(rate, 4).alias("sample_rate"),
     )
+
+
+def unimax_allocation(
+    census: DataFrame,
+    key_col: str,
+    tok_col: str,
+    epochs: float,
+    budget_frac: float,
+) -> DataFrame:
+    """UniMax language-budget water-fill (Chung et al. 2023, ICLR):
+    spread budget = floor(budget_frac * total tokens) uniformly over
+    the strata, cap each stratum at `epochs` passes of its available
+    tokens, redistribute leftover among the uncapped strata.
+
+    Closed form: sorted ascending by cap, the capped set is a PREFIX
+    (if cap_i >= remaining/slots, every later larger cap is too), so
+    one row_number + exclusive-cumsum window over the CENSUS (bounded
+    strata rows — never the corpus; the single-partition WindowExec
+    warning is expected and harmless here) decides capped/uncapped and
+    one 1-row aggregate redistributes.  Returns
+    (key, n_tokens, alloc_tokens, epochs) with floats rounded to 4.
+    All comparisons are exact integer-in-double arithmetic; the only
+    float division is the final share."""
+    tots = census.agg(
+        F.sum(tok_col).alias("tt"), F.count("*").alias("nl")
+    )
+    w = Window.orderBy("cap", key_col)
+    t = (
+        census.crossJoin(F.broadcast(tots))
+        .select(
+            key_col,
+            F.col(tok_col).alias("tok"),
+            "nl",
+            (F.col(tok_col) * epochs).cast("double").alias("cap"),
+            F.floor(F.col("tt") * budget_frac).cast("double").alias("b"),
+        )
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "pref",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap") * (F.col("nl") - F.col("i") + 1)
+            < (F.col("b") - F.col("pref")),
+        )
+    )
+    caggs = t.agg(
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0.0)).alias(
+            "csum"
+        ),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("ncap"),
+    )
+    alloc = F.round(
+        F.when(F.col("capped"), F.col("cap")).otherwise(
+            (F.col("b") - F.col("csum")) / (F.col("nl") - F.col("ncap"))
+        ),
+        4,
+    )
+    return t.crossJoin(F.broadcast(caggs)).select(
+        key_col,
+        F.col("tok").cast("bigint").alias("n_tokens"),
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("tok"), 4).alias("epochs"),
+    )

@@ -463,6 +463,25 @@ def main() -> int:
          "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
     ))
 
+    sections.append((
+        "dsir_weights (DSIR importance weighting: one JVM gram "
+        "projection, two map-side partially-aggregated censuses on "
+        "8-byte xxhash64 keys, a vocabulary-sized log-ratio table "
+        "joined back on the hash, totals broadcast as a 1-row literal "
+        "— no window, no Python, no strings through any exchange)",
+        plan_text(Q.q_dsir_weights(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial"],
+    ))
+
+    sections.append((
+        "unimax_alloc (UniMax water-fill: ONE corpus shuffle for the "
+        "per-language token census; the row_number/cumsum window runs "
+        "over the bounded language table only, capped-prefix "
+        "redistribution via a broadcast 1-row aggregate)",
+        plan_text(Q.q_unimax_alloc(spark, args.sf_dir)),
+        ["Window", "HashAggregate", "partial"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

@@ -174,7 +174,8 @@ def main() -> int:
                      "embedding_decontam_hits", "contam_by_source",
                      "dup_rate_drift", "source_jaccard_sketch",
                      "paraphrase_pairs", "stale_embedding_pairs",
-                     "contam_coverage", "dsir_weights", "unimax_alloc"]:
+                     "contam_coverage", "dsir_weights", "unimax_alloc",
+                     "chunk_dedup_savings"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

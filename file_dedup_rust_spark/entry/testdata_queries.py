@@ -5408,6 +5408,99 @@ FROM t2 CROSS JOIN caggs
 
 
 # ---------------------------------------------------------------------------
+# Fixed-block chunk-store savings — the storage view of dedup (what a
+# block-level store keeps), the SQL-expressible analog of the Gear CDC
+# tier in operators/cdc.py.  Runs over the tiered corpus (exact copies
+# share every block; 60%-prefix copies share their aligned prefix
+# blocks), so the savings number decomposes exactly into the planted
+# structure.  CDC itself has data-dependent boundaries (not SQL);
+# tests/test_cdc.py pins its shift-robustness advantage over this
+# fixed-block rule.
+# ---------------------------------------------------------------------------
+
+CHUNK_BLOCK = 32  # fixed block size (chars == bytes on this corpus)
+
+
+def q_chunk_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row chunk-store accounting under fixed-size blocking:
+    blocks stored with vs without dedup.
+
+    Plan shape: one sequence/explode projection (JVM), md5 inside the
+    same codegen pass, ONE groupBy on the 16-byte digest, two
+    map-side-combined aggregates joined as broadcast 1-row literals.
+    Linear in corpus bytes; no strings longer than a block through any
+    exchange."""
+    c = corpus_tiered(spark, sf_dir)
+    blk = F.expr(f"substring(t, (i-1)*{CHUNK_BLOCK}+1, {CHUNK_BLOCK})")
+    blocks = c.select(
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.ceil(F.length("t") / CHUNK_BLOCK).cast("int"), F.lit(1)
+                ),
+            )
+        ).alias("i"),
+        "t",
+    ).select(F.md5(blk).alias("bh"), F.length(blk).alias("bl"))
+    tot = blocks.agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("bl").alias("total_bytes"),
+    )
+    uniq = (
+        blocks.groupBy("bh")
+        .agg(F.min("bl").alias("bl"))
+        .agg(
+            F.count("*").alias("n_unique_blocks"),
+            F.sum("bl").alias("unique_bytes"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(uniq)).select(
+        "n_blocks",
+        "n_unique_blocks",
+        "total_bytes",
+        "unique_bytes",
+        F.round(
+            (1 - F.col("unique_bytes") / F.col("total_bytes")) * 100, 4
+        ).alias("savings_pct"),
+    )
+
+
+SQL_CHUNK_DEDUP_SAVINGS = f"""
+WITH corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_ID_OFFSET}, lower(coalesce(text, ''))
+  FROM documents WHERE doc_id % {EXACT_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {TRUNC_ID_OFFSET},
+         array_to_string(
+           (string_split(lower(coalesce(text, '')), ' '))[
+             1 : greatest(CAST(floor(len(string_split(lower(coalesce(text, '')), ' ')) * 3 / 5) AS INT), 1)
+           ], ' ')
+  FROM documents WHERE doc_id % {TRUNC_COPY_MOD} = 0
+),
+blocks AS (
+  SELECT md5(substring(t, (i - 1) * {CHUNK_BLOCK} + 1, {CHUNK_BLOCK})) AS bh,
+         len(substring(t, (i - 1) * {CHUNK_BLOCK} + 1, {CHUNK_BLOCK})) AS bl
+  FROM corpus,
+       unnest(generate_series(
+         1, greatest(CAST(ceil(len(t) / {CHUNK_BLOCK}.0) AS INT), 1)
+       )) AS g(i)
+),
+tot AS (SELECT count(*) AS n_blocks, sum(bl) AS total_bytes FROM blocks),
+uniq AS (
+  SELECT count(*) AS n_unique_blocks, sum(bl) AS unique_bytes
+  FROM (SELECT bh, min(bl) AS bl FROM blocks GROUP BY 1)
+)
+SELECT n_blocks, n_unique_blocks, total_bytes, unique_bytes,
+       round((1 - unique_bytes / CAST(total_bytes AS DOUBLE)) * 100, 4)
+         AS savings_pct
+FROM tot CROSS JOIN uniq
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5500,6 +5593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contam_coverage": q_contam_coverage,
     "dsir_weights": q_dsir_weights,
     "unimax_alloc": q_unimax_alloc,
+    "chunk_dedup_savings": q_chunk_dedup_savings,
 }
 
 ORACLES: dict[str, str] = {
@@ -5597,4 +5691,5 @@ ORACLES: dict[str, str] = {
     "contam_coverage": SQL_CONTAM_COVERAGE,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "unimax_alloc": SQL_UNIMAX_ALLOC,
+    "chunk_dedup_savings": SQL_CHUNK_DEDUP_SAVINGS,
 }

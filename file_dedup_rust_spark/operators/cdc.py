@@ -1,0 +1,176 @@
+"""Content-defined chunking (CDC) — storage-level dedup of the raw
+byte streams, the missing bottom rung of the dedup ladder.
+
+Every other tier in this engine answers "is this the same RECORDING /
+TEXT?"; CDC answers the storage question the reference's wasted-space
+metric only approximates at whole-file granularity
+(/root/reference/backend/src/handlers/analytics.rs — per-file sha256
+groups): how many bytes would a chunk-store (Venti, ZFS dedup,
+restic/borg, LBFS) actually keep when files share *regions* — an
+appended header, a re-upload with a prepended tag, a concatenation.
+
+Algorithm: Gear rolling hash (Xia et al., FastCDC, USENIX ATC 2016 —
+public paper).  h_i = (h_{i-1} << 1) + gear[b_i]; a chunk boundary
+falls where (h & mask) == 0, clamped to [min_size, max_size].  Because
+the left-shift ages a byte out after 64 steps, h_i depends on the last
+64 bytes only:
+
+    h_i = sum_{j=0..63} gear[b_{i-j}] << j      (mod 2^64)
+
+which vectorizes as 64 shifted adds over the whole byte array — no
+per-byte Python.  Insertions/deletions therefore re-align within one
+chunk: a 7-byte prefix insert changes O(1) chunks where fixed-size
+blocking changes ALL of them (pytest-pinned).
+
+Spark shape: chunking is one mapInPandas pass over (id, bytes) — the
+same embarrassingly-parallel scan shape as the signature stage; chunk
+hashes are 16-hex-char (64-bit) sha256 prefixes, so the dedup groupBy
+shuffles 8-byte-scale keys, never chunk bytes.  The savings summary is
+two map-side-combined aggregates.  Not SQL-expressible (data-dependent
+boundaries), so this tier is pytest-gated; the oracle-checked
+fixed-block analog is `chunk_dedup_savings` in entry/testdata_queries.
+"""
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CDC_MIN_SIZE = 256
+CDC_AVG_BITS = 10  # boundary prob 2^-10 per byte -> ~1 KiB mean chunk
+CDC_MAX_SIZE = 4096
+
+_CHUNK_SCHEMA = (
+    "id string, idx int, off long, n_bytes int, chunk_sha string"
+)
+
+
+def _gear_table() -> np.ndarray:
+    """Deterministic 256-entry gear table (sha256-derived, no RNG)."""
+    out = np.empty(256, dtype=np.uint64)
+    for i in range(256):
+        out[i] = int.from_bytes(
+            hashlib.sha256(b"sparkdedup-gear-%d" % i).digest()[:8], "big"
+        )
+    return out
+
+
+_GEAR = _gear_table()
+
+
+def gear_hash(data: np.ndarray) -> np.ndarray:
+    """Rolling gear hash at every position of a uint8 array:
+    h[i] = sum_{j=0..63} gear[data[i-j]] << j (mod 2^64), computed as
+    64 shifted adds — vectorized, no per-byte loop."""
+    g = _GEAR[data]
+    acc = g.copy()
+    for j in range(1, 64):
+        acc[j:] += g[:-j] << np.uint64(j)
+    return acc
+
+
+def chunk_offsets(
+    data: np.ndarray,
+    min_size: int = CDC_MIN_SIZE,
+    avg_bits: int = CDC_AVG_BITS,
+    max_size: int = CDC_MAX_SIZE,
+) -> list[int]:
+    """End offsets (exclusive) of every chunk; the spans tile the
+    input exactly.  Candidates where (h & mask) == 0; each chunk takes
+    the first candidate >= min_size after its start, else cuts at
+    max_size."""
+    n = int(data.size)
+    if n == 0:
+        return []
+    mask = np.uint64((1 << avg_bits) - 1)
+    cand = np.nonzero((gear_hash(data) & mask) == 0)[0] + 1  # end offsets
+    ends: list[int] = []
+    start = 0
+    while start < n:
+        lo = start + min_size
+        hi = min(start + max_size, n)
+        j = int(np.searchsorted(cand, lo))
+        if j < cand.size and cand[j] <= hi:
+            end = int(cand[j])
+        else:
+            end = hi
+        ends.append(end)
+        start = end
+    return ends
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    min_size: int = CDC_MIN_SIZE,
+    avg_bits: int = CDC_AVG_BITS,
+    max_size: int = CDC_MAX_SIZE,
+) -> DataFrame:
+    """(id, bytes) -> one row per content-defined chunk:
+    (id, idx, off, n_bytes, chunk_sha).  One Arrow-batched scan, no
+    shuffle; chunk_sha is a 64-bit sha256 prefix so downstream dedup
+    groupBys never carry chunk bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for cid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                if raw is None:
+                    continue
+                data = np.frombuffer(bytes(raw), dtype=np.uint8)
+                start = 0
+                for idx, end in enumerate(
+                    chunk_offsets(data, min_size, avg_bits, max_size)
+                ):
+                    rows.append(
+                        {
+                            "id": str(cid),
+                            "idx": idx,
+                            "off": start,
+                            "n_bytes": end - start,
+                            "chunk_sha": hashlib.sha256(
+                                data[start:end].tobytes()
+                            ).hexdigest()[:16],
+                        }
+                    )
+                    start = end
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "idx", "off", "n_bytes", "chunk_sha"],
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, _CHUNK_SCHEMA)
+
+
+def cdc_savings(chunks: DataFrame) -> DataFrame:
+    """Chunk-store accounting over a cdc_chunks output: stored bytes
+    under dedup vs raw bytes.  Two map-side-combined aggregates joined
+    as 1-row literals — the distinct side keys on the 8-byte-scale
+    chunk_sha only."""
+    tot = chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+    uniq = (
+        chunks.groupBy("chunk_sha")
+        .agg(F.min("n_bytes").alias("bl"))
+        .agg(
+            F.count("*").alias("n_unique_chunks"),
+            F.sum("bl").alias("unique_bytes"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(uniq)).select(
+        "n_chunks",
+        "n_unique_chunks",
+        "total_bytes",
+        "unique_bytes",
+        F.round(
+            (1 - F.col("unique_bytes") / F.col("total_bytes")) * 100, 4
+        ).alias("savings_pct"),
+    )

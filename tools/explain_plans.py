@@ -482,6 +482,17 @@ def main() -> int:
         ["Window", "HashAggregate", "partial"],
     ))
 
+    sections.append((
+        "chunk_dedup_savings (fixed-block chunk-store accounting: "
+        "sequence/explode + md5 inside one codegen projection, one "
+        "groupBy on the digest, two map-side-combined aggregates as "
+        "broadcast 1-row literals — linear in corpus bytes; the CDC "
+        "tier in operators/cdc.py is the shift-robust mapInPandas "
+        "analog)",
+        plan_text(Q.q_chunk_dedup_savings(spark, args.sf_dir)),
+        ["md5", "HashAggregate", "partial"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

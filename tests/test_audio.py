@@ -833,3 +833,52 @@ def test_flac_roundtrip_property():
         assert np.array_equal(got, want)
 
     check()
+
+
+def test_stereo_dual_mono_wav_downmixes_bit_exact_and_dedups(spark):
+    """A dual-mono STEREO re-upload (L == R, the classic podcast /
+    broadcast export flip) must decode byte-identical to the mono
+    original — the channel mean of two equal int16 samples is exact in
+    float32 — and therefore cluster through the pcm_exact tier, even
+    though the byte hash, container, and channel count all differ."""
+    import struct
+
+    from file_dedup_rust_spark.functions.udfs import compute_signatures
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+    from file_dedup_rust_spark.plans.pipeline import build_edges
+
+    x = _tone(seed=31)
+    mono = A.encode_wav(x, 8000)
+    i16 = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    inter = np.empty(i16.size * 2, dtype="<i2")
+    inter[0::2] = i16
+    inter[1::2] = i16
+    body = inter.tobytes()
+    stereo = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    assert np.array_equal(A.decode_audio(stereo, "wav"), A.decode_audio(mono, "wav"))
+
+    y = _tone(seed=32, f=523.0)
+    rows = [
+        ("c_mono", bytearray(mono), 8000, 500, "wav", "alpha"),
+        ("c_stereo", bytearray(stereo), 8000, 500, "wav", "beta"),
+        ("c_other", bytearray(A.encode_wav(y, 8000)), 8000, 500, "wav", "x"),
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    sigs = compute_signatures(clips, CFG)
+    edges = build_edges(sigs, CFG)
+    kinds = {(r["a"], r["b"], r["kind"]) for r in edges.collect()}
+    assert ("c_mono", "c_stereo", "pcm_exact") in kinds or (
+        "c_stereo", "c_mono", "pcm_exact") in kinds, kinds
+    cc = connected_components(edges.select("a", "b"), sigs.select("clip_id"))
+    lbl = {r["clip_id"]: r["cluster_id"] for r in cc.collect()}
+    assert lbl["c_mono"] == lbl["c_stereo"] != lbl["c_other"]

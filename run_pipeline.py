@@ -119,6 +119,13 @@ def main() -> int:
                         "then runs at segment granularity — "
                         "cross-upload overlap collapses via pcm_exact "
                         "because segments re-quantize canonically")
+    p.add_argument("--cdc-report", action="store_true",
+                   help="add a chunk-store savings report (Gear "
+                        "content-defined chunking over the raw clip "
+                        "bytes, operators/cdc.py): how many bytes a "
+                        "block-level store would keep after sub-file "
+                        "dedup; one extra mapInPandas bytes scan, "
+                        "opt-in")
     args = p.parse_args()
 
     from file_dedup_rust_spark.config import DedupConfig
@@ -278,6 +285,10 @@ def main() -> int:
         )
     if args.tier_report:
         summary["tiers"] = tier_report(res.edges)
+    if args.cdc_report:
+        from file_dedup_rust_spark.operators.cdc import cdc_chunks, cdc_savings
+
+        summary["cdc"] = cdc_savings(cdc_chunks(clips)).collect()[0].asDict()
     if args.quality_report:
         from file_dedup_rust_spark.operators.audio_quality import (
             quality_flags,

@@ -5407,6 +5407,70 @@ FROM t2 CROSS JOIN caggs
 """
 
 
+def q_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the DSIR loop: admit raw docs in descending importance
+    order until half the raw slice's tokens are spent — the paper's
+    resampling step under the engine's deterministic rank-prefix
+    budget rule (same relaxation as token_budget_select, same SQL
+    oracle semantics).
+
+    Scale shape: the DSIR scoring plan (see q_dsir_weights) feeds the
+    two-pass distributed prefix sum ordered by (-score, doc_id) — no
+    single-task global window; n_tok falls out of n_feats for free
+    (unigrams n + bigrams n-1 = 2n-1 features, so n = (n_feats+1)/2 —
+    no second corpus scan); the ordering key is the ROUNDED score
+    scaled to an integer, so the scan order is exactly the oracle's
+    ORDER BY and float summation noise cannot flip ranks."""
+    from file_dedup_rust_spark.operators.packing import exclusive_prefix_sum
+
+    scores = (
+        q_dsir_weights(spark, sf_dir)
+        .select(
+            "doc_id",
+            ((F.col("n_feats") + 1) / 2).cast("long").alias("n_tok"),
+            "dsir_logratio",
+        )
+        .persist()
+    )
+    budget = int(scores.agg(F.sum("n_tok")).first()[0] or 0) // 2
+    p = exclusive_prefix_sum(
+        scores.withColumn(
+            "_ord",
+            F.round(F.col("dsir_logratio") * -10000, 0).cast("long"),
+        ),
+        "doc_id",
+        "n_tok",
+        order_col="_ord",
+    )
+    return p.filter(
+        F.col("_prefix") + F.col("n_tok") <= F.lit(budget)
+    ).select(
+        "doc_id", "n_tok", "dsir_logratio",
+        F.col("_prefix").alias("tok_before"),
+    )
+
+
+SQL_DSIR_SELECTED = f"""
+WITH sc AS (
+  SELECT doc_id,
+         CAST((n_feats + 1) / 2 AS BIGINT) AS n_tok,
+         dsir_logratio
+  FROM ({SQL_DSIR_WEIGHTS}) AS dsir
+),
+c AS (
+  SELECT doc_id, n_tok, dsir_logratio,
+         CAST(coalesce(SUM(n_tok) OVER (
+           ORDER BY dsir_logratio DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tok_before
+  FROM sc
+)
+SELECT doc_id, n_tok, dsir_logratio, tok_before
+FROM c
+WHERE tok_before + n_tok <= (SELECT sum(n_tok) // 2 FROM sc)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Fixed-block chunk-store savings — the storage view of dedup (what a
 # block-level store keeps), the SQL-expressible analog of the Gear CDC
@@ -5594,6 +5658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "unimax_alloc": q_unimax_alloc,
     "chunk_dedup_savings": q_chunk_dedup_savings,
+    "dsir_selected": q_dsir_selected,
 }
 
 ORACLES: dict[str, str] = {
@@ -5692,4 +5757,5 @@ ORACLES: dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "unimax_alloc": SQL_UNIMAX_ALLOC,
     "chunk_dedup_savings": SQL_CHUNK_DEDUP_SAVINGS,
+    "dsir_selected": SQL_DSIR_SELECTED,
 }

@@ -236,3 +236,61 @@ def quality_report(flagged: DataFrame) -> dict:
         "q_flagged": total - passed,
         "flags": {k: per_flag.get(k, 0) for k in QUALITY_FLAG_NAMES if k in per_flag},
     }
+
+
+def select_survivors(
+    assignments: DataFrame,
+    signatures: DataFrame | None = None,
+    policy: str = "first",
+) -> DataFrame:
+    """Retention policy over the final cluster assignments: ONE kept
+    clip per cluster — the deduped corpus a training run actually
+    reads.  The audio analog of the keep-best-copy text rule
+    (entry q_cluster_best_rep); the reference keeps whichever upload
+    arrived first (insertion order,
+    /root/reference/backend/src/worker/deduplication_service.rs:383-414)
+    — policy 'first' reproduces that deterministically by min clip_id.
+
+    policy 'best' keeps the highest-quality RECORDING per cluster using
+    the decode-pass metrics already in the signatures table (zero
+    extra decode): decodable first, then least clipped, least silent,
+    least DC-biased, loudest, min clip_id tiebreak.
+
+    Scale shape: 'first' is one min_by groupBy on cluster_id (single
+    shuffle); 'best' adds one hash equi-join of assignments against
+    signatures on clip_id.  min(struct(...)) keeps the whole ordering
+    inside a map-side-combining aggregate — no window over clusters,
+    so a mega-cluster costs no single task.  Returns
+    (cluster_id, clip_id, n_members).
+    """
+    if policy == "first":
+        key = F.struct(F.col("clip_id"))
+        rows = assignments
+    elif policy == "best":
+        if signatures is None:
+            raise ValueError("policy 'best' needs the signatures table")
+        rows = assignments.join(
+            signatures.select(
+                "clip_id", "decode_ok", "clip_ratio", "silence_ratio",
+                "dc_offset", "pcm_rms",
+            ),
+            "clip_id",
+        )
+        key = F.struct(
+            F.when(F.col("decode_ok"), F.lit(0)).otherwise(1).alias("bad"),
+            F.coalesce("clip_ratio", F.lit(1.0)).alias("clipped"),
+            F.coalesce("silence_ratio", F.lit(1.0)).alias("silent"),
+            F.abs(F.coalesce("dc_offset", F.lit(1.0))).alias("dc"),
+            (-F.coalesce("pcm_rms", F.lit(0.0))).alias("neg_rms"),
+            F.col("clip_id"),
+        )
+    else:
+        raise ValueError(f"unknown retention policy: {policy}")
+    return (
+        rows.groupBy("cluster_id")
+        .agg(
+            F.min(key.alias("k")).alias("k"),
+            F.count("*").cast("int").alias("n_members"),
+        )
+        .select("cluster_id", F.col("k.clip_id").alias("clip_id"), "n_members")
+    )

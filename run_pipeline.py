@@ -119,6 +119,12 @@ def main() -> int:
                         "then runs at segment granularity — "
                         "cross-upload overlap collapses via pcm_exact "
                         "because segments re-quantize canonically")
+    p.add_argument("--retain", choices=("first", "best"), default=None,
+                   help="emit the deduped corpus: ONE kept clip per "
+                        "cluster to <output>/survivors ('first' = min "
+                        "clip_id, the reference's insertion-order "
+                        "rule; 'best' = highest-quality recording by "
+                        "the decode-pass metrics — no extra decode)")
     p.add_argument("--cdc-report", action="store_true",
                    help="add a chunk-store savings report (Gear "
                         "content-defined chunking over the raw clip "
@@ -289,6 +295,23 @@ def main() -> int:
         from file_dedup_rust_spark.operators.cdc import cdc_chunks, cdc_savings
 
         summary["cdc"] = cdc_savings(cdc_chunks(clips)).collect()[0].asDict()
+    if args.retain:
+        from file_dedup_rust_spark.operators.audio_quality import (
+            select_survivors,
+        )
+
+        surv = select_survivors(
+            res.assignments, res.signatures, policy=args.retain
+        )
+        if args.output:
+            surv.write.mode("overwrite").parquet(f"{args.output}/survivors")
+            surv = spark.read.parquet(f"{args.output}/survivors")
+        n_surv = surv.count()
+        summary["retention"] = {
+            "policy": args.retain,
+            "survivors": n_surv,
+            "removed": n_clips - n_surv,
+        }
     if args.quality_report:
         from file_dedup_rust_spark.operators.audio_quality import (
             quality_flags,

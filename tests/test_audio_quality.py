@@ -387,3 +387,42 @@ def test_transcript_consensus_medoid_repair(spark):
     assert r["n_rows"] == 3 and r["n_variants"] == 3
     assert r["medoid_val"] == "the cap sat on a mat"
     assert r["medoid_cost"] == 2
+
+
+def test_select_survivors_policies(spark):
+    """'first' keeps min clip_id per cluster (the reference's
+    insertion-order rule); 'best' keeps the decodable, least-clipped,
+    loudest recording regardless of id order; singletons survive
+    untouched under both."""
+    from file_dedup_rust_spark.operators.audio_quality import (
+        select_survivors,
+    )
+
+    assignments = spark.createDataFrame(
+        [("a1", 1), ("a2", 1), ("a3", 1), ("b1", 2), ("b2", 2), ("s1", 3)],
+        "clip_id string, cluster_id long",
+    )
+    # a1: clipped copy; a2: clean + loud (the best); a3: undecodable
+    # b1: quieter than b2
+    sig = spark.createDataFrame(
+        [
+            ("a1", True, 0.2, 0.0, 0.0, 0.30),
+            ("a2", True, 0.0, 0.0, 0.0, 0.25),
+            ("a3", False, None, None, None, None),
+            ("b1", True, 0.0, 0.1, 0.0, 0.10),
+            ("b2", True, 0.0, 0.1, 0.0, 0.20),
+            ("s1", True, 0.0, 0.9, 0.0, 0.01),
+        ],
+        "clip_id string, decode_ok boolean, clip_ratio double, "
+        "silence_ratio double, dc_offset double, pcm_rms double",
+    )
+    first = {
+        r["cluster_id"]: (r["clip_id"], r["n_members"])
+        for r in select_survivors(assignments, policy="first").collect()
+    }
+    assert first == {1: ("a1", 3), 2: ("b1", 2), 3: ("s1", 1)}
+    best = {
+        r["cluster_id"]: (r["clip_id"], r["n_members"])
+        for r in select_survivors(assignments, sig, policy="best").collect()
+    }
+    assert best == {1: ("a2", 3), 2: ("b2", 2), 3: ("s1", 1)}

@@ -493,6 +493,14 @@ def main() -> int:
         ["md5", "HashAggregate", "partial"],
     ))
 
+    sections.append((
+        "dsir_selected (DSIR resampling step: scores feed the two-pass "
+        "distributed prefix sum ordered by the integer-scaled rounded "
+        "score — budget admission with no single-task global window)",
+        plan_text(Q.q_dsir_selected(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "Window"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

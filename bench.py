@@ -175,7 +175,8 @@ def main() -> int:
                      "dup_rate_drift", "source_jaccard_sketch",
                      "paraphrase_pairs", "stale_embedding_pairs",
                      "contam_coverage", "dsir_weights", "unimax_alloc",
-                     "chunk_dedup_savings", "dsir_selected"]:
+                     "chunk_dedup_savings", "dsir_selected",
+                     "hll_distinct_by_source"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -5565,6 +5565,69 @@ FROM tot CROSS JOIN uniq
 
 
 # ---------------------------------------------------------------------------
+# HLL distinct-count sketch — per-source distinct transcripts WITHOUT
+# shuffling the distinct set (operators/corpus_sketch.py::
+# hll_distinct_by).  Like the MinHash source sketch, the md5-hex
+# derivation makes the ESTIMATE itself bit-identical in both engines,
+# so the sketch — not just its expectation — is the oracle surface.
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (n_exact, hll_estimate, rel_err).  Scale shape: the
+    register groupBy carries at most 256 rows per source through the
+    shuffle — never texts; the exact count rides along for the report
+    and is what you DROP at 100 TB."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        hll_distinct_by,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "source", F.lower(F.coalesce("text", F.lit(""))).alias("t")
+    )
+    return hll_distinct_by(d, "source", "t")
+
+
+def _sql_hll_alpha_mm() -> str:
+    from file_dedup_rust_spark.operators.corpus_sketch import HLL_ALPHA_MM
+
+    return repr(HLL_ALPHA_MM)
+
+
+SQL_HLL_DISTINCT_BY_SOURCE = f"""
+WITH d AS (
+  SELECT source AS g,
+         md5(lower(coalesce(text, ''))) AS h,
+         lower(coalesce(text, '')) AS t
+  FROM documents
+),
+r AS (
+  SELECT g, substring(h, 1, 2) AS b,
+         len(regexp_extract(substring(h, 3, 30), '^0*')) * 4 +
+         CASE substring(
+                regexp_replace(substring(h, 3, 30), '^0*', '') || '1', 1, 1)
+           WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+           ELSE 0 END + 1 AS rho
+  FROM d
+),
+regs AS (SELECT g, b, max(rho) AS mr FROM r GROUP BY 1, 2),
+est AS (
+  SELECT g,
+         round(CASE WHEN count(*) < 256
+                    THEN 256 * ln(256.0 / (256 - count(*)))
+                    ELSE {_sql_hll_alpha_mm()} / sum(power(2.0, -mr)) END,
+               2) AS hll_estimate
+  FROM regs GROUP BY 1
+),
+ex AS (SELECT g, count(DISTINCT t) AS n_exact FROM d GROUP BY 1)
+SELECT ex.g AS source, n_exact, hll_estimate,
+       round(abs(hll_estimate - n_exact) / n_exact, 4) AS rel_err
+FROM ex JOIN est USING (g)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5659,6 +5722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_alloc": q_unimax_alloc,
     "chunk_dedup_savings": q_chunk_dedup_savings,
     "dsir_selected": q_dsir_selected,
+    "hll_distinct_by_source": q_hll_distinct_by_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -5758,4 +5822,5 @@ ORACLES: dict[str, str] = {
     "unimax_alloc": SQL_UNIMAX_ALLOC,
     "chunk_dedup_savings": SQL_CHUNK_DEDUP_SAVINGS,
     "dsir_selected": SQL_DSIR_SELECTED,
+    "hll_distinct_by_source": SQL_HLL_DISTINCT_BY_SOURCE,
 }

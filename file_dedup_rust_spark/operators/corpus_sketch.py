@@ -104,3 +104,92 @@ def sketch_jaccard(sketch: DataFrame, k: int = 64) -> DataFrame:
             F.round(F.col("agree_lanes") / k, 4).alias("jacc_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct counting (Flajolet et al. 2007) — cardinality
+# without ever holding the distinct set.  count(distinct t) per group
+# is exact but shuffles every distinct value; at two 10-TB crawls the
+# distinct set IS the corpus.  HLL reduces each group to m=256 5-bit
+# registers: hash each value, route to a bucket on the first hex byte,
+# record the max leading-zero run of the remaining 120 bits, estimate
+# n from the harmonic mean (linear counting below m*2.5 where raw HLL
+# biases — the standard small-range correction).
+#
+# Determinism/oracle contract (same trick as the MinHash sketch
+# above): everything derives from the md5 HEX STRING — bucket =
+# substr(1,2), nibble-zero run via regexp '^0*', the sub-nibble bit
+# count via a 15-way CASE on the first non-zero hex digit — all
+# bit-identical in Spark and DuckDB, so the ESTIMATE itself is
+# oracle-checkable, and a pure-Python hashlib reference reproduces it
+# exactly (pytest).
+#
+# Scale shape: one partial-agg groupBy (group, bucket) max — the
+# shuffle carries at most m rows per group, never values; then a
+# per-group sum over <= m register rows.  Mergeable by construction
+# (max of maxes), like every sketch in this module.
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # 2-hex-digit bucket index; alpha per the HLL paper
+HLL_ALPHA_MM = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
+
+
+def _hll_rho() -> "F.Column":
+    """Leading-zero-bit run (+1) of the 120-bit tail of md5(t), from
+    the hex string: 4 bits per leading '0' nibble, plus 0-3 bits from
+    the first non-zero digit (8-f -> 0, 4-7 -> 1, 2-3 -> 2, 1 -> 3)."""
+    tail = F.substring("h", 3, 30)
+    zeros = F.length(F.regexp_extract(tail, "^0*", 0))
+    first = F.substring(F.concat(F.regexp_replace(tail, "^0*", ""), F.lit("1")), 1, 1)
+    sub = (
+        F.when(first.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .when(first.isin("2", "3"), 2)
+        .otherwise(3)
+    )
+    return (zeros * 4 + sub + 1).alias("rho")
+
+
+def hll_distinct_by(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality estimate next to the exact count:
+    (group, n_exact, hll_estimate, rel_err).  The exact count is there
+    for the report; at scale you drop it and keep the sketch."""
+    m = HLL_M
+    h = df.select(
+        F.col(group_col).alias("g"),
+        F.md5(F.col(text_col)).alias("h"),
+        F.col(text_col).alias("t"),
+    )
+    regs = (
+        h.select("g", F.substring("h", 1, 2).alias("b"), _hll_rho())
+        .groupBy("g", "b")
+        .agg(F.max("rho").alias("mr"))
+    )
+    est = regs.groupBy("g").agg(
+        F.count("*").alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
+    ).select(
+        "g",
+        F.round(
+            F.when(
+                F.col("nb") < m,  # empty buckets -> linear counting
+                m * F.log(F.lit(float(m)) / (m - F.col("nb"))),
+            ).otherwise(F.lit(HLL_ALPHA_MM) / F.col("s")),
+            2,
+        ).alias("hll_estimate"),
+    )
+    exact = h.groupBy("g").agg(
+        F.countDistinct("t").alias("n_exact")
+    )
+    return exact.join(est, "g").select(
+        F.col("g").alias(group_col),
+        "n_exact",
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )

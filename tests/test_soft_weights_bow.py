@@ -190,3 +190,63 @@ def test_embedding_decontam_zero_shuffle_plan(emb_tables):
     assert "Exchange" not in text
     assert "Join" not in text
     assert "CartesianProduct" not in text
+
+
+def _hll_python(groups: dict[str, list[str]]) -> dict[str, float]:
+    """Pure-hashlib reference of hll_distinct_by's estimate — must
+    match the Spark output EXACTLY (same md5-hex derivation)."""
+    import hashlib
+    import math
+
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        HLL_ALPHA_MM,
+        HLL_M,
+    )
+
+    out = {}
+    for g, texts in groups.items():
+        regs: dict[str, int] = {}
+        for t in texts:
+            h = hashlib.md5(t.encode()).hexdigest()
+            tail = h[2:32]
+            zeros = len(tail) - len(tail.lstrip("0"))
+            first = (tail.lstrip("0") + "1")[0]
+            sub = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}.get(
+                first, 0
+            )
+            rho = zeros * 4 + sub + 1
+            b = h[:2]
+            regs[b] = max(regs.get(b, 0), rho)
+        nb = len(regs)
+        if nb < HLL_M:
+            est = HLL_M * math.log(HLL_M / (HLL_M - nb))
+        else:
+            est = HLL_ALPHA_MM / sum(2.0 ** -mr for mr in regs.values())
+        out[g] = round(est, 2)
+    return out
+
+
+def test_hll_distinct_matches_python_and_is_accurate(spark):
+    """Both estimator branches: a small group (linear counting) and a
+    50k-distinct group (raw HLL, all 256 registers hit).  The Spark
+    estimate equals the hashlib reference exactly, and both land
+    within the expected HLL error band of the true cardinality
+    (1.04/sqrt(256) ~ 6.5%; assert < 15%)."""
+    from file_dedup_rust_spark.operators.corpus_sketch import hll_distinct_by
+
+    groups = {
+        "small": [f"s-{i}" for i in range(120)],
+        "big": [f"b-{i}" for i in range(50_000)],
+        "dupes": [f"d-{i % 7}" for i in range(100)],  # 7 distinct
+    }
+    rows = [(g, t) for g, ts in groups.items() for t in ts]
+    df = spark.createDataFrame(rows, "source string, t string")
+    got = {
+        r["source"]: (r["n_exact"], r["hll_estimate"], r["rel_err"])
+        for r in hll_distinct_by(df, "source", "t").collect()
+    }
+    ref = _hll_python({g: sorted(set(ts)) for g, ts in groups.items()})
+    for g, (n_exact, est, rel) in got.items():
+        assert n_exact == len(set(groups[g]))
+        assert est == ref[g], (g, est, ref[g])
+        assert rel < 0.15, (g, rel)

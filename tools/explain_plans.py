@@ -501,6 +501,15 @@ def main() -> int:
         ["xxhash64", "HashAggregate", "Window"],
     ))
 
+    sections.append((
+        "hll_distinct_by_source (HLL cardinality sketch: md5 + regexp "
+        "register derivation inside one codegen projection, partial-agg "
+        "max over (group, bucket) — the shuffle carries <=256 register "
+        "rows per group, never distinct values)",
+        plan_text(Q.q_hll_distinct_by_source(spark, args.sf_dir)),
+        ["md5", "HashAggregate", "partial"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

@@ -294,3 +294,63 @@ def select_survivors(
         )
         .select("cluster_id", F.col("k.clip_id").alias("clip_id"), "n_members")
     )
+
+
+LOOP_MIN_AGREE = 0.9   # fraction of frame hashes matching at the period
+LOOP_MIN_FRAMES = 16   # don't call sub-2s-ish clips loops
+
+
+def loop_flags(
+    frames: DataFrame,
+    min_agree: float = LOOP_MIN_AGREE,
+    min_frames: int = LOOP_MIN_FRAMES,
+) -> DataFrame:
+    """Detect LOOPED clips — the same unit tiled end-to-end (stuck
+    buffers, beep tracks, loader music): a real corpus pathology no
+    dedup tier sees because each looped FILE is unique bytes.
+
+    Input is the containment tiers' frame table (clip_id, idx, fhash,
+    decode_ok) — zero extra decode when the fused pass is on.  A clip
+    is flagged when some period p in [1, n/2] has >= min_agree of
+    frame hashes satisfying h[i] == h[i-p]; the smallest such p is
+    reported (p == 1 ~ constant audio, a held tone).  Loops only
+    register when the unit is hop-aligned (cfg.hop samples) — the
+    fingerprint frames must tile with the loop; foreign-aligned loops
+    are SimHash-self-similar but not exact here, documented.
+
+    Scale shape: one applyInPandas over clip_id groups — per-clip
+    frame counts are bounded by max_decode_seconds * sr / hop (~500),
+    so the per-task numpy sweep is O(n^2/2) ~ 1e5 ops worst case.
+    Returns (clip_id, n_frames, period, agree_frac) for flagged clips
+    only — clean traffic emits nothing."""
+    import pandas as pd
+
+    def per_clip(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf[pdf["decode_ok"]].sort_values("idx")
+        h = pdf["fhash"].to_numpy()
+        n = h.size
+        if n < min_frames:
+            return pd.DataFrame(
+                columns=["clip_id", "n_frames", "period", "agree_frac"]
+            )
+        for p in range(1, n // 2 + 1):
+            agree = float(np.mean(h[p:] == h[:-p]))
+            if agree >= min_agree:
+                return pd.DataFrame(
+                    {
+                        "clip_id": [pdf["clip_id"].iloc[0]],
+                        "n_frames": [int(n)],
+                        "period": [int(p)],
+                        "agree_frac": [round(agree, 4)],
+                    }
+                )
+        return pd.DataFrame(
+            columns=["clip_id", "n_frames", "period", "agree_frac"]
+        )
+
+    return frames.groupBy("clip_id").applyInPandas(
+        per_clip,
+        "clip_id string, n_frames int, period int, agree_frac double",
+    )

@@ -327,6 +327,19 @@ def main() -> int:
         summary["quality"]["reread_groups"] = (
             reread_groups(res.signatures).count()
         )
+        if "frame_fps" in res.signatures.columns:
+            # looped-clip gate rides the fused frame pass for free
+            # (only present when the sub-clip tier decoded frames)
+            from file_dedup_rust_spark.operators.audio_containment import (
+                frames_from_signatures,
+            )
+            from file_dedup_rust_spark.operators.audio_quality import (
+                loop_flags,
+            )
+
+            summary["quality"]["looped_clips"] = loop_flags(
+                frames_from_signatures(res.signatures)
+            ).count()
     print(json.dumps(summary))
     spark.stop()
     return 0

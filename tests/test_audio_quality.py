@@ -426,3 +426,35 @@ def test_select_survivors_policies(spark):
         for r in select_survivors(assignments, sig, policy="best").collect()
     }
     assert best == {1: ("a2", 3), 2: ("b2", 2), 3: ("s1", 1)}
+
+
+def test_loop_flags_detect_tiled_unit_not_noise(spark):
+    """A clip tiling one hop-aligned noise unit 8x is flagged at
+    exactly the unit's frame period; an equally long non-repeating
+    noise clip and a too-short clip emit nothing."""
+    from file_dedup_rust_spark.operators.audio_containment import (
+        clip_frames,
+    )
+    from file_dedup_rust_spark.operators.audio_quality import loop_flags
+
+    rng = np.random.RandomState(9)
+    unit = rng.uniform(-0.5, 0.5, CFG.hop * 16)  # 4096 samples, hop-aligned
+    looped = np.tile(unit, 8)
+    noise = rng.uniform(-0.5, 0.5, looped.size)
+    rows = [
+        ("loop", bytearray(A.encode_wav(looped, 8000)), 8000, 4096, "wav", "x"),
+        ("noise", bytearray(A.encode_wav(noise, 8000)), 8000, 4096, "wav", "y"),
+        ("short", bytearray(A.encode_wav(unit[:1024], 8000)), 8000, 128, "wav", "z"),
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    got = {
+        r["clip_id"]: (r["period"], r["agree_frac"])
+        for r in loop_flags(clip_frames(clips, CFG)).collect()
+    }
+    assert set(got) == {"loop"}, got
+    assert got["loop"][0] == 16
+    assert got["loop"][1] >= 0.95

@@ -150,24 +150,42 @@ def _hll_rho() -> "F.Column":
     return (zeros * 4 + sub + 1).alias("rho")
 
 
-def hll_distinct_by(
+def hll_registers(
     df: DataFrame, group_col: str, text_col: str
 ) -> DataFrame:
-    """Per-group HLL cardinality estimate next to the exact count:
-    (group, n_exact, hll_estimate, rel_err).  The exact count is there
-    for the report; at scale you drop it and keep the sketch."""
-    m = HLL_M
+    """Per-group HLL register table (g, b, mr) — the mergeable sketch
+    state.  At most HLL_M rows per group, built by one partial-agg
+    max."""
     h = df.select(
-        F.col(group_col).alias("g"),
-        F.md5(F.col(text_col)).alias("h"),
-        F.col(text_col).alias("t"),
+        F.col(group_col).alias("g"), F.md5(F.col(text_col)).alias("h")
     )
-    regs = (
+    return (
         h.select("g", F.substring("h", 1, 2).alias("b"), _hll_rho())
         .groupBy("g", "b")
         .agg(F.max("rho").alias("mr"))
     )
-    est = regs.groupBy("g").agg(
+
+
+def merge_hll_registers(*regs: DataFrame) -> DataFrame:
+    """Fold per-batch register tables into the corpus registers: max
+    is associative/commutative/idempotent, so sketching each ingest
+    batch separately and merging equals the sketch of the union —
+    the same LSM append==rebuild contract as merge_sketches above
+    (and replaying a batch is a no-op).  A running distinct-count
+    dashboard costs one bounded merge of <=(groups x 256)-row tables,
+    never a re-scan."""
+    it = iter(regs)
+    acc = next(it)
+    for r in it:
+        acc = acc.unionByName(r)
+    return acc.groupBy("g", "b").agg(F.max("mr").alias("mr"))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Registers -> (g, hll_estimate): harmonic-mean HLL with the
+    linear-counting small-range correction when empty buckets exist."""
+    m = HLL_M
+    return regs.groupBy("g").agg(
         F.count("*").alias("nb"),
         F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
     ).select(
@@ -180,9 +198,18 @@ def hll_distinct_by(
             2,
         ).alias("hll_estimate"),
     )
-    exact = h.groupBy("g").agg(
-        F.countDistinct("t").alias("n_exact")
-    )
+
+
+def hll_distinct_by(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality estimate next to the exact count:
+    (group, n_exact, hll_estimate, rel_err).  The exact count is there
+    for the report; at scale you drop it and keep the sketch."""
+    est = hll_estimate(hll_registers(df, group_col, text_col))
+    exact = df.select(
+        F.col(group_col).alias("g"), F.col(text_col).alias("t")
+    ).groupBy("g").agg(F.countDistinct("t").alias("n_exact"))
     return exact.join(est, "g").select(
         F.col("g").alias(group_col),
         "n_exact",

@@ -250,3 +250,40 @@ def test_hll_distinct_matches_python_and_is_accurate(spark):
         assert n_exact == len(set(groups[g]))
         assert est == ref[g], (g, est, ref[g])
         assert rel < 0.15, (g, rel)
+
+
+def test_hll_merge_append_equals_rebuild(spark):
+    """Register merge is the sketch of the union: sketching three
+    ingest batches separately and folding with merge_hll_registers
+    yields BIT-IDENTICAL registers (and estimate) to one rebuild over
+    the concatenation; replaying a batch is a no-op."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        hll_estimate,
+        hll_registers,
+        merge_hll_registers,
+    )
+
+    batches = [
+        [("a", f"x-{i}") for i in range(400)],
+        [("a", f"y-{i}") for i in range(300)] + [("b", f"z-{i}") for i in range(200)],
+        [("a", f"x-{i}") for i in range(100)],  # overlaps batch 1
+    ]
+    dfs = [
+        spark.createDataFrame(b, "source string, t string") for b in batches
+    ]
+    merged = merge_hll_registers(
+        *[hll_registers(d, "source", "t") for d in dfs]
+    )
+    rebuilt = hll_registers(
+        dfs[0].unionByName(dfs[1]).unionByName(dfs[2]), "source", "t"
+    )
+    as_set = lambda df: {(r["g"], r["b"], r["mr"]) for r in df.collect()}
+    assert as_set(merged) == as_set(rebuilt)
+    # replay idempotence
+    replay = merge_hll_registers(merged, hll_registers(dfs[2], "source", "t"))
+    assert as_set(replay) == as_set(rebuilt)
+    est = {r["g"]: r["hll_estimate"] for r in hll_estimate(merged).collect()}
+    assert est == {
+        r["g"]: r["hll_estimate"] for r in hll_estimate(rebuilt).collect()
+    }
+    assert abs(est["a"] - 700) / 700 < 0.15 and abs(est["b"] - 200) / 200 < 0.15

@@ -1233,6 +1233,52 @@ def streaming_decontam(
     return query
 
 
+def streaming_hll_registers(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "codec",
+    available_now: bool = True,
+):
+    """Running distinct-TRANSCRIPT cardinality per group AT INGEST —
+    the live "how much unique material arrived" dashboard, maintained
+    as HLL register deltas (operators.corpus_sketch) instead of an
+    accumulated distinct-value store.
+
+    Each micro-batch writes ITS OWN register table (<= groups x 256
+    rows per batch) under a batch_id partition via the idempotent
+    store; the current corpus registers are merge_hll_registers over
+    the store (register max is associative/commutative/idempotent, so
+    arrival order, batch splits, AND replays are all invisible —
+    streaming-vs-batch parity is BIT-EXACT, pinned in
+    tests/test_streaming.py).  Nothing per-value is ever retained:
+    this probe's state is O(groups), where every dedup store above is
+    O(distinct values) — the sketch trade the quality dashboards want
+    at 10^12 clips."""
+    clips = read_clip_stream(spark, landing_dir)
+    docs = clips.select(
+        F.col(group_col),
+        F.lower(F.coalesce("transcript", F.lit(""))).alias("t"),
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from file_dedup_rust_spark.operators.corpus_sketch import (
+            hll_registers,
+        )
+
+        store_write(hll_registers(batch_df, group_col, "t"), out_dir, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 _ASSIGN_STATE_SCHEMA = "rep string"
 _ASSIGN_OUT_SCHEMA = "clip_id string, sha256 string, cluster_rep string"
 

@@ -1018,3 +1018,70 @@ def test_store_survives_schema_upgrade_after_compaction(spark, tmp_path):
     assert [r["clip_id"] for r in with_trim] == ["c9"]
     # the probe-side filter pattern excludes pre-upgrade rows cleanly
     assert df.filter(F.col("trim_sha") != "").count() == 1
+
+
+def test_streaming_hll_registers_match_batch_exactly(spark, tmp_path):
+    """The ingest-time HLL register store folds to BIT-IDENTICAL
+    registers (and estimates) as one batch sketch over the whole
+    landing set, under two different arrival orders — register max is
+    order/split/replay-invariant by construction."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        hll_estimate,
+        hll_registers,
+        merge_hll_registers,
+    )
+    from file_dedup_rust_spark.streaming.incremental import (
+        read_store,
+        streaming_hll_registers,
+    )
+
+    pdf = datagen.generate_clips_pandas(150, seed=42)
+    clips = spark.createDataFrame(pdf, schema=datagen.CLIP_SCHEMA)
+    want_regs = {
+        (r["g"], r["b"], r["mr"])
+        for r in hll_registers(
+            clips.select(
+                "codec",
+                F.lower(F.coalesce("transcript", F.lit(""))).alias("t"),
+            ),
+            "codec",
+            "t",
+        ).collect()
+    }
+    want_est = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate(
+            hll_registers(
+                clips.select(
+                    "codec",
+                    F.lower(F.coalesce("transcript", F.lit(""))).alias("t"),
+                ),
+                "codec",
+                "t",
+            )
+        ).collect()
+    }
+
+    for tag, order in (("fwd", False), ("rev", True)):
+        landing = str(tmp_path / f"landing_{tag}")
+        part = pdf.iloc[::-1] if order else pdf
+        spark.createDataFrame(
+            part.iloc[:55], schema=datagen.CLIP_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/drop=1")
+        spark.createDataFrame(
+            part.iloc[55:], schema=datagen.CLIP_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(f"{landing}/drop=2")
+        out = str(tmp_path / f"regs_{tag}")
+        q = streaming_hll_registers(
+            spark, landing, out, str(tmp_path / f"ckpt_{tag}")
+        )
+        assert q.awaitTermination(300)
+        store = read_store(spark, out)
+        assert store is not None
+        folded = merge_hll_registers(store)
+        got = {(r["g"], r["b"], r["mr"]) for r in folded.collect()}
+        assert got == want_regs, tag
+        got_est = {
+            r["g"]: r["hll_estimate"] for r in hll_estimate(folded).collect()
+        }
+        assert got_est == want_est, tag

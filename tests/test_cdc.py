@@ -116,3 +116,34 @@ def test_cdc_spark_chunks_and_savings(spark):
         assert s["savings_pct"] > 24.0
     finally:
         chunks.unpersist()
+
+
+def test_chunk_offsets_property_random_sizes():
+    """Tiling/bounds invariants hold at every size, including empty,
+    sub-min_size, exactly-max_size, and boundary-free inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=20_000),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def run(n, seed):
+        data = np.frombuffer(_blob(seed, n), dtype=np.uint8) if n else (
+            np.empty(0, dtype=np.uint8)
+        )
+        ends = chunk_offsets(data)
+        if n == 0:
+            assert ends == []
+            return
+        assert ends[-1] == n
+        assert all(e2 > e1 for e1, e2 in zip(ends, ends[1:]))
+        start = 0
+        for e in ends:
+            assert 0 < e - start <= CDC_MAX_SIZE
+            if e != n:
+                assert e - start >= CDC_MIN_SIZE
+            start = e
+
+    run()

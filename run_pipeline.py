@@ -303,6 +303,14 @@ def main() -> int:
         surv = select_survivors(
             res.assignments, res.signatures, policy=args.retain
         )
+        if args.holdout_pm is not None:
+            # carry the leakage-safe split onto the survivors table —
+            # group_safe_split assigns per CLUSTER, so the survivor
+            # inherits its cluster's split unambiguously
+            surv = surv.join(
+                assignments.select("cluster_id", "split").distinct(),
+                "cluster_id",
+            )
         if args.output:
             surv.write.mode("overwrite").parquet(f"{args.output}/survivors")
             surv = spark.read.parquet(f"{args.output}/survivors")

@@ -5494,6 +5494,8 @@ def q_chunk_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregates joined as broadcast 1-row literals.
     Linear in corpus bytes; no strings longer than a block through any
     exchange."""
+    from file_dedup_rust_spark.operators.cdc import cdc_savings
+
     c = corpus_tiered(spark, sf_dir)
     blk = F.expr(f"substring(t, (i-1)*{CHUNK_BLOCK}+1, {CHUNK_BLOCK})")
     blocks = c.select(
@@ -5506,27 +5508,14 @@ def q_chunk_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i"),
         "t",
-    ).select(F.md5(blk).alias("bh"), F.length(blk).alias("bl"))
-    tot = blocks.agg(
-        F.count("*").alias("n_blocks"),
-        F.sum("bl").alias("total_bytes"),
-    )
-    uniq = (
-        blocks.groupBy("bh")
-        .agg(F.min("bl").alias("bl"))
-        .agg(
-            F.count("*").alias("n_unique_blocks"),
-            F.sum("bl").alias("unique_bytes"),
-        )
-    )
-    return tot.crossJoin(F.broadcast(uniq)).select(
-        "n_blocks",
-        "n_unique_blocks",
+    ).select(F.md5(blk).alias("chunk_sha"), F.length(blk).alias("n_bytes"))
+    # one shared savings-accounting implementation with the CDC tier
+    return cdc_savings(blocks).select(
+        F.col("n_chunks").alias("n_blocks"),
+        F.col("n_unique_chunks").alias("n_unique_blocks"),
         "total_bytes",
         "unique_bytes",
-        F.round(
-            (1 - F.col("unique_bytes") / F.col("total_bytes")) * 100, 4
-        ).alias("savings_pct"),
+        "savings_pct",
     )
 
 
@@ -5613,10 +5602,16 @@ r AS (
 ),
 regs AS (SELECT g, b, max(rho) AS mr FROM r GROUP BY 1, 2),
 est AS (
+  -- standard small-range switch: raw harmonic estimate counts empty
+  -- registers as 2^0 = 1 each; linear counting only while raw <= 2.5m
   SELECT g,
          round(CASE WHEN count(*) < 256
+                     AND {_sql_hll_alpha_mm()}
+                         / (sum(power(2.0, -mr)) + (256 - count(*)))
+                         <= 640.0
                     THEN 256 * ln(256.0 / (256 - count(*)))
-                    ELSE {_sql_hll_alpha_mm()} / sum(power(2.0, -mr)) END,
+                    ELSE {_sql_hll_alpha_mm()}
+                         / (sum(power(2.0, -mr)) + (256 - count(*))) END,
                2) AS hll_estimate
   FROM regs GROUP BY 1
 ),

@@ -150,22 +150,21 @@ def cdc_chunks(
 
 def cdc_savings(chunks: DataFrame) -> DataFrame:
     """Chunk-store accounting over a cdc_chunks output: stored bytes
-    under dedup vs raw bytes.  Two map-side-combined aggregates joined
-    as 1-row literals — the distinct side keys on the 8-byte-scale
-    chunk_sha only."""
-    tot = chunks.agg(
-        F.count("*").alias("n_chunks"),
-        F.sum("n_bytes").alias("total_bytes"),
+    under dedup vs raw bytes.  ONE pass over the chunk stream (a
+    review-caught fix — the earlier two-aggregate crossJoin evaluated
+    the expensive mapInPandas scan twice): per-sha partial-agg
+    (count, length), then a 1-row rollup — equal-sha chunks are
+    identical content, so total_bytes = sum(cnt * length) exactly."""
+    g = chunks.groupBy("chunk_sha").agg(
+        F.count("*").alias("cnt"),
+        F.min("n_bytes").alias("bl"),
     )
-    uniq = (
-        chunks.groupBy("chunk_sha")
-        .agg(F.min("n_bytes").alias("bl"))
-        .agg(
-            F.count("*").alias("n_unique_chunks"),
-            F.sum("bl").alias("unique_bytes"),
-        )
-    )
-    return tot.crossJoin(F.broadcast(uniq)).select(
+    return g.agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count("*").alias("n_unique_chunks"),
+        F.sum(F.col("cnt") * F.col("bl")).alias("total_bytes"),
+        F.sum("bl").alias("unique_bytes"),
+    ).select(
         "n_chunks",
         "n_unique_chunks",
         "total_bytes",

@@ -218,10 +218,13 @@ def _hll_python(groups: dict[str, list[str]]) -> dict[str, float]:
             b = h[:2]
             regs[b] = max(regs.get(b, 0), rho)
         nb = len(regs)
-        if nb < HLL_M:
+        raw = HLL_ALPHA_MM / (
+            sum(2.0 ** -mr for mr in regs.values()) + (HLL_M - nb)
+        )
+        if nb < HLL_M and raw <= 2.5 * HLL_M:
             est = HLL_M * math.log(HLL_M / (HLL_M - nb))
         else:
-            est = HLL_ALPHA_MM / sum(2.0 ** -mr for mr in regs.values())
+            est = raw
         out[g] = round(est, 2)
     return out
 
@@ -238,6 +241,10 @@ def test_hll_distinct_matches_python_and_is_accurate(spark):
         "small": [f"s-{i}" for i in range(120)],
         "big": [f"b-{i}" for i in range(50_000)],
         "dupes": [f"d-{i % 7}" for i in range(100)],  # 7 distinct
+        # the mid range (~7n/m) where the pre-review LC-whenever-any-
+        # empty rule underestimated by ~20%: one or two empty
+        # registers, raw estimate far above the 2.5m LC ceiling
+        "mid": [f"m-{i}" for i in range(1_800)],
     }
     rows = [(g, t) for g, ts in groups.items() for t in ts]
     df = spark.createDataFrame(rows, "source string, t string")

@@ -289,6 +289,18 @@ def test_hll_merge_append_equals_rebuild(spark):
     # replay idempotence
     replay = merge_hll_registers(merged, hll_registers(dfs[2], "source", "t"))
     assert as_set(replay) == as_set(rebuilt)
+    # store-persisted register tables carry batch_id — merging a mix
+    # of stored and fresh sketches must project, not raise
+    import pyspark.sql.functions as F2
+    stored = hll_registers(dfs[0], "source", "t").withColumn(
+        "batch_id", F2.lit(0)
+    )
+    mixed = merge_hll_registers(
+        stored,
+        hll_registers(dfs[1], "source", "t"),
+        hll_registers(dfs[2], "source", "t"),
+    )
+    assert as_set(mixed) == as_set(rebuilt)
     est = {r["g"]: r["hll_estimate"] for r in hll_estimate(merged).collect()}
     assert est == {
         r["g"]: r["hll_estimate"] for r in hll_estimate(rebuilt).collect()

@@ -176,7 +176,8 @@ def main() -> int:
                      "paraphrase_pairs", "stale_embedding_pairs",
                      "contam_coverage", "dsir_weights", "unimax_alloc",
                      "chunk_dedup_savings", "dsir_selected",
-                     "hll_distinct_by_source"]:
+                     "hll_distinct_by_source",
+                     "winnow_fingerprints", "winnow_matches"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

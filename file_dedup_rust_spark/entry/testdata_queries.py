@@ -5623,6 +5623,110 @@ FROM ex JOIN est USING (g)
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003) —
+# the MOSS local fingerprinting tier: min-hash-per-window with
+# rightmost tie-break gives a GUARANTEE (every shared run of
+# >= w + k - 1 tokens yields a shared fingerprint) at ~2/(w+1) of the
+# full gram posting volume — the middle ground between the exact
+# every-gram join and the probabilistic MinHash sample.  Both the
+# selected SET (via a sorted checksum) and the match pairs are
+# oracle-checked; see operators/winnowing.py for the cross-engine
+# determinism argument (md5-hex sort keys, identical frame clipping).
+# ---------------------------------------------------------------------------
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprint census over the planted-copy
+    corpus: (doc_id, n_grams, n_fps, density, fp_checksum).  The
+    checksum is md5 over the ','-joined sorted selected keys, so the
+    oracle verifies the fingerprint SET bit-for-bit, not just its
+    size.  One shuffle: the per-doc window exchange, reused by the
+    census groupBy."""
+    from file_dedup_rust_spark.operators.winnowing import winnow_census
+
+    return winnow_census(corpus_exact(spark, sf_dir).select("doc_id", "t"))
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {SQL_CORPUS_EXACT},
+toks AS (SELECT doc_id, string_split(t, ' ') AS wd FROM corpus),
+gpos AS (
+  SELECT doc_id, len(wd) - 3 AS n_grams, i AS pos,
+         md5(array_to_string(wd[i:i+3], ' ')) AS h
+  FROM toks, unnest(generate_series(1, greatest(len(wd) - 3, 0))) AS u(i)
+  WHERE len(wd) >= 4
+),
+keyed AS (
+  SELECT doc_id, n_grams, pos,
+         h || '#' || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS sk
+  FROM gpos
+),
+wm AS (
+  SELECT doc_id, n_grams, pos,
+         min(sk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+  FROM keyed
+),
+picked AS (
+  SELECT DISTINCT doc_id, n_grams, sel FROM wm
+  WHERE pos <= greatest(n_grams - 4, 1)
+)
+SELECT doc_id, CAST(any_value(n_grams) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_fps,
+       round(count(*) * 1.0 / any_value(n_grams), 4) AS density,
+       md5(string_agg(sel, ',' ORDER BY sel)) AS fp_checksum
+FROM picked GROUP BY doc_id
+"""
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style match pairs from shared winnowing fingerprints:
+    (doc_a, doc_b, shared_fps), df-capped (stop-fingerprint rule,
+    mirrored in the oracle) with shared_fps >= 3.  Planted exact
+    copies share their entire fingerprint set, so every
+    (doc, doc + offset) pair appears; the guarantee catches any pair
+    sharing 3 disjoint 8-token runs.  Engine joins on 8-byte
+    xxhash64 keys; oracle on the md5 strings (dup_spans collision
+    convention)."""
+    from file_dedup_rust_spark.operators.winnowing import winnow_matches
+
+    return winnow_matches(corpus_exact(spark, sf_dir).select("doc_id", "t"))
+
+
+SQL_WINNOW_MATCHES = f"""
+WITH {SQL_CORPUS_EXACT},
+toks AS (SELECT doc_id, string_split(t, ' ') AS wd FROM corpus),
+gpos AS (
+  SELECT doc_id, len(wd) - 3 AS n_grams, i AS pos,
+         md5(array_to_string(wd[i:i+3], ' ')) AS h
+  FROM toks, unnest(generate_series(1, greatest(len(wd) - 3, 0))) AS u(i)
+  WHERE len(wd) >= 4
+),
+keyed AS (
+  SELECT doc_id, n_grams, pos,
+         h || '#' || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS sk
+  FROM gpos
+),
+wm AS (
+  SELECT doc_id, n_grams, pos,
+         min(sk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+  FROM keyed
+),
+fps AS (
+  SELECT DISTINCT doc_id, substring(sel, 1, 32) AS h FROM wm
+  WHERE pos <= greatest(n_grams - 4, 1)
+),
+ok AS (SELECT h FROM fps GROUP BY 1 HAVING count(*) <= 16)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM fps a JOIN ok USING (h) JOIN fps b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5718,6 +5822,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup_savings": q_chunk_dedup_savings,
     "dsir_selected": q_dsir_selected,
     "hll_distinct_by_source": q_hll_distinct_by_source,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_matches": q_winnow_matches,
 }
 
 ORACLES: dict[str, str] = {
@@ -5818,4 +5924,6 @@ ORACLES: dict[str, str] = {
     "chunk_dedup_savings": SQL_CHUNK_DEDUP_SAVINGS,
     "dsir_selected": SQL_DSIR_SELECTED,
     "hll_distinct_by_source": SQL_HLL_DISTINCT_BY_SOURCE,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "winnow_matches": SQL_WINNOW_MATCHES,
 }

@@ -510,6 +510,24 @@ def main() -> int:
         ["md5", "HashAggregate", "partial"],
     ))
 
+    sections.append((
+        "winnow_fingerprints (winnowing census: md5 gram keys inside "
+        "one codegen projection, ONE doc_id exchange feeding both the "
+        "per-doc window min and the census groupBy — the sort key is "
+        "a bounded 43-byte string, never raw text)",
+        plan_text(Q.q_winnow_fingerprints(spark, args.sf_dir)),
+        ["md5", "Window", "HashAggregate"],
+    ))
+
+    sections.append((
+        "winnow_matches (MOSS-style match pairs: winnow selection as "
+        "above, then a df-capped posting self-join keyed on xxhash64 "
+        "of the fingerprint — 8-byte keys corpus-wide, pair counting "
+        "via map-side partial agg, no cartesian)",
+        plan_text(Q.q_winnow_matches(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

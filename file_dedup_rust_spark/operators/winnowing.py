@@ -4,8 +4,14 @@ SIGMOD 2003) — the MOSS local fingerprinting scheme, as a dedup tier.
 The reference has no sub-sampled fingerprint tier (its near-dup path
 is embedding k-NN, /root/reference/backend/src/worker/
 deduplication_service.rs:300-372); BASELINE.json's north rule adds
-substring/containment dedup, and winnowing is the classic GUARANTEED
-relaxation of it: select, from each sliding window of ``w``
+substring/containment dedup.  The engine already winnows INSIDE the
+containment tier (operators/containment.py: character-level k=16/w=16
+fingerprints feed the suffix-array verify) — this module is the
+word-level, ORACLE-CHECKED surface of the same scheme: the census
+exposes the selected set itself (checksum-verified against DuckDB)
+and the MOSS-style match query scores document pairs directly,
+without the suffix-array verify step.  Winnowing selects, from each
+sliding window of ``w``
 consecutive k-gram hashes, the minimum hash (ties broken to the
 RIGHTMOST position).  Properties (Schleimer et al. §3):
 

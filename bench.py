@@ -177,7 +177,8 @@ def main() -> int:
                      "contam_coverage", "dsir_weights", "unimax_alloc",
                      "chunk_dedup_savings", "dsir_selected",
                      "hll_distinct_by_source",
-                     "winnow_fingerprints", "winnow_matches"]:
+                     "winnow_fingerprints", "winnow_matches",
+                     "allpairs_jaccard"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -5726,6 +5726,22 @@ HAVING count(*) >= 3
 """
 
 
+def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result set as q_ngram_jaccard_pairs, produced by the THIRD
+    join strategy: AllPairs prefix filtering (Bayardo et al. WWW 2007,
+    operators/allpairs.py) — exact output with a deterministic
+    sub-linear pruning, completing the ladder every-gram (exact,
+    expensive) / LSH (cheap, probabilistic) / prefix-filter (exact AND
+    pruned, no miss probability).  Only each doc's rarest
+    ~(1-t)*n + 1 grams enter the posting join; the prefix length is
+    computed in exact integer arithmetic (IEEE ceil(0.8*55) = 45
+    would silently break the completeness guarantee).  The oracle is
+    the SAME exact-Jaccard SQL as the other two derivations."""
+    from file_dedup_rust_spark.operators.allpairs import allpairs_jaccard_pairs
+
+    return allpairs_jaccard_pairs(shingles(docs_corpus(spark, sf_dir)), 4, 5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5824,6 +5840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_by_source": q_hll_distinct_by_source,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_matches": q_winnow_matches,
+    "allpairs_jaccard": q_allpairs_jaccard,
 }
 
 ORACLES: dict[str, str] = {
@@ -5926,4 +5943,5 @@ ORACLES: dict[str, str] = {
     "hll_distinct_by_source": SQL_HLL_DISTINCT_BY_SOURCE,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_matches": SQL_WINNOW_MATCHES,
+    "allpairs_jaccard": SQL_NGRAM_JACCARD_PAIRS,
 }

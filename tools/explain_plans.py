@@ -528,6 +528,16 @@ def main() -> int:
         ["xxhash64", "HashAggregate", "partial"],
     ))
 
+    sections.append((
+        "allpairs_jaccard (AllPairs prefix-filter exact similarity "
+        "join: df census on 8-byte gram keys, per-doc rank window, "
+        "posting self-join over ONLY each doc's rarest ~(1-t)*n+1 "
+        "grams, exact-Jaccard verify on candidates — deterministic "
+        "completeness, no cap, no cartesian)",
+        plan_text(Q.q_allpairs_jaccard(spark, args.sf_dir)),
+        ["xxhash64", "Window", "HashAggregate"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

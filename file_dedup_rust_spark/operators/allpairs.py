@@ -53,13 +53,29 @@ def allpairs_jaccard_pairs(
 ) -> DataFrame:
     """sh: distinct (doc_id, g) gram rows -> (ia, ib, jac) for ALL
     pairs with Jaccard >= t_num/t_den, exactly.  jac rounded to 4
-    (the engine-wide cross-engine float convention)."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    df = sh.groupBy("g").agg(F.count("*").alias("df"))
+    (the engine-wide cross-engine float convention; both engines
+    filter on the ROUNDED value, so the two sides agree by
+    construction — and no pair with true J < t can round up across
+    the threshold until union sizes reach ~4000 grams, far above the
+    corpus's bounded doc length).
+
+    Gram identities cross every shuffle as 8-byte xxhash64 values,
+    never strings (census, rank window, posting join — the
+    dup_spans.py convention).  Correctness under collision: the
+    global order only has to be a CONSISTENT total order — rarest-
+    first is a pruning heuristic, not a correctness requirement — and
+    a collision in the posting join can only ADD a candidate, which
+    the exact-Jaccard verify then rejects; the one theoretical risk
+    is two distinct grams colliding in (df, gh) making the per-doc
+    order inconsistent between docs (p ~ n²/2⁶⁴, the documented
+    engine-wide convention, and the oracle would surface it as a
+    hash mismatch)."""
+    hashed = sh.select("doc_id", F.xxhash64("g").alias("gh"))
+    sizes = hashed.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df = hashed.groupBy("gh").agg(F.count("*").alias("df"))
 
     ranked = (
-        sh.join(df, "g")
-        .withColumn("gh", F.xxhash64("g"))
+        hashed.join(df, "gh")
         .withColumn(
             "r",
             F.row_number().over(
@@ -74,23 +90,23 @@ def allpairs_jaccard_pairs(
         <= F.col("n")
         - F.floor((F.lit(t_num) * F.col("n") + (t_den - 1)) / t_den)
         + 1
-    ).select("doc_id", "g")
+    ).select("doc_id", "gh")
 
-    a = prefix.select(F.col("doc_id").alias("ia"), "g")
-    b = prefix.select(F.col("doc_id").alias("ib"), "g")
+    a = prefix.select(F.col("doc_id").alias("ia"), "gh")
+    b = prefix.select(F.col("doc_id").alias("ib"), "gh")
     cand = (
-        a.join(b, "g")
+        a.join(b, "gh")
         .filter(F.col("ia") < F.col("ib"))
         .select("ia", "ib")
         .distinct()
     )
 
     # exact-Jaccard verify on candidates only (same as the LSH tier)
-    a_sh = sh.select(F.col("doc_id").alias("ia"), "g")
-    b_sh = sh.select(F.col("doc_id").alias("ib"), "g")
+    a_sh = hashed.select(F.col("doc_id").alias("ia"), "gh")
+    b_sh = hashed.select(F.col("doc_id").alias("ib"), "gh")
     inter = (
         cand.join(a_sh, "ia")
-        .join(b_sh, ["ib", "g"])
+        .join(b_sh, ["ib", "gh"])
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("c"))
     )

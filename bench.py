@@ -178,7 +178,7 @@ def main() -> int:
                      "chunk_dedup_savings", "dsir_selected",
                      "hll_distinct_by_source",
                      "winnow_fingerprints", "winnow_matches",
-                     "allpairs_jaccard"]:
+                     "allpairs_jaccard", "contam_redact"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -2425,6 +2425,97 @@ FROM perdoc p JOIN cov c USING (doc_id)
 """
 
 
+def q_contam_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination — the REMOVE side of contam_coverage
+    (operators.decontaminate.redact_contaminated): cut only the
+    eval-matching token windows, keep the rest, and route
+    fully-leaked docs (covered >= 1/2, integer test) to 'drop'.  On
+    the planted fixture the 60%-prefix leaks all land on 'drop' and
+    the stitched single-window grafts on 'redact' with their leading
+    8-gram excised.  The redacted TEXT itself is oracle-checked, so
+    the reassembly (token order, spacing) is verified bit-for-bit."""
+    from file_dedup_rust_spark.operators.decontaminate import (
+        redact_contaminated,
+    )
+
+    train, ev = corpus_contam_coverage(spark, sf_dir)
+    return redact_contaminated(train, ev, DECONTAM_N)
+
+
+SQL_CONTAM_REDACT = f"""
+WITH docs_t AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+evalset AS (
+  SELECT * FROM docs_t WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+),
+train AS (
+  SELECT * FROM docs_t WHERE doc_id % {EVAL_MOD} != {EVAL_RESIDUE}
+  UNION ALL
+  SELECT doc_id + {CONTAM_ID_OFFSET},
+         array_to_string(
+           w[1:greatest(CAST(floor(len(w) * 3 / 5) AS INT), {DECONTAM_N})], ' ')
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM evalset
+        WHERE doc_id % {CONTAM_MOD} = 1)
+  UNION ALL
+  SELECT doc_id + {STITCH_ID_OFFSET},
+         array_to_string(w[1:{DECONTAM_N}], ' ') || ' ' ||
+         array_to_string(list_reverse(w[{DECONTAM_N + 1}:]), ' ')
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM evalset
+        WHERE doc_id % {CONTAM_MOD} = 2)
+  WHERE len(w) >= {2 * DECONTAM_N}
+),
+tpos AS (
+  SELECT doc_id, len(w) AS n_tokens, i,
+         array_to_string(w[i:i+{DECONTAM_N - 1}], ' ') AS g
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM train),
+       unnest(generate_series(1, greatest(len(w) - {DECONTAM_N - 1}, 0)))
+         AS u(i)
+),
+eg AS (SELECT DISTINCT g FROM ({_sql_ngrams('evalset', DECONTAM_N)}) q),
+m AS (SELECT doc_id, n_tokens, i FROM tpos JOIN eg USING (g)),
+perdoc AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens FROM m GROUP BY 1
+),
+tokw AS (
+  SELECT doc_id, u.j AS j, w[u.j] AS tok
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM train),
+       unnest(generate_series(1, len(w))) AS u(j)
+  WHERE doc_id IN (SELECT doc_id FROM perdoc)
+),
+cov AS (
+  SELECT doc_id, count(*) AS covered FROM (
+    SELECT DISTINCT t.doc_id, t.j
+    FROM tokw t JOIN m d
+      ON d.doc_id = t.doc_id
+     AND d.i BETWEEN t.j - {DECONTAM_N - 1} AND t.j
+  ) GROUP BY 1
+),
+keep AS (
+  SELECT t.doc_id, t.j, t.tok
+  FROM tokw t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM m d
+    WHERE d.doc_id = t.doc_id
+      AND d.i BETWEEN t.j - {DECONTAM_N - 1} AND t.j
+  )
+),
+red AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS rt
+  FROM keep GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(p.n_tokens AS INT) AS n_tokens,
+       c.covered AS covered_tokens,
+       round(c.covered * 1.0 / p.n_tokens, 4) AS covered_frac,
+       CASE WHEN c.covered * 2 >= p.n_tokens THEN 'drop'
+            ELSE 'redact' END AS action,
+       CASE WHEN c.covered * 2 >= p.n_tokens THEN NULL
+            ELSE r.rt END AS redacted_text
+FROM perdoc p JOIN cov c USING (doc_id) LEFT JOIN red r USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # fuzzy (paraphrase-robust) decontamination: exact-gram decontam
 # misses eval leakage that was lightly EDITED — here every 40th word
@@ -5841,6 +5932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_matches": q_winnow_matches,
     "allpairs_jaccard": q_allpairs_jaccard,
+    "contam_redact": q_contam_redact,
 }
 
 ORACLES: dict[str, str] = {
@@ -5944,4 +6036,5 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_matches": SQL_WINNOW_MATCHES,
     "allpairs_jaccard": SQL_NGRAM_JACCARD_PAIRS,
+    "contam_redact": SQL_CONTAM_REDACT,
 }

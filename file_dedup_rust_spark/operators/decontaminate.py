@@ -151,6 +151,75 @@ def contamination_coverage(
     )
 
 
+def redact_contaminated(
+    train: DataFrame, eval_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """The REMOVE side of contamination coverage — surgical
+    decontamination: cut only the token positions inside an
+    eval-matching n-gram window and keep the rest of the document
+    (the GPT-3 appendix-C recipe removes a window around each
+    collision rather than the whole doc; Brown et al. 2020).  Docs
+    where the covered fraction reaches 1/2 are routed to 'drop'
+    (redacting most of a doc leaves gibberish) — the integer test
+    covered*2 >= n_tokens keeps the threshold float-free in both
+    engines.
+
+    Returns, for CONTAMINATED docs only: (doc_id, n_tokens,
+    covered_tokens, covered_frac, action, redacted_text) with
+    redacted_text NULL on drop rows.  covered_tokens here is derived
+    from the kept-token mask (n_tokens - size(kept)) — an independent
+    derivation of the same quantity contamination_coverage computes
+    via the interval-union aggregate; the pytest pins their equality.
+
+    Scale shape: same single BroadcastHashJoin as the other decontam
+    operators (positioned train grams vs the broadcast distinct eval
+    gram set — the corpus never shuffles on gram keys), one groupBy on
+    doc_id, then ONE join back to the token arrays on doc_id to build
+    the mask.  The mask filter is a JVM lambda over the doc's own
+    tokens x its matched positions — bounded by the doc's own length
+    like holding its text (for mega-documents the merged-interval
+    variant of the same lambda cuts it to tokens x intervals)."""
+    lanes = ", ".join(f"w[i+{j}-1]" for j in range(n))
+    toks = train.select(
+        "doc_id", F.split("t", " ").alias("w")
+    ).select("doc_id", "w", F.size("w").alias("n_tokens"))
+    grams = F.when(
+        F.size("w") >= n,
+        F.expr(
+            f"transform(sequence(1, size(w) - {n - 1}),"
+            f" i -> concat_ws(' ', {lanes}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = toks.select(
+        "doc_id", F.posexplode(grams).alias("p0", "g")
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "g")
+    eg = word_ngrams(eval_docs, n).select("g").distinct()
+    matched = (
+        pos.join(F.broadcast(eg), "g")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("i")).alias("dps"))
+    )
+    kept = F.expr(
+        f"filter(w, (x, i0) -> !exists(dps, "
+        f"p -> p >= i0 + 2 - {n} AND p <= i0 + 1))"
+    )
+    masked = matched.join(toks, "doc_id").withColumn("kept", kept)
+    covered = (F.col("n_tokens") - F.size("kept")).cast("long")
+    is_drop = covered * 2 >= F.col("n_tokens")
+    return masked.select(
+        "doc_id",
+        "n_tokens",
+        covered.alias("covered_tokens"),
+        F.round(covered / F.col("n_tokens"), 4).alias("covered_frac"),
+        F.when(is_drop, F.lit("drop")).otherwise(F.lit("redact")).alias(
+            "action"
+        ),
+        F.when(is_drop, F.lit(None).cast("string"))
+        .otherwise(F.array_join("kept", " "))
+        .alias("redacted_text"),
+    )
+
+
 def fuzzy_contamination_hits(
     train: DataFrame,
     eval_docs: DataFrame,

@@ -135,3 +135,89 @@ def test_coverage_interval_union_planted(spark):
     assert got[12]["matched_grams"] == 5
     assert got[12]["covered_tokens"] == 12
     assert got[12]["covered_frac"] == 1.0
+
+
+def test_redact_surgical_planted(spark):
+    # clean doc with one eval 8-gram grafted mid-document: redact must
+    # excise exactly the covered window and keep everything else in
+    # order; a fully-leaked doc must route to 'drop' with NULL text
+    from file_dedup_rust_spark.operators.decontaminate import (
+        contamination_coverage,
+        redact_contaminated,
+    )
+
+    ev_toks = [f"e{i}" for i in range(8)]
+    ev = spark.createDataFrame(
+        [(1, " ".join(ev_toks))], "doc_id long, t string"
+    )
+    pre = [f"p{i}" for i in range(10)]
+    post = [f"q{i}" for i in range(10)]
+    train = spark.createDataFrame(
+        [
+            (10, " ".join(pre + ev_toks + post)),  # partial -> redact
+            (11, " ".join(ev_toks)),               # total -> drop
+            (12, " ".join(pre + post)),            # clean -> absent
+        ],
+        "doc_id long, t string",
+    )
+    out = {r.doc_id: r for r in redact_contaminated(train, ev, 8).collect()}
+    assert set(out) == {10, 11}
+    r10 = out[10]
+    assert r10.action == "redact"
+    assert r10.covered_tokens == 8
+    assert r10.redacted_text == " ".join(pre + post)
+    r11 = out[11]
+    assert r11.action == "drop"
+    assert r11.redacted_text is None
+    assert r11.covered_frac == 1.0
+
+    # covered_tokens equality across the two independent derivations:
+    # interval-union aggregate (coverage) vs kept-token mask (redact)
+    cov = {
+        r.doc_id: r.covered_tokens
+        for r in contamination_coverage(train, ev, 8).collect()
+    }
+    assert cov == {d: out[d].covered_tokens for d in out}
+
+
+def test_redact_mask_matches_coverage_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from file_dedup_rust_spark.operators.decontaminate import (
+        contamination_coverage,
+        redact_contaminated,
+    )
+
+    tok = st.sampled_from(list("abcde"))
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(tok, min_size=8, max_size=12),
+        st.lists(st.lists(tok, min_size=8, max_size=30), min_size=1, max_size=4),
+    )
+    def run(ev_toks, train_toks):
+        ev = spark.createDataFrame(
+            [(1, " ".join(ev_toks))], "doc_id long, t string"
+        )
+        train = spark.createDataFrame(
+            [(i, " ".join(ts)) for i, ts in enumerate(train_toks)],
+            "doc_id long, t string",
+        )
+        cov = {
+            r.doc_id: r.covered_tokens
+            for r in contamination_coverage(train, ev, 8).collect()
+        }
+        red = {
+            r.doc_id: r for r in redact_contaminated(train, ev, 8).collect()
+        }
+        assert set(cov) == set(red)
+        for d, r in red.items():
+            assert cov[d] == r.covered_tokens
+            if r.action == "redact":
+                # kept + covered partitions the doc
+                assert len(r.redacted_text.split(" ")) == (
+                    r.n_tokens - r.covered_tokens
+                )
+
+    run()

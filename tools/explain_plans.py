@@ -538,6 +538,16 @@ def main() -> int:
         ["xxhash64", "Window", "HashAggregate"],
     ))
 
+    sections.append((
+        "contam_redact (surgical decontamination: positioned grams "
+        "stream through the same ONE BroadcastHashJoin as "
+        "decontam_hits, one doc_id groupBy, one join back to the "
+        "token arrays; the kept-token mask is a JVM lambda — no "
+        "Python, no corpus shuffle on gram keys)",
+        plan_text(Q.q_contam_redact(spark, args.sf_dir)),
+        ["BroadcastHashJoin", "HashAggregate"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

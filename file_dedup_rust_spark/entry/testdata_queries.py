@@ -5833,6 +5833,92 @@ def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_jaccard_pairs(shingles(docs_corpus(spark, sf_dir)), 4, 5)
 
 
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time Bloom prefilter for the incremental new-vs-corpus
+    probe: per arriving doc, (doc_id, bloom_hit, exact_hit).  bloom_hit
+    comes from a partitioned Bloom sketch of the corpus
+    (operators/corpus_sketch.py: 4 md5 lanes x 4096 hex-keyed buckets,
+    mergeable, bounded state independent of corpus rows); exact_hit is
+    the authoritative distinct-text join.  The sketch guarantees zero
+    false negatives (bloom_hit >= exact_hit row-for-row — the hash
+    match proves it, since the oracle recomputes both flags), so an
+    ingest worker can discard bloom_hit=0 rows before the exact join
+    ever runs; only true dups plus the measured false-positive trickle
+    pay the join.  Scale shape: batch explodes x4, sketch side is
+    bounded (broadcast at demo m, hash-join at production m), one
+    partial-agg verdict per doc; the exact tier keys on the 8-byte
+    content hash per the repo convention."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    base = docs_corpus(spark, sf_dir)
+    new = _new_batch(spark, sf_dir)
+    bloom = bloom_probe(bloom_bits(base), new, "doc_id")
+    base_k = base.select(F.xxhash64("t").alias("tk")).distinct()
+    exact = (
+        new.select("doc_id", F.xxhash64("t").alias("tk"))
+        .join(base_k.withColumn("hit", F.lit(1)), "tk", "left")
+        .select(
+            "doc_id", F.coalesce("hit", F.lit(0)).cast("int").alias("exact_hit")
+        )
+    )
+    return bloom.join(exact, "doc_id")
+
+
+SQL_BLOOM_PREFILTER = f"""
+WITH base AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+newb AS (
+  SELECT doc_id + {EXACT_ID_OFFSET} AS doc_id, t
+  FROM base WHERE doc_id % {EXACT_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {TRUNC_ID_OFFSET},
+         array_to_string(
+           w[1 : greatest(CAST(floor(len(w) * 3 / 5) AS INT), 1)], ' ')
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM base)
+  WHERE doc_id % {TRUNC_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {EDIT_ID_OFFSET},
+         array_to_string(
+           list_transform(generate_series(1, len(w)),
+             i -> CASE WHEN (i-1) % 30 = 0 THEN 'zzz' ELSE w[i] END), ' ')
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM base)
+  WHERE doc_id % {EDIT_COPY_MOD} = 3
+  UNION ALL
+  SELECT doc_id + {SCRAM_ID_OFFSET},
+         array_to_string(list_reverse(string_split(t, ' ')), ' ')
+  FROM base WHERE doc_id % {SCRAM_COPY_MOD} = 5
+),
+bits AS (
+  SELECT DISTINCT lane,
+         substring(md5(CAST(lane AS VARCHAR) || ':' || t), 1, 3) AS bkt
+  FROM base, unnest([0, 1, 2, 3]) AS l(lane)
+),
+probes AS (
+  SELECT doc_id, lane,
+         substring(md5(CAST(lane AS VARCHAR) || ':' || t), 1, 3) AS bkt
+  FROM newb, unnest([0, 1, 2, 3]) AS l(lane)
+),
+bloom AS (
+  SELECT doc_id,
+         CAST(CASE WHEN count(b.bkt) = 4 THEN 1 ELSE 0 END AS INT)
+           AS bloom_hit
+  FROM probes p LEFT JOIN bits b USING (lane, bkt)
+  GROUP BY doc_id
+),
+bt AS (SELECT DISTINCT t FROM base),
+exact AS (
+  SELECT n.doc_id,
+         CAST(CASE WHEN bt.t IS NULL THEN 0 ELSE 1 END AS INT) AS exact_hit
+  FROM newb n LEFT JOIN bt ON n.t = bt.t
+)
+SELECT doc_id, bloom_hit, exact_hit FROM bloom JOIN exact USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5932,6 +6018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_matches": q_winnow_matches,
     "allpairs_jaccard": q_allpairs_jaccard,
+    "bloom_prefilter": q_bloom_prefilter,
     "contam_redact": q_contam_redact,
 }
 
@@ -6036,5 +6123,6 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_matches": SQL_WINNOW_MATCHES,
     "allpairs_jaccard": SQL_NGRAM_JACCARD_PAIRS,
+    "bloom_prefilter": SQL_BLOOM_PREFILTER,
     "contam_redact": SQL_CONTAM_REDACT,
 }

@@ -210,6 +210,98 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Partitioned Bloom filter (Bloom 1970; the one-partition-per-hash
+# variant analyzed in Kirsch & Mitzenmacher 2006) — set membership with
+# bounded state and ZERO false negatives.  The exact new-vs-corpus
+# probe (q_dedup_new_vs_corpus) hash-joins the batch against the full
+# distinct-key table; a Bloom prefilter answers "definitely new" from a
+# sketch whose size is fixed by (lanes x buckets), independent of
+# corpus row count, so an ingest worker can drop the provably-new bulk
+# of a batch before the exact join ever runs.  Only "maybe dup" rows
+# (true dups + the measured false-positive trickle) proceed to the
+# authoritative tier — the same cheap-tier-first contract as the dedup
+# ladder itself.
+#
+# Determinism/oracle contract (same trick as the MinHash/HLL sketches
+# above): lane l routes a text to bucket substr(md5("<l>:<t>"), 1, w) —
+# a HEX-STRING bucket key, bit-identical in Spark and DuckDB, so the
+# probe verdicts themselves (not just their expectation) are exactly
+# reproducible by a SQL oracle.  One md5 per lane keeps lanes
+# independent; w hex digits give 16^w buckets per lane.
+#
+# Representation: the DISTINCT (lane, bkt) set — the sparse form of the
+# bit array.  It is mergeable by construction (set union is
+# associative/commutative/idempotent: append == rebuild, replay is a
+# no-op, the same LSM contract as every sketch in this module) and
+# bounded by lanes * 16^w rows regardless of corpus size.  At demo
+# m=4096 the whole sketch broadcasts (<=16 K rows); at production m
+# (w=8 -> 4.3 G buckets/lane for ~10^10-distinct corpora at ~1% FP^4)
+# the same table is a shuffle-partitioned distributed bloom probed by
+# hash join, or packs 64 buckets/long via bitwise-OR agg if the dense
+# form is wanted — the probe semantics are identical either way.
+# ---------------------------------------------------------------------------
+
+BLOOM_LANES = 4   # independent hash functions (one bucket space each)
+BLOOM_HEX_W = 3   # bucket key width: 16^3 = 4096 buckets per lane
+
+
+def _bloom_keys(df: DataFrame, text_col: str, extra: list[str]) -> DataFrame:
+    """Explode each row into its BLOOM_LANES (lane, bkt) probe keys."""
+    lanes = F.explode(
+        F.array(*[F.lit(i) for i in range(BLOOM_LANES)])
+    ).alias("lane")
+    return df.select(*extra, F.col(text_col).alias("t"), lanes).select(
+        *extra,
+        "lane",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("lane").cast("string"), F.col("t"))),
+            1,
+            BLOOM_HEX_W,
+        ).alias("bkt"),
+    )
+
+
+def bloom_bits(corpus: DataFrame, text_col: str = "t") -> DataFrame:
+    """Corpus -> distinct (lane, bkt) occupied-bucket set.  One
+    partial-agg distinct; the shuffle carries at most
+    BLOOM_LANES * 16^BLOOM_HEX_W rows, never texts."""
+    return _bloom_keys(corpus, text_col, []).distinct()
+
+
+def merge_bloom(*bits: DataFrame) -> DataFrame:
+    """Union per-batch occupied-bucket sets into the corpus sketch:
+    set union is associative/commutative/idempotent, so sketching each
+    ingest batch separately and folding equals the sketch of the union
+    (append == rebuild; replaying a batch is a no-op)."""
+    it = iter(bits)
+    acc = next(it).select("lane", "bkt")
+    for b in it:
+        acc = acc.unionByName(b.select("lane", "bkt"))
+    return acc.distinct()
+
+
+def bloom_probe(
+    bits: DataFrame, batch: DataFrame, id_col: str, text_col: str = "t"
+) -> DataFrame:
+    """Per batch row: (id, bloom_hit) — bloom_hit = 1 iff ALL lanes'
+    buckets are occupied (the Bloom AND).  Zero false negatives by
+    construction; false positives at rate ~ prod_l(occupancy_l).
+
+    Plan shape: the batch explodes to BLOOM_LANES rows/doc, the bits
+    side is sketch-sized (broadcast at demo m, hash join at production
+    m), and the verdict is one partial-agg count per doc."""
+    probes = _bloom_keys(batch, text_col, [id_col])
+    marked = probes.join(
+        bits.withColumn("hit", F.lit(1)), ["lane", "bkt"], "left"
+    )
+    return marked.groupBy(id_col).agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) == BLOOM_LANES)
+        .cast("int")
+        .alias("bloom_hit")
+    )
+
+
 def hll_distinct_by(
     df: DataFrame, group_col: str, text_col: str
 ) -> DataFrame:

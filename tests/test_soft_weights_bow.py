@@ -306,3 +306,74 @@ def test_hll_merge_append_equals_rebuild(spark):
         r["g"]: r["hll_estimate"] for r in hll_estimate(rebuilt).collect()
     }
     assert abs(est["a"] - 700) / 700 < 0.15 and abs(est["b"] - 200) / 200 < 0.15
+
+
+# ---------------------------------------------------------------------------
+# partitioned Bloom prefilter (operators/corpus_sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_zero_false_negatives_and_low_fp(spark):
+    """The Bloom contract: every in-corpus text probes to bloom_hit=1
+    (no false negatives, ever); out-of-corpus texts hit only at the
+    occupancy^lanes false-positive rate (< 10% here: 300 distinct
+    texts in 4096 buckets/lane -> p ~ 0.07, p^4 ~ 2e-5)."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"document body {i}",) for i in range(300)], "t string"
+    )
+    bits = bloom_bits(corpus)
+    members = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(300)], "id long, t string"
+    )
+    hits = bloom_probe(bits, members, "id").collect()
+    assert all(r["bloom_hit"] == 1 for r in hits) and len(hits) == 300
+
+    fresh = spark.createDataFrame(
+        [(i, f"unseen text {i}") for i in range(300)], "id long, t string"
+    )
+    fp = sum(r["bloom_hit"] for r in bloom_probe(bits, fresh, "id").collect())
+    assert fp / 300 < 0.10
+
+
+def test_bloom_merge_equals_rebuild_and_is_idempotent(spark):
+    """Same LSM contract as the MinHash/HLL sketches: per-batch bloom
+    bits folded with merge_bloom equal the bits of the union, and
+    replaying a batch is a no-op (set union is idempotent)."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        bloom_bits,
+        merge_bloom,
+    )
+
+    b1 = spark.createDataFrame([(f"a {i}",) for i in range(80)], "t string")
+    b2 = spark.createDataFrame([(f"b {i}",) for i in range(80)], "t string")
+
+    def as_set(df):
+        return {(r["lane"], r["bkt"]) for r in df.collect()}
+
+    merged = merge_bloom(bloom_bits(b1), bloom_bits(b2))
+    rebuilt = bloom_bits(b1.unionByName(b2))
+    assert as_set(merged) == as_set(rebuilt)
+    replay = merge_bloom(merged, bloom_bits(b2))
+    assert as_set(replay) == as_set(rebuilt)
+
+
+def test_bloom_state_is_bounded(spark):
+    """Sketch size never exceeds lanes * 16^w rows no matter the
+    corpus; with >> m distinct texts every bucket fills (the saturation
+    regime where the prefilter stops pruning — m must scale with n)."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        BLOOM_HEX_W,
+        BLOOM_LANES,
+        bloom_bits,
+    )
+
+    m = 16 ** BLOOM_HEX_W
+    big = spark.range(0, 40_000).selectExpr("concat('t ', id) AS t")
+    n = bloom_bits(big).count()
+    assert n <= BLOOM_LANES * m
+    assert n >= BLOOM_LANES * m * 0.99  # saturated at 40k >> 4096

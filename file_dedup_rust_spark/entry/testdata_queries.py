@@ -5919,6 +5919,58 @@ SELECT doc_id, bloom_hit, exact_hit FROM bloom JOIN exact USING (doc_id)
 """
 
 
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve — the "pick your threshold" dashboard: for
+    each Jaccard cutoff in [0.3 .. 0.9], (threshold, n_pairs,
+    n_docs_flagged).  Answers what each notch of dedup aggressiveness
+    would cost in flagged documents BEFORE committing a corpus-wide
+    prune — the tuning companion to tier_dedup_summary's per-tier
+    yield.  Scale shape: the exact pair set is computed ONCE at the
+    loosest cutoff (the posting join is threshold-independent); the
+    sweep is a 7-row literal explode over the pair table — a narrow
+    map + two partial-agg groupBys, no re-scan per threshold.  At
+    100 TB the pair base comes from the LSH/AllPairs candidate path
+    (same result set, sub-quadratic), with the loosest cutoff bounding
+    the band config."""
+    sh = shingles(docs_corpus(spark, sf_dir))
+    pairs = jaccard_pairs(sh, 0.3)
+    grid = F.explode(
+        F.array(*[F.lit(t / 10.0) for t in range(3, 10)])
+    ).alias("threshold")
+    hit = (
+        pairs.select("ia", "ib", "jac", grid)
+        .filter(F.col("jac") >= F.col("threshold"))
+    )
+    n_pairs = hit.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    n_docs = (
+        hit.select("threshold", F.explode(F.array("ia", "ib")).alias("d"))
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count("*").alias("n_docs_flagged"))
+    )
+    return n_pairs.join(n_docs, "threshold")
+
+
+SQL_DEDUP_THRESHOLD_CURVE = f"""
+WITH {_sql_shingles(SQL_DOCS_CORPUS)},
+{SQL_JACCARD_PAIRS},
+base AS (SELECT ia, ib, jac FROM jpairs WHERE jac >= 0.3),
+grid AS (SELECT CAST(t AS DOUBLE) AS threshold
+         FROM unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS g(t)),
+hit AS (
+  SELECT threshold, ia, ib FROM base JOIN grid ON jac >= threshold
+),
+np AS (SELECT threshold, count(*) AS n_pairs FROM hit GROUP BY 1),
+nd AS (
+  SELECT threshold, count(*) AS n_docs_flagged FROM (
+    SELECT DISTINCT threshold, d
+    FROM hit, unnest([ia, ib]) AS u(d)
+  ) GROUP BY 1
+)
+SELECT threshold, n_pairs, n_docs_flagged FROM np JOIN nd USING (threshold)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6019,6 +6071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_matches": q_winnow_matches,
     "allpairs_jaccard": q_allpairs_jaccard,
     "bloom_prefilter": q_bloom_prefilter,
+    "dedup_threshold_curve": q_dedup_threshold_curve,
     "contam_redact": q_contam_redact,
 }
 
@@ -6124,5 +6177,6 @@ ORACLES: dict[str, str] = {
     "winnow_matches": SQL_WINNOW_MATCHES,
     "allpairs_jaccard": SQL_NGRAM_JACCARD_PAIRS,
     "bloom_prefilter": SQL_BLOOM_PREFILTER,
+    "dedup_threshold_curve": SQL_DEDUP_THRESHOLD_CURVE,
     "contam_redact": SQL_CONTAM_REDACT,
 }

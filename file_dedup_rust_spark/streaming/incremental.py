@@ -1279,6 +1279,50 @@ def streaming_hll_registers(
     return writer.start()
 
 
+def streaming_bloom_bits(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Ingest-time Bloom prefilter state: per micro-batch occupied-
+    bucket deltas of the TRANSCRIPT Bloom sketch
+    (operators.corpus_sketch.bloom_bits — 4 md5 lanes x 4096 hex
+    buckets).  Each batch writes ITS OWN distinct (lane, bkt) set via
+    the idempotent store; the current corpus sketch is merge_bloom
+    over the store (set union is associative/commutative/idempotent,
+    so arrival order, batch splits, AND replays are invisible —
+    streaming-vs-batch parity is BIT-EXACT, pinned in
+    tests/test_streaming.py).
+
+    Why next to the exact fingerprint stores above: those are
+    O(distinct values) — the authoritative tier.  This sketch is
+    O(lanes x 16^w) REGARDLESS of corpus size, and guarantees zero
+    false negatives, so an ingest worker can route bloom-miss clips
+    straight to "definitely new" and reserve the exact store probe
+    (and its state) for the maybe-dup trickle — the cheap-tier-first
+    ladder applied to streaming state itself."""
+    clips = read_clip_stream(spark, landing_dir)
+    docs = clips.select(
+        F.lower(F.coalesce("transcript", F.lit(""))).alias("t")
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from file_dedup_rust_spark.operators.corpus_sketch import bloom_bits
+
+        store_write(bloom_bits(batch_df, "t"), out_dir, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 _ASSIGN_STATE_SCHEMA = "rep string"
 _ASSIGN_OUT_SCHEMA = "clip_id string, sha256 string, cluster_rep string"
 

@@ -1085,3 +1085,66 @@ def test_streaming_hll_registers_match_batch_exactly(spark, tmp_path):
             r["g"]: r["hll_estimate"] for r in hll_estimate(folded).collect()
         }
         assert got_est == want_est, tag
+
+
+def test_streaming_bloom_bits_match_batch_exactly(spark, tmp_path):
+    """The ingest-time Bloom bit store folds to the BIT-IDENTICAL
+    occupied-bucket set as one batch sketch over the whole landing
+    set, under two arrival orders — set union is order/split/replay-
+    invariant by construction.  A replayed drop changes nothing, and
+    every landed transcript probes to bloom_hit=1 against the folded
+    sketch (zero false negatives through the streaming path too)."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        bloom_bits,
+        bloom_probe,
+        merge_bloom,
+    )
+    from file_dedup_rust_spark.streaming.incremental import (
+        read_store,
+        streaming_bloom_bits,
+    )
+
+    pdf = datagen.generate_clips_pandas(150, seed=42)
+    clips = spark.createDataFrame(pdf, schema=datagen.CLIP_SCHEMA)
+    docs = clips.select(
+        F.lower(F.coalesce("transcript", F.lit(""))).alias("t")
+    )
+    want = {(r["lane"], r["bkt"]) for r in bloom_bits(docs).collect()}
+
+    for tag, order in (("fwd", False), ("rev", True)):
+        landing = str(tmp_path / f"landing_{tag}")
+        part = pdf.iloc[::-1] if order else pdf
+        spark.createDataFrame(
+            part.iloc[:55], schema=datagen.CLIP_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/drop=1")
+        spark.createDataFrame(
+            part.iloc[55:], schema=datagen.CLIP_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(f"{landing}/drop=2")
+        out = str(tmp_path / f"bloom_{tag}")
+        q = streaming_bloom_bits(
+            spark, landing, out, str(tmp_path / f"bckpt_{tag}")
+        )
+        assert q.awaitTermination(300)
+        store = read_store(spark, out)
+        assert store is not None
+        folded = merge_bloom(store)
+        got = {(r["lane"], r["bkt"]) for r in folded.collect()}
+        assert got == want, tag
+        # replaying a drop is a no-op (idempotent union)
+        replayed = merge_bloom(
+            folded,
+            bloom_bits(
+                spark.createDataFrame(
+                    part.iloc[:55], schema=datagen.CLIP_SCHEMA
+                ).select(
+                    F.lower(F.coalesce("transcript", F.lit(""))).alias("t")
+                )
+            ),
+        )
+        assert {(r["lane"], r["bkt"]) for r in replayed.collect()} == want
+        # zero false negatives through the streaming path
+        probe = docs.withColumn(
+            "id", F.xxhash64("t")
+        ).dropDuplicates(["id"])
+        hits = bloom_probe(folded, probe, "id").collect()
+        assert hits and all(r["bloom_hit"] == 1 for r in hits), tag

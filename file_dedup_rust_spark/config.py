@@ -226,9 +226,19 @@ class DedupConfig:
         (e.g. pcm_sha in round 4), a pre-upgrade checkpoint directory
         must invalidate — otherwise the committed 'signatures' stage
         resumes and a later stage crashes on the missing column."""
-        from file_dedup_rust_spark.functions.udfs import SIGNATURE_SCHEMA
+        from file_dedup_rust_spark.functions.udfs import (
+            SIG_SEMANTICS_VERSION,
+            SIGNATURE_SCHEMA,
+        )
 
-        payload = {"cfg": asdict(self), "sig_schema": SIGNATURE_SCHEMA}
+        payload = {
+            "cfg": asdict(self),
+            "sig_schema": SIGNATURE_SCHEMA,
+            # value-semantics changes (same columns, different values —
+            # e.g. the v2 polarity-canonical pcm_sha) must also
+            # invalidate pre-change signature checkpoints
+            "sig_semantics": SIG_SEMANTICS_VERSION,
+        }
         blob = json.dumps(payload, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

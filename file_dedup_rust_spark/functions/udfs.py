@@ -56,20 +56,38 @@ SIGNATURE_COLUMNS = [
 FRAMES_SIGNATURE_SCHEMA = SIGNATURE_SCHEMA + ", frame_fps array<long>"
 
 
+# bump when pcm_sha/signature VALUE semantics change (not just the
+# schema): folded into DedupConfig.fingerprint() so pre-change
+# checkpoints invalidate even though the column list is identical.
+# v2: polarity-canonical pcm_sha (inverted masters hash together).
+SIG_SEMANTICS_VERSION = 2
+
+
 def canonical_pcm_sha(pcm: np.ndarray, sr_hz: int) -> str:
     """Codec-invariant audio content hash: SHA-256 over the sample
-    rate + the decoded samples re-quantized to int16 little-endian.
+    rate + the decoded samples re-quantized to int16 little-endian,
+    POLARITY-CANONICALIZED: the hash covers the lexicographically
+    smaller of the sample buffer and its saturating negation, so a
+    phase-inverted master (balanced-wiring flip, inverted stem — the
+    waveform is -x, inaudible and a true duplicate) hashes with its
+    original.
 
     Both supported codecs are lossless containers of int16 PCM, so
     decode -> float32/32768 -> requantize is an exact round-trip and
     the SAME recording shipped as raw pcm_s16le and as a RIFF/WAVE
     file hashes identically even though the container bytes (and
     therefore sha256) differ.  The sr prefix keeps equal sample
-    vectors at different rates — different audio — apart."""
+    vectors at different rates — different audio — apart.  Known
+    edge: a clip containing full-scale -32768 samples saturates to
+    32767 under negation, so ITS inverted twin lands one LSB off and
+    falls through to the SimHash tier — the same clipped-audio caveat
+    the quality gates already flag."""
     q = A.quantize_i16_canonical(pcm)
+    neg = np.clip(-q.astype(np.int32), -32768, 32767).astype("<i2")
+    qb, nb = q.tobytes(), neg.tobytes()
     h = hashlib.sha256(str(int(sr_hz)).encode())
     h.update(b"|")
-    h.update(q.tobytes())
+    h.update(qb if qb <= nb else nb)
     return h.hexdigest()
 
 

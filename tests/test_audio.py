@@ -882,3 +882,60 @@ def test_stereo_dual_mono_wav_downmixes_bit_exact_and_dedups(spark):
     cc = connected_components(edges.select("a", "b"), sigs.select("clip_id"))
     lbl = {r["clip_id"]: r["cluster_id"] for r in cc.collect()}
     assert lbl["c_mono"] == lbl["c_stereo"] != lbl["c_other"]
+
+
+def test_polarity_inverted_wav_dedups_through_pcm_exact(spark):
+    """A phase-inverted re-upload (every sample negated — balanced-
+    wiring flip / inverted stem; inaudible, a true duplicate) must
+    cluster through the pcm_exact tier: canonical_pcm_sha hashes the
+    lexicographic min of the sample buffer and its saturating
+    negation, so x and -x collapse even though bytes, sha256, and the
+    raw PCM all differ."""
+    from file_dedup_rust_spark.functions.udfs import (
+        canonical_pcm_sha,
+        compute_signatures,
+    )
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+    from file_dedup_rust_spark.plans.pipeline import build_edges
+
+    import struct
+
+    x = _tone(seed=41)
+    orig = A.encode_wav(x, 8000)
+    d_o = A.decode_audio(orig, "wav")
+    # negate ON THE STORED int16 GRID (a real polarity flip negates the
+    # samples exactly; re-encoding floats through a different quantizer
+    # grid would not)
+    i16 = A.quantize_i16_canonical(d_o)
+    assert int(i16.min()) > -32768  # no saturation edge in this fixture
+    body = (-i16).astype("<i2").tobytes()
+    inv = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000 * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    d_i = A.decode_audio(inv, "wav")
+    assert not np.array_equal(d_o, d_i)  # raw PCM really differs
+    assert canonical_pcm_sha(d_o, 8000) == canonical_pcm_sha(d_i, 8000)
+
+    y = _tone(seed=42, f=659.0)
+    rows = [
+        ("p_orig", bytearray(orig), 8000, 500, "wav", "alpha"),
+        ("p_inv", bytearray(inv), 8000, 500, "wav", "beta"),
+        ("p_other", bytearray(A.encode_wav(y, 8000)), 8000, 500, "wav", "x"),
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    sigs = compute_signatures(clips, CFG)
+    edges = build_edges(sigs, CFG)
+    kinds = {(r["a"], r["b"], r["kind"]) for r in edges.collect()}
+    assert ("p_inv", "p_orig", "pcm_exact") in kinds or (
+        "p_orig", "p_inv", "pcm_exact") in kinds, kinds
+    cc = connected_components(edges.select("a", "b"), sigs.select("clip_id"))
+    lbl = {r["clip_id"]: r["cluster_id"] for r in cc.collect()}
+    assert lbl["p_orig"] == lbl["p_inv"] != lbl["p_other"]

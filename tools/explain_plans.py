@@ -548,6 +548,27 @@ def main() -> int:
         ["BroadcastHashJoin", "HashAggregate"],
     ))
 
+    sections.append((
+        "bloom_prefilter (partitioned Bloom membership: md5 bucket "
+        "keys inside codegen, the sketch side is bounded at "
+        "lanes x 16^w rows so it BROADCASTS; the batch explodes x4 "
+        "into one BroadcastHashJoin + per-doc partial agg — the "
+        "corpus never shuffles on probe keys, and the exact tier "
+        "joins on 8-byte xxhash64)",
+        plan_text(Q.q_bloom_prefilter(spark, args.sf_dir)),
+        ["md5", "BroadcastHashJoin", "HashAggregate"],
+    ))
+
+    sections.append((
+        "dedup_threshold_curve (yield curve: the exact pair set is "
+        "computed ONCE at the loosest cutoff — the same posting join "
+        "as ngram_jaccard_pairs — then a 7-row literal explode sweeps "
+        "thresholds as a narrow map + two partial-agg groupBys, no "
+        "per-threshold re-scan)",
+        plan_text(Q.q_dedup_threshold_curve(spark, args.sf_dir)),
+        ["HashAggregate", "Exchange", "partial"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

@@ -5971,6 +5971,70 @@ SELECT threshold, n_pairs, n_docs_flagged FROM np JOIN nd USING (threshold)
 """
 
 
+def q_snm_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (operators/snm.py — the
+    FOURTH candidate-generation family: merge/purge windowing after a
+    two-pass canonical-key sort, candidates exactly n*w per pass, no
+    posting skew, no caps) verified by exact shingle Jaccard at the
+    standard threshold.  The oracle reproduces the windowing itself
+    (row_number over the same two keys), so the hash match pins the
+    DISTRIBUTED RANK — range repartition + per-partition row_number +
+    broadcast offsets, never a single-partition window — against plain
+    SQL row_number(), misses and all (SNM's sort-key blind spot is
+    documented in the module; recall vs the exact pair set is pinned
+    in tests/test_snm.py)."""
+    from file_dedup_rust_spark.operators.snm import snm_candidates
+
+    corpus = docs_corpus(spark, sf_dir)
+    cand = snm_candidates(corpus)
+    sh = shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("ia"), "g"), "ia")
+        .join(sh.select(F.col("doc_id").alias("ib"), "g"), ["ib", "g"])
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb")), "ib")
+        .select(
+            "ia",
+            "ib",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4)
+            .alias("jac"),
+        )
+        .filter(F.col("jac") >= JACCARD_T)
+    )
+
+
+SQL_SNM_NEARDUP_PAIRS = f"""
+WITH {_sql_shingles(SQL_DOCS_CORPUS)},
+{SQL_JACCARD_PAIRS},
+r1 AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY substring(t, 1, 24), doc_id) - 1 AS r
+  FROM corpus
+),
+r2 AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY substring(reverse(t), 1, 24), doc_id)
+           - 1 AS r
+  FROM corpus
+),
+cand AS (
+  SELECT least(a.id, b.id) AS ia, greatest(a.id, b.id) AS ib
+  FROM r1 a JOIN r1 b ON b.r - a.r BETWEEN 1 AND 8
+  UNION
+  SELECT least(a.id, b.id), greatest(a.id, b.id)
+  FROM r2 a JOIN r2 b ON b.r - a.r BETWEEN 1 AND 8
+)
+SELECT j.ia, j.ib, j.jac
+FROM jpairs j JOIN cand USING (ia, ib)
+WHERE j.jac >= {JACCARD_T}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6072,6 +6136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "allpairs_jaccard": q_allpairs_jaccard,
     "bloom_prefilter": q_bloom_prefilter,
     "dedup_threshold_curve": q_dedup_threshold_curve,
+    "snm_neardup_pairs": q_snm_neardup_pairs,
     "contam_redact": q_contam_redact,
 }
 
@@ -6178,5 +6243,6 @@ ORACLES: dict[str, str] = {
     "allpairs_jaccard": SQL_NGRAM_JACCARD_PAIRS,
     "bloom_prefilter": SQL_BLOOM_PREFILTER,
     "dedup_threshold_curve": SQL_DEDUP_THRESHOLD_CURVE,
+    "snm_neardup_pairs": SQL_SNM_NEARDUP_PAIRS,
     "contam_redact": SQL_CONTAM_REDACT,
 }

@@ -6035,6 +6035,73 @@ WHERE j.jac >= {JACCARD_T}
 """
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table via Spark's
+    NATIVE session_window operator (the same operator Structured
+    Streaming uses for stateful session aggregation, so the SQL oracle
+    pins its batch semantics): events of a user belong to one session
+    while consecutive gaps stay under 30 minutes; a gap of exactly
+    30:00.000000 starts a new session (session windows are
+    end-exclusive).  Per user: session count, busiest session, and the
+    longest session span in seconds (microsecond-exact arithmetic on
+    both engines — the events table has sub-second timestamps, so a
+    seconds-truncating oracle would disagree near the boundary).
+
+    Scale shape: ONE hashpartitioning exchange on user_id feeds the
+    session-window aggregation and the per-user rollup — gap logic
+    runs inside the sort-based session agg, never a driver loop; at
+    10^12 events this is the standard sessionize-then-rollup plan with
+    map-side partial aggregation on the rollup."""
+    e = _events(spark, sf_dir)
+    per_session = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+        )
+        .select(
+            "user_id",
+            "n",
+            # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
+            (
+                F.expr("timestampdiff(MICROSECOND, mn, mx)") / F.lit(1000000.0)
+            ).alias("span_secs"),
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+        F.max("span_secs").alias("max_session_secs"),
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('microsecond', lag(ts) OVER w, ts)
+                 >= 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+g AS (
+  SELECT user_id, sid, count(*) AS n,
+         date_diff('microsecond', min(ts), max(ts)) / 1000000.0 AS span_secs
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events,
+       max(span_secs) AS max_session_secs
+FROM g GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6137,6 +6204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prefilter": q_bloom_prefilter,
     "dedup_threshold_curve": q_dedup_threshold_curve,
     "snm_neardup_pairs": q_snm_neardup_pairs,
+    "user_sessions": q_user_sessions,
     "contam_redact": q_contam_redact,
 }
 
@@ -6244,5 +6312,6 @@ ORACLES: dict[str, str] = {
     "bloom_prefilter": SQL_BLOOM_PREFILTER,
     "dedup_threshold_curve": SQL_DEDUP_THRESHOLD_CURVE,
     "snm_neardup_pairs": SQL_SNM_NEARDUP_PAIRS,
+    "user_sessions": SQL_USER_SESSIONS,
     "contam_redact": SQL_CONTAM_REDACT,
 }

@@ -6102,6 +6102,79 @@ FROM g GROUP BY 1
 """
 
 
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics over documents — the stats
+    a cost-based optimizer (and a human capacity-planning a 100-TB
+    job) wants before choosing join sides and partition counts:
+    (column, n_rows, n_nulls, ndv, avg_len).  One scan computes every
+    column's metrics as a single wide aggregate row (Spark plans the
+    multi-distinct via one Expand — still one pass over the data),
+    then a literal 4-way stack pivots it to rows.  At 10^12 rows the
+    exact ndv becomes the HLL sketch (hll_distinct_by_source's
+    machinery — <=256 registers per column instead of a distinct
+    shuffle); the exact form here is the oracle surface."""
+    d = _docs(spark, sf_dir)
+    cols = ["text", "lang", "source", "n_chars"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            # explicit IEEE floor-rounding (events_window_agg's
+            # hardening): Spark round() rounds the shortest-decimal
+            # rendering, DuckDB the binary value — spell the op out
+            (
+                F.floor(
+                    F.avg(F.length(F.col(c).cast("string"))) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias(f"{c}__avg_len"),
+        ]
+    one = d.agg(*aggs)
+    stacked = one.select(
+        F.expr(
+            "stack({n}, {body}) as (column, n_nulls, ndv, avg_len)".format(
+                n=len(cols),
+                body=", ".join(
+                    f"'{c}', {c}__nulls, {c}__ndv, {c}__avg_len"
+                    for c in cols
+                ),
+            )
+        ),
+        "n_rows",
+    )
+    return stacked.select("column", "n_rows", "n_nulls", "ndv", "avg_len")
+
+
+SQL_TABLE_STATS = """
+WITH one AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_nulls,
+         count(DISTINCT text) AS text_ndv,
+         floor(avg(length(CAST(text AS VARCHAR))) * 10000 + 0.5) / 10000 AS text_avg,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+         count(DISTINCT lang) AS lang_ndv,
+         floor(avg(length(CAST(lang AS VARCHAR))) * 10000 + 0.5) / 10000 AS lang_avg,
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_nulls,
+         count(DISTINCT source) AS source_ndv,
+         floor(avg(length(CAST(source AS VARCHAR))) * 10000 + 0.5) / 10000 AS source_avg,
+         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nc_nulls,
+         count(DISTINCT n_chars) AS nc_ndv,
+         floor(avg(length(CAST(n_chars AS VARCHAR))) * 10000 + 0.5) / 10000 AS nc_avg
+  FROM documents
+)
+SELECT 'text' AS column, n_rows, text_nulls AS n_nulls, text_ndv AS ndv,
+       text_avg AS avg_len FROM one
+UNION ALL
+SELECT 'lang', n_rows, lang_nulls, lang_ndv, lang_avg FROM one
+UNION ALL
+SELECT 'source', n_rows, source_nulls, source_ndv, source_avg FROM one
+UNION ALL
+SELECT 'n_chars', n_rows, nc_nulls, nc_ndv, nc_avg FROM one
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6205,6 +6278,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_threshold_curve": q_dedup_threshold_curve,
     "snm_neardup_pairs": q_snm_neardup_pairs,
     "user_sessions": q_user_sessions,
+    "table_stats": q_table_stats,
     "contam_redact": q_contam_redact,
 }
 
@@ -6313,5 +6387,6 @@ ORACLES: dict[str, str] = {
     "dedup_threshold_curve": SQL_DEDUP_THRESHOLD_CURVE,
     "snm_neardup_pairs": SQL_SNM_NEARDUP_PAIRS,
     "user_sessions": SQL_USER_SESSIONS,
+    "table_stats": SQL_TABLE_STATS,
     "contam_redact": SQL_CONTAM_REDACT,
 }

@@ -569,6 +569,35 @@ def main() -> int:
         ["HashAggregate", "Exchange", "partial"],
     ))
 
+    sections.append((
+        "snm_neardup_pairs (sorted-neighborhood, the fourth candidate "
+        "family: distributed global rank = range repartition + "
+        "partition row_number + broadcast offsets — rangepartitioning "
+        "and a bounded-window sort, NEVER a single-partition window; "
+        "the windowed pairing is a w-fold literal explode + integer "
+        "equi-join on rank, then exact-Jaccard verify on candidates "
+        "only)",
+        plan_text(Q.q_snm_neardup_pairs(spark, args.sf_dir)),
+        ["rangepartitioning", "Window", "HashAggregate"],
+    ))
+
+    sections.append((
+        "user_sessions (native session_window sessionization: ONE "
+        "hashpartitioning exchange on user_id feeds the sort-based "
+        "session aggregation and the per-user rollup with map-side "
+        "partial agg)",
+        plan_text(Q.q_user_sessions(spark, args.sf_dir)),
+        ["hashpartitioning", "HashAggregate", "partial"],
+    ))
+
+    sections.append((
+        "table_stats (ANALYZE stats in one scan: the multi-distinct "
+        "aggregate plans as one Expand + partial aggs, stacked to "
+        "rows by a literal pivot — no per-column re-scan)",
+        plan_text(Q.q_table_stats(spark, args.sf_dir)),
+        ["Expand", "HashAggregate", "partial"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

@@ -598,6 +598,25 @@ def main() -> int:
         ["Expand", "HashAggregate", "partial"],
     ))
 
+    sections.append((
+        "bag_jaccard_pairs (multiset Jaccard: word-3-gram occurrences "
+        "counted per (doc, xxhash64(g)) — 8-byte keys through every "
+        "exchange, text never shuffles past the gram projection; "
+        "posting self-join on the gram hash with sum(least(ca,cb)) "
+        "as a map-side partial agg, two size joins)",
+        plan_text(Q.q_bag_jaccard_pairs(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial", "least"],
+    ))
+
+    sections.append((
+        "cluster_size_histogram (dup-cluster size distribution: two "
+        "back-to-back partial-agg groupBys — md5 in the scan "
+        "projection, the second exchange carries one row per distinct "
+        "size; no window, no join)",
+        plan_text(Q.q_cluster_size_histogram(spark, args.sf_dir)),
+        ["md5", "HashAggregate", "partial_count"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

@@ -6307,6 +6307,165 @@ FROM g GROUP BY 1 ORDER BY 1
 """
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted shingle cosine near-dup pairs — the sixth
+    verification metric (set-Jaccard, bag-Jaccard, SimHash-Hamming,
+    edit ratio, containment, and now weighted cosine): two docs that
+    share only corpus-frequent boilerplate shingles score LOW, while
+    sharing rare shingles scores HIGH — exactly the discounting the
+    unweighted Jaccard tiers lack on boilerplate-heavy corpora.
+    tf = occurrence count of the word-3-gram in the doc,
+    idf = ln((N+1)/(df+1)), cos = Σ wa·wb / (‖a‖‖b‖).
+
+    Plan shape: the bag_jaccard posting machinery with a weight
+    payload — per-(doc, gram-hash) counts, a gram-level df census
+    joined back ON THE 8-BYTE HASH (never the gram string), per-doc
+    norms as one partial agg, then the posting self-join accumulating
+    Σ wa·wb map-side.  3-gram posting lists are short, so no cap is
+    needed here; at the boilerplate extreme the winnow/LSH capped
+    paths take over.  N rides along as a broadcast 1-row literal."""
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    corpus = docs_corpus(spark, sf_dir)
+    grams = word_ngrams(corpus.select("doc_id", "t"), 3, distinct=False)
+    cnt = grams.groupBy("doc_id", F.xxhash64("g").alias("h")).agg(
+        F.count("*").alias("tf")
+    )
+    n_docs = corpus.select(F.count("*").alias("nd"))
+    df_census = cnt.groupBy("h").agg(F.count("*").alias("df"))
+    w = (
+        cnt.join(df_census, "h")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "h",
+            (
+                F.col("tf")
+                * F.log((F.col("nd") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("ia"), "h", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("ib"), "h", F.col("w").alias("wb"))
+    dot = (
+        a.join(b, "h")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("ia"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("ib"), F.col("nrm").alias("nb"))
+    return (
+        dot.join(na, "ia")
+        .join(nb, "ib")
+        .select(
+            "ia",
+            "ib",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias(
+                "tfidf_cos"
+            ),
+        )
+        .filter(F.col("tfidf_cos") >= JACCARD_T)
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = f"""
+WITH {SQL_DOCS_CORPUS},
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+gm AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+),
+cnt AS (SELECT doc_id, g, count(*) AS tf FROM gm GROUP BY 1, 2),
+nd AS (SELECT count(*) AS nd FROM corpus),
+dfc AS (SELECT g, count(*) AS df FROM cnt GROUP BY 1),
+w AS (
+  SELECT doc_id, g, tf * ln((nd.nd + 1.0) / (df + 1.0)) AS w
+  FROM cnt JOIN dfc USING (g), nd
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+dt AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 4) AS tfidf_cos
+  FROM dt
+  JOIN nrm na ON na.doc_id = ia
+  JOIN nrm nb ON nb.doc_id = ib
+)
+SELECT ia, ib, tfidf_cos FROM j WHERE tfidf_cos >= {JACCARD_T}
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token Shannon entropy + evenness — the intrinsic
+    gibberish/repetition quality signal (no corpus model needed,
+    unlike unigram_nll): a doc stuck repeating one token has H → 0,
+    natural text sits near ln(vocab-in-doc), so `evenness` =
+    H / ln(n_types) flags loops and keyboard-mash at any length.
+    H = ln(n) − (Σ c·ln c)/n over per-doc token counts c — the
+    numerically stable census form (one partial agg; no per-token
+    p·ln p row math).
+
+    Plan shape: counts on (doc_id, xxhash64(token)) — 8-byte keys,
+    the token string never crosses an exchange — then ONE per-doc
+    partial agg computing n, n_types, and Σ c·ln c together; no join,
+    no window, linear in corpus tokens."""
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    corpus = docs_corpus(spark, sf_dir)
+    toks = word_ngrams(corpus.select("doc_id", "t"), 1, distinct=False)
+    cnt = toks.groupBy("doc_id", F.xxhash64("g").alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.log("c")).alias("clnc"),
+    )
+    h = F.log("n_tokens") - F.col("clnc") / F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(h, 4).alias("entropy"),
+        F.round(
+            F.when(F.col("n_types") > 1, h / F.log("n_types")).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("evenness"),
+    )
+
+
+SQL_TOKEN_ENTROPY = """
+WITH corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM corpus
+),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+         sum(c * ln(c)) AS clnc
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       round(ln(n_tokens) - clnc / n_tokens, 4) AS entropy,
+       round(CASE WHEN n_types > 1
+                  THEN (ln(n_tokens) - clnc / n_tokens) / ln(n_types)
+                  ELSE 0.0 END, 4) AS evenness
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6414,6 +6573,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bag_jaccard_pairs": q_bag_jaccard_pairs,
     "cluster_size_histogram": q_cluster_size_histogram,
     "contam_redact": q_contam_redact,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "token_entropy": q_token_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -6525,4 +6686,6 @@ ORACLES: dict[str, str] = {
     "bag_jaccard_pairs": SQL_BAG_JACCARD_PAIRS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     "contam_redact": SQL_CONTAM_REDACT,
+    "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
+    "token_entropy": SQL_TOKEN_ENTROPY,
 }

@@ -617,6 +617,27 @@ def main() -> int:
         ["md5", "HashAggregate", "partial_count"],
     ))
 
+    sections.append((
+        "tfidf_cosine_pairs (IDF-weighted shingle cosine: the "
+        "bag_jaccard posting machinery with a weight payload — the "
+        "gram-level df census joins back on the 8-byte xxhash64 key "
+        "(never the gram string), N rides along as a 1-row broadcast "
+        "literal, per-doc norms are one partial agg, and the posting "
+        "self-join accumulates sum(wa*wb) map-side)",
+        plan_text(Q.q_tfidf_cosine_pairs(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial", "BroadcastExchange"],
+    ))
+
+    sections.append((
+        "token_entropy (per-doc Shannon entropy: counts on (doc_id, "
+        "xxhash64(token)) — token strings never cross an exchange — "
+        "then ONE per-doc partial agg computing n, n_types, and "
+        "sum(c*ln c) together; no join, no window, linear in corpus "
+        "tokens)",
+        plan_text(Q.q_token_entropy(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial_count"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

@@ -6466,6 +6466,200 @@ FROM agg
 """
 
 
+def q_cms_freq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates for the corpus's 25
+    most frequent tokens, next to their exact counts — the THIRD
+    mergeable-sketch family in the engine (HLL = distinct counts,
+    Bloom = membership, CMS = frequencies), the bounded-state
+    "how hot is this term/key" dashboard a 100-TB ingest keeps
+    without a vocab-sized census per window.  One-sided error by
+    construction: overcount = estimate − exact ≥ 0 on EVERY row
+    (the oracle checks the estimates exactly, not just the bound).
+
+    Plan shape: one map-side-combining token census (vocab-bounded),
+    the d-lane explode runs over the census NOT the occurrences, the
+    counter table is ≤ d·16^w rows, and the probe joins it on
+    (lane, bkt) — broadcast-sized here, hash join at production
+    width.  See operators/corpus_sketch.py for the md5-hex lane
+    scheme that makes the sketch bit-identical across engines."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    corpus = docs_corpus(spark, sf_dir)
+    toks = word_ngrams(corpus, 1, distinct=False)
+    census = toks.groupBy(F.col("g").alias("w")).agg(
+        F.count("*").alias("c")
+    )
+    counters = cms_counters(census)
+    top = census.orderBy(F.desc("c"), "w").limit(25)
+    est = cms_estimate(counters, top.select("w"))
+    return (
+        top.join(est, "w")
+        .select(
+            F.col("w").alias("term"),
+            F.col("c").alias("n_exact"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("c")).alias("overcount"),
+        )
+    )
+
+
+SQL_CMS_FREQ_ESTIMATES = """
+WITH corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+toks AS (SELECT unnest(string_split(t, ' ')) AS w FROM corpus),
+census AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+keys AS (
+  SELECT w, c, lane,
+         substring(md5(CAST(lane AS VARCHAR) || ':' || w), 1, 3) AS bkt
+  FROM census, unnest([0, 1, 2, 3]) AS l(lane)
+),
+sketch AS (SELECT lane, bkt, sum(c) AS bc FROM keys GROUP BY 1, 2),
+top AS (SELECT w, c FROM census ORDER BY c DESC, w LIMIT 25),
+probe AS (
+  SELECT t.w, t.c, k.lane,
+         substring(md5(CAST(k.lane AS VARCHAR) || ':' || t.w), 1, 3) AS bkt
+  FROM top t, unnest([0, 1, 2, 3]) AS k(lane)
+),
+est AS (
+  SELECT p.w, any_value(p.c) AS c, min(s.bc) AS cms_estimate
+  FROM probe p JOIN sketch s USING (lane, bkt)
+  GROUP BY p.w
+)
+SELECT w AS term, CAST(c AS BIGINT) AS n_exact,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - c AS BIGINT) AS overcount
+FROM est
+"""
+
+
+def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong collocations by pointwise mutual information — the
+    tokenizer/phrase-mining census (which adjacent token pairs
+    co-occur far above chance): pmi = ln((c_ab/B) / ((c_a/N)(c_b/N)))
+    over corpus-wide unigram and bigram occurrence counts, reported
+    for pairs with n_pair ≥ 5 and pmi ≥ 3.  This is the
+    word2phrase / BPE-merge-candidate signal: boilerplate bigrams
+    ("the the"-style chance pairs) sit near pmi 0 while true phrases
+    score ln-scale high.
+
+    The raw documents table is RANDOM text — its 900 most frequent
+    bigrams all measure |pmi| < 0.72 (pure chance), so the corpus
+    plants two true collocations deterministically (every 4th doc
+    gains "gradient descent optimizer", every 4th+1 "byte pair
+    encoding" — words absent from the synthetic vocab, same
+    derivation in both engines): the query must score the planted
+    phrases ln-scale high while the n_pair ≥ 5 boilerplate floor
+    stays excluded by pmi ≥ 3 — BOTH filters bind.
+
+    Plan shape: two map-side-combining censuses (unigram census is
+    vocab-bounded → BROADCAST to the bigram census on each side; the
+    bigram census is the big distributed side), totals ride along as
+    1-row broadcast literals; no window, no posting join, linear in
+    corpus tokens."""
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    corpus = docs_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("t"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" gradient descent optimizer")
+            )
+            .when(F.col("doc_id") % 4 == 1, F.lit(" byte pair encoding"))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    uni = (
+        word_ngrams(corpus, 1, distinct=False)
+        .groupBy(F.col("g").alias("w"))
+        .agg(F.count("*").alias("cu"))
+    )
+    bi = (
+        word_ngrams(corpus, 2, distinct=False)
+        .groupBy(F.col("g").alias("g"))
+        .agg(F.count("*").alias("cb"))
+        .select(
+            F.split("g", " ").getItem(0).alias("w1"),
+            F.split("g", " ").getItem(1).alias("w2"),
+            "cb",
+        )
+    )
+    totals = uni.agg(
+        F.sum("cu").alias("n_tok")
+    ).crossJoin(bi.agg(F.sum("cb").alias("n_bi")))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))
+    pmi = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("n_pair"),
+            F.round(
+                F.log(
+                    (
+                        F.col("cb").cast("double")
+                        * F.col("n_tok")
+                        * F.col("n_tok")
+                    )
+                    / (
+                        F.col("n_bi").cast("double")
+                        * F.col("c1")
+                        * F.col("c2")
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.filter((F.col("n_pair") >= 5) & (F.col("pmi") >= 3.0))
+
+
+SQL_PMI_TOP_BIGRAMS = """
+WITH corpus AS (
+  SELECT doc_id,
+         lower(coalesce(text, '')) ||
+         CASE WHEN doc_id % 4 = 0 THEN ' gradient descent optimizer'
+              WHEN doc_id % 4 = 1 THEN ' byte pair encoding'
+              ELSE '' END AS t
+  FROM documents
+),
+tk AS (SELECT doc_id, string_split(t, ' ') AS wd FROM corpus),
+uni AS (
+  SELECT w, count(*) AS cu FROM (
+    SELECT unnest(wd) AS w FROM tk
+  ) GROUP BY 1
+),
+bi AS (
+  SELECT wd[i] AS w1, wd[i+1] AS w2, count(*) AS cb
+  FROM tk, unnest(generate_series(1, greatest(len(wd) - 1, 0))) AS u(i)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT (SELECT sum(cu) FROM uni) AS n_tok,
+         (SELECT sum(cb) FROM bi) AS n_bi
+),
+pmi AS (
+  SELECT w1, w2, cb AS n_pair,
+         round(ln((CAST(cb AS DOUBLE) * n_tok * n_tok)
+                  / (CAST(n_bi AS DOUBLE) * c1 * c2)), 4) AS pmi
+  FROM bi
+  JOIN (SELECT w AS w1, cu AS c1 FROM uni) USING (w1)
+  JOIN (SELECT w AS w2, cu AS c2 FROM uni) USING (w2)
+  CROSS JOIN tot
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi
+FROM pmi WHERE n_pair >= 5 AND pmi >= 3.0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6575,6 +6769,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contam_redact": q_contam_redact,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "token_entropy": q_token_entropy,
+    "cms_freq_estimates": q_cms_freq_estimates,
+    "pmi_top_bigrams": q_pmi_top_bigrams,
 }
 
 ORACLES: dict[str, str] = {
@@ -6688,4 +6884,6 @@ ORACLES: dict[str, str] = {
     "contam_redact": SQL_CONTAM_REDACT,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
     "token_entropy": SQL_TOKEN_ENTROPY,
+    "cms_freq_estimates": SQL_CMS_FREQ_ESTIMATES,
+    "pmi_top_bigrams": SQL_PMI_TOP_BIGRAMS,
 }

@@ -322,3 +322,90 @@ def hll_distinct_by(
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the third mergeable
+# sketch family (HLL = distinct counts, Bloom = membership, CMS = point
+# FREQUENCIES): estimate any term's occurrence count from
+# CMS_LANES x 16^CMS_HEX_W counters with a ONE-SIDED error guarantee
+# (estimate >= truth always; overcount <= e/w * N with prob 1-(1/2)^d).
+# Same cross-engine determinism scheme as the Bloom filter above: lane
+# l routes a term to bucket substr(md5("<l>:<term>"), 1, w) — hex
+# string keys a SQL oracle reproduces bit-for-bit.  Counter merge is
+# (lane, bkt) SUM, so per-batch sketches fold associatively
+# (append == rebuild), the streaming/backfill contract the HLL and
+# Bloom stores already satisfy.
+# ---------------------------------------------------------------------------
+
+CMS_LANES = 4    # depth d: independent hash rows
+CMS_HEX_W = 3    # width w: 16^3 = 4096 counters per row
+
+
+def _cms_keys(df: DataFrame, term_col: str, extra: list[str]) -> DataFrame:
+    """Explode each row into its CMS_LANES (lane, bkt) counter keys."""
+    lanes = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_LANES)])
+    ).alias("lane")
+    return df.select(*extra, F.col(term_col).alias("w"), lanes).select(
+        *extra,
+        "lane",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("lane").cast("string"), F.col("w"))),
+            1,
+            CMS_HEX_W,
+        ).alias("bkt"),
+    )
+
+
+def cms_counters(term_census: DataFrame) -> DataFrame:
+    """(w, c) term census -> (lane, bkt, bc) counter table.
+
+    Takes the CENSUS, not raw occurrences: counting per term first
+    (map-side combining groupBy, vocab-bounded output) then exploding
+    d lanes keeps the lane explode off the token-occurrence path —
+    d x vocab rows into the counter agg instead of d x corpus-tokens.
+    The counter table itself is at most CMS_LANES * 16^CMS_HEX_W rows
+    regardless of corpus size."""
+    return (
+        _cms_keys(term_census, "w", ["c"])
+        .groupBy("lane", "bkt")
+        .agg(F.sum("c").alias("bc"))
+    )
+
+
+def merge_cms(*sketches: DataFrame) -> DataFrame:
+    """Fold per-batch counter tables: (lane, bkt) SUM — linear, so
+    sketching batches separately and merging equals sketching the
+    union (append == rebuild; the CMS is a linear sketch)."""
+    it = iter(sketches)
+    acc = next(it).select("lane", "bkt", "bc")
+    for s in it:
+        acc = acc.unionByName(s.select("lane", "bkt", "bc"))
+    return acc.groupBy("lane", "bkt").agg(F.sum("bc").alias("bc"))
+
+
+def cms_estimate(counters: DataFrame, probes: DataFrame,
+                 term_col: str = "w") -> DataFrame:
+    """Per probe term: (w, cms_estimate) = min over lanes of the
+    term's counter — the CMS point query.  Plan shape: probes explode
+    to CMS_LANES rows, the counter side is sketch-sized (broadcast at
+    demo w, hash join at production w), and the min is one partial
+    agg per term."""
+    lanes = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_LANES)])
+    ).alias("lane")
+    keys = probes.select(F.col(term_col).alias("w"), lanes).select(
+        "w",
+        "lane",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("lane").cast("string"), F.col("w"))),
+            1,
+            CMS_HEX_W,
+        ).alias("bkt"),
+    )
+    return (
+        keys.join(counters, ["lane", "bkt"])
+        .groupBy("w")
+        .agg(F.min("bc").alias("cms_estimate"))
+    )

@@ -638,6 +638,25 @@ def main() -> int:
         ["xxhash64", "HashAggregate", "partial_count"],
     ))
 
+    sections.append((
+        "cms_freq_estimates (Count-Min sketch point queries: the "
+        "d-lane explode runs over the vocab-bounded token census, "
+        "NOT the occurrences; the counter table is <= d*16^w rows; "
+        "the top-25 probe joins it on (lane, bkt) and takes a "
+        "partial-agg min per term)",
+        plan_text(Q.q_cms_freq_estimates(spark, args.sf_dir)),
+        ["md5", "HashAggregate", "partial_min", "TakeOrdered"],
+    ))
+
+    sections.append((
+        "pmi_top_bigrams (collocation census: unigram census "
+        "broadcast to the bigram census on BOTH sides, totals as "
+        "1-row broadcast literals, no window, no posting join — "
+        "linear in corpus tokens)",
+        plan_text(Q.q_pmi_top_bigrams(spark, args.sf_dir)),
+        ["BroadcastHashJoin", "HashAggregate", "partial_count"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

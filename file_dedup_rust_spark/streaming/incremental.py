@@ -1323,6 +1323,60 @@ def streaming_bloom_bits(
     return writer.start()
 
 
+def streaming_cms_counters(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Ingest-time Count-Min frequency sketch: per micro-batch counter
+    DELTAS of the transcript-token CMS
+    (operators.corpus_sketch.cms_counters — 4 md5 lanes x 4096
+    counters).  Each batch censuses its own tokens (map-side
+    combining, vocab-bounded) and writes its counter table via the
+    idempotent store; the current corpus sketch is merge_cms over the
+    store.  The CMS is a LINEAR sketch — counter addition is
+    associative/commutative, so arrival order and batch splits are
+    invisible (streaming-vs-batch parity is BIT-EXACT, pinned in
+    tests/test_streaming.py); replay safety comes from the store's
+    dynamic batch_id partition overwrite, NOT from the merge (sums,
+    unlike the Bloom/HLL set/max folds, would double-count a replayed
+    delta — the store contract absorbs exactly that).
+
+    Why next to the Bloom/HLL stores above: Bloom answers "seen at
+    all?", HLL answers "how many distinct?", and this answers "how
+    HOT is this term/key?" — the skew early-warning a 10^12-clip
+    ingest wants BEFORE a hot band/bucket reaches the dedup caps, at
+    O(lanes x width) state regardless of corpus size, with the CMS
+    one-sided guarantee (never undercounts a key you ask about)."""
+    clips = read_clip_stream(spark, landing_dir)
+    docs = clips.select(
+        F.lower(F.coalesce("transcript", F.lit(""))).alias("t")
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from file_dedup_rust_spark.operators.corpus_sketch import (
+            cms_counters,
+        )
+
+        census = (
+            batch_df.select(F.explode(F.split("t", " ")).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("c"))
+        )
+        store_write(cms_counters(census), out_dir, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 _ASSIGN_STATE_SCHEMA = "rep string"
 _ASSIGN_OUT_SCHEMA = "clip_id string, sha256 string, cluster_rep string"
 

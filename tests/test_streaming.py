@@ -1087,6 +1087,70 @@ def test_streaming_hll_registers_match_batch_exactly(spark, tmp_path):
         assert got_est == want_est, tag
 
 
+def test_streaming_cms_counters_match_batch_exactly(spark, tmp_path):
+    """The ingest-time Count-Min counter store folds to the
+    BIT-IDENTICAL counter table as one batch sketch over the whole
+    landing set, under two arrival orders — the CMS is a linear
+    sketch, so per-batch counter deltas sum to the union's counters
+    regardless of order or split.  Every landed token's folded
+    estimate respects the one-sided guarantee (estimate >= its true
+    corpus count) through the streaming path too."""
+    from file_dedup_rust_spark.operators.corpus_sketch import (
+        cms_counters,
+        cms_estimate,
+        merge_cms,
+    )
+    from file_dedup_rust_spark.streaming.incremental import (
+        read_store,
+        streaming_cms_counters,
+    )
+
+    pdf = datagen.generate_clips_pandas(150, seed=42)
+    clips = spark.createDataFrame(pdf, schema=datagen.CLIP_SCHEMA)
+    census = (
+        clips.select(
+            F.explode(
+                F.split(F.lower(F.coalesce("transcript", F.lit(""))), " ")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    want = {
+        (r["lane"], r["bkt"]): r["bc"]
+        for r in cms_counters(census).collect()
+    }
+
+    for tag, order in (("fwd", False), ("rev", True)):
+        landing = str(tmp_path / f"landing_{tag}")
+        part = pdf.iloc[::-1] if order else pdf
+        spark.createDataFrame(
+            part.iloc[:55], schema=datagen.CLIP_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/drop=1")
+        spark.createDataFrame(
+            part.iloc[55:], schema=datagen.CLIP_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(f"{landing}/drop=2")
+        out = str(tmp_path / f"cms_{tag}")
+        q = streaming_cms_counters(
+            spark, landing, out, str(tmp_path / f"cmsckpt_{tag}")
+        )
+        assert q.awaitTermination(300)
+        store = read_store(spark, out)
+        assert store is not None
+        folded = merge_cms(store)
+        got = {
+            (r["lane"], r["bkt"]): r["bc"] for r in folded.collect()
+        }
+        assert got == want, tag
+        # one-sided guarantee through the streaming path: folded
+        # estimates never undercount any landed token
+        est = cms_estimate(folded, census.select("w"))
+        joined = census.join(est, "w").collect()
+        assert joined and all(
+            r["cms_estimate"] >= r["c"] for r in joined
+        ), tag
+
+
 def test_streaming_bloom_bits_match_batch_exactly(spark, tmp_path):
     """The ingest-time Bloom bit store folds to the BIT-IDENTICAL
     occupied-bucket set as one batch sketch over the whole landing

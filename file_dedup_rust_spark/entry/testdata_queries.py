@@ -6660,6 +6660,60 @@ FROM pmi WHERE n_pair >= 5 AND pmi >= 3.0
 """
 
 
+def q_cluster_delete_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decremental cluster maintenance — the right-to-be-forgotten /
+    takedown path: delete every doc_id ≡ 7 (mod 10) from the clustered
+    corpus and emit the repaired assignments.  The ENGINE repairs
+    incrementally (operators/maintenance.py::repair_after_removal —
+    untouched components pass through verbatim via semi/anti joins,
+    only components that lost a member re-run connected components,
+    over their surviving edges only); the ORACLE rebuilds the
+    surviving graph from scratch recursively — their equality IS the
+    incremental-maintenance correctness claim.  Removals hit both
+    bridge endpoints (splitting near-dup chains) and min-id
+    representatives (forcing label changes on survivors), so both
+    hard cases are exercised.
+
+    At 10^12 rows the full re-solve is days of compute for a delete
+    batch touching a vanishing fraction of components; the repair
+    cost is proportional to the AFFECTED subgraph.  (The prior
+    assignments are computed here for self-containment; production
+    reads them and the checkpointed edge set from the job ledger.)"""
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+    from file_dedup_rust_spark.operators.maintenance import (
+        repair_after_removal,
+    )
+
+    edges = _doc_edges(spark, sf_dir).select("a", "b")
+    verts = corpus_exact(spark, sf_dir).select(
+        F.col("doc_id").alias("clip_id")
+    )
+    assignments = connected_components(edges, verts)
+    removed = verts.filter(F.col("clip_id") % 10 == 7)
+    repaired = repair_after_removal(assignments, edges, removed)
+    return repaired.select(
+        F.col("clip_id").alias("doc_id"), "cluster_id"
+    )
+
+
+SQL_CLUSTER_DELETE_REPAIR = f"""
+WITH RECURSIVE {SQL_DOC_EDGES},
+surv_edges AS (
+  SELECT a, b FROM edges WHERE a % 10 != 7 AND b % 10 != 7
+),
+sym AS (SELECT a, b FROM surv_edges UNION SELECT b, a FROM surv_edges),
+verts AS (SELECT DISTINCT doc_id FROM corpus WHERE doc_id % 10 != 7),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6771,6 +6825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_entropy": q_token_entropy,
     "cms_freq_estimates": q_cms_freq_estimates,
     "pmi_top_bigrams": q_pmi_top_bigrams,
+    "cluster_delete_repair": q_cluster_delete_repair,
 }
 
 ORACLES: dict[str, str] = {
@@ -6886,4 +6941,5 @@ ORACLES: dict[str, str] = {
     "token_entropy": SQL_TOKEN_ENTROPY,
     "cms_freq_estimates": SQL_CMS_FREQ_ESTIMATES,
     "pmi_top_bigrams": SQL_PMI_TOP_BIGRAMS,
+    "cluster_delete_repair": SQL_CLUSTER_DELETE_REPAIR,
 }

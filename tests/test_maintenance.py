@@ -1,0 +1,85 @@
+"""Decremental cluster repair (operators/maintenance.py): the repaired
+assignments must equal a from-scratch connected-components solve of the
+surviving graph — pinned on the hard shapes (bridge removal splits a
+component, representative removal relabels survivors, whole-component
+removal, empty removal) and on a random graph."""
+
+from __future__ import annotations
+
+import random
+
+from file_dedup_rust_spark.operators.connected_components import (
+    connected_components,
+)
+from file_dedup_rust_spark.operators.maintenance import repair_after_removal
+
+
+def _solve(spark, edges, verts):
+    e = spark.createDataFrame(edges or [("_x", "_x")], "a string, b string")
+    if not edges:
+        e = e.filter("a != a")
+    v = spark.createDataFrame([(x,) for x in verts], "clip_id string")
+    return connected_components(e, v), e, v
+
+
+def _labels(df):
+    return {r["clip_id"]: r["cluster_id"] for r in df.collect()}
+
+
+def _check(spark, edges, verts, removed):
+    assignments, e, _v = _solve(spark, edges, verts)
+    rm = spark.createDataFrame(
+        [(x,) for x in removed] or [("_none_",)], "clip_id string"
+    )
+    if not removed:
+        rm = rm.filter("clip_id != clip_id")
+    got = _labels(repair_after_removal(assignments, e, rm))
+
+    surv = [x for x in verts if x not in removed]
+    surv_edges = [
+        (a, b) for a, b in edges if a not in removed and b not in removed
+    ]
+    want_df, _, _ = _solve(spark, surv_edges, surv)
+    want = _labels(want_df)
+    assert got == want
+    return got
+
+
+def test_bridge_removal_splits_component(spark):
+    # path a - bridge - z: removing the bridge must split {a,b} / {y,z}
+    edges = [("a", "b"), ("b", "bridge"), ("bridge", "y"), ("y", "z")]
+    verts = ["a", "b", "bridge", "y", "z"]
+    got = _check(spark, edges, verts, ["bridge"])
+    assert got["a"] == got["b"] == "a"
+    assert got["y"] == got["z"] == "y"
+    assert got["a"] != got["y"]
+
+
+def test_rep_removal_relabels_survivors(spark):
+    # min-id member IS the removed clip -> survivors need a new rep
+    edges = [("a01", "m5"), ("a01", "m7"), ("m5", "m7")]
+    got = _check(spark, edges, ["a01", "m5", "m7"], ["a01"])
+    assert got == {"m5": "m5", "m7": "m5"}
+
+
+def test_whole_component_removal(spark):
+    edges = [("p", "q"), ("x", "y")]
+    got = _check(spark, edges, ["p", "q", "x", "y", "solo"], ["p", "q"])
+    assert set(got) == {"x", "y", "solo"}
+
+
+def test_empty_removal_is_identity(spark):
+    edges = [("p", "q"), ("q", "r")]
+    got = _check(spark, edges, ["p", "q", "r", "s"], [])
+    assert got == {"p": "p", "q": "p", "r": "p", "s": "s"}
+
+
+def test_untouched_components_pass_through_random_graph(spark):
+    rng = random.Random(7)
+    verts = [f"v{i:03d}" for i in range(120)]
+    edges = [
+        tuple(sorted(rng.sample(verts, 2)))
+        for _ in range(150)
+    ]
+    removed = sorted(rng.sample(verts, 18))
+    _check(spark, sorted(set(edges)), verts, removed)

@@ -657,6 +657,16 @@ def main() -> int:
         ["BroadcastHashJoin", "HashAggregate", "partial_count"],
     ))
 
+    sections.append((
+        "cluster_delete_repair (decremental maintenance: untouched "
+        "components route around the re-solve via semi/anti hash "
+        "joins — LeftSemi/LeftAnti in the plan, never a rebuild of "
+        "the surviving corpus; only affected-component survivors "
+        "reach the CC operator)",
+        plan_text(Q.q_cluster_delete_repair(spark, args.sf_dir)),
+        ["LeftSemi", "LeftAnti", "HashAggregate", "Union"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

@@ -132,6 +132,18 @@ def main() -> int:
                         "block-level store would keep after sub-file "
                         "dedup; one extra mapInPandas bytes scan, "
                         "opt-in")
+    p.add_argument("--remove", default=None, metavar="PATH",
+                   help="decremental maintenance: parquet of clip_ids "
+                        "to delete from an already-clustered corpus "
+                        "(takedown/GDPR path). Repairs ONLY the "
+                        "components that lost a member — untouched "
+                        "assignments pass through verbatim, and with "
+                        "an intact --checkpoint every pipeline stage "
+                        "resumes, so the whole operation costs the "
+                        "repair, not a re-cluster. Writes "
+                        "<output>/assignments_after_remove and "
+                        "<output>/clusters_after_remove when --output "
+                        "is set; adds a 'maintenance' summary block")
     args = p.parse_args()
 
     from file_dedup_rust_spark.config import DedupConfig
@@ -259,6 +271,46 @@ def main() -> int:
             )
         hits.unpersist()
         ev_sigs.unpersist()
+    maintenance_summary = None
+    if args.remove:
+        from pyspark.sql import functions as F
+
+        from file_dedup_rust_spark.operators.connected_components import (
+            cluster_summary,
+        )
+        from file_dedup_rust_spark.operators.maintenance import (
+            repair_after_removal,
+        )
+
+        rm = (
+            spark.read.parquet(args.remove)
+            .select(F.col("clip_id").cast("string"))
+            .distinct()
+            .persist()
+        )
+        repaired = repair_after_removal(
+            res.assignments, res.edges, rm
+        ).persist()
+        surv_edges = (
+            res.edges.join(
+                rm.select(F.col("clip_id").alias("a")), "a", "left_anti"
+            ).join(rm.select(F.col("clip_id").alias("b")), "b", "left_anti")
+        )
+        clusters_after = cluster_summary(repaired, surv_edges)
+        maintenance_summary = {
+            "removed_requested": rm.count(),
+            "survivors": repaired.count(),
+            "dup_clusters_after": clusters_after.count(),
+        }
+        if args.output:
+            repaired.write.mode("overwrite").parquet(
+                f"{args.output}/assignments_after_remove"
+            )
+            clusters_after.write.mode("overwrite").parquet(
+                f"{args.output}/clusters_after_remove"
+            )
+        repaired.unpersist()
+        rm.unpersist()
     if args.output:
         assignments.write.mode("overwrite").parquet(f"{args.output}/assignments")
         res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
@@ -277,6 +329,8 @@ def main() -> int:
     }
     if split_counts is not None:
         summary["split"] = split_counts
+    if maintenance_summary is not None:
+        summary["maintenance"] = maintenance_summary
     if decontam_summary is not None:
         summary["audio_decontam"] = decontam_summary
     if speed_summary is not None:

@@ -38,6 +38,11 @@ TOP_K = 10             # reference T2 (deduplication_service.rs:309)
 EXACT_COPY_MOD = 3     # corpus_exact: every 3rd doc gets a byte-identical copy
 TRUNC_COPY_MOD = 5     # corpus_near: every 5th doc gets a 60%-prefix copy
 EXACT_ID_OFFSET = 1_000_000
+# cluster_delete_repair corpus: copy offsets with +1/+3 so copy ids
+# break the base id's mod-10 alignment (a removed base hub leaves
+# surviving copies — the connector-recovery case)
+DR_OFF_A = 1_000_001
+DR_OFF_B = 2_000_003
 TRUNC_ID_OFFSET = 2_000_000
 
 
@@ -875,11 +880,12 @@ def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("rep"))
         .select(
             F.col("rep").alias("a"), F.col("doc_id").alias("b"),
-            F.lit(1.0).alias("sim"),
+            F.lit(1.0).alias("sim"), F.lit("exact").alias("kind"),
         )
     )
     jac = q_ngram_jaccard_pairs(spark, sf_dir).select(
-        F.col("ia").alias("a"), F.col("ib").alias("b"), F.col("jac").alias("sim")
+        F.col("ia").alias("a"), F.col("ib").alias("b"),
+        F.col("jac").alias("sim"), F.lit("jaccard").alias("kind"),
     )
     return exact.unionByName(jac)
 
@@ -6665,14 +6671,19 @@ def q_cluster_delete_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     takedown path: delete every doc_id ≡ 7 (mod 10) from the clustered
     corpus and emit the repaired assignments.  The ENGINE repairs
     incrementally (operators/maintenance.py::repair_after_removal —
-    untouched components pass through verbatim via semi/anti joins,
-    only components that lost a member re-run connected components,
-    over their surviving edges only); the ORACLE rebuilds the
-    surviving graph from scratch recursively — their equality IS the
-    incremental-maintenance correctness claim.  Removals hit both
-    bridge endpoints (splitting near-dup chains) and min-id
-    representatives (forcing label changes on survivors), so both
-    hard cases are exercised.
+    untouched components pass through verbatim via semi/anti joins;
+    components that lost a member re-run connected components over
+    their surviving edges, with exact-tier hash groups whose star HUB
+    was removed recovered through connector vertices — byte-identical
+    survivors stay together).  The ORACLE rebuilds the surviving
+    corpus FROM SCRATCH — re-derives the exact stars and Jaccard
+    pairs over the filtered documents, then takes the recursive
+    transitive closure — so the hash equality here is the full
+    repair == rebuild claim: exact groups re-star (equivalence is
+    transitive through a removed hub), near-dup chains split when
+    their only bridge leaves (a rebuild finds no surviving direct
+    pair either).  Removals hit star hubs, bridge endpoints, and
+    min-id representatives, so every hard case is exercised.
 
     At 10^12 rows the full re-solve is days of compute for a delete
     batch touching a vanishing fraction of components; the repair
@@ -6686,31 +6697,99 @@ def q_cluster_delete_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         repair_after_removal,
     )
 
-    edges = _doc_edges(spark, sf_dir).select("a", "b")
-    verts = corpus_exact(spark, sf_dir).select(
-        F.col("doc_id").alias("clip_id")
+    # derived corpus with SIZE-3 exact groups (documents ∪ copyA of
+    # every 3rd doc ∪ copyB of every 7th doc; the +1/+3 offsets break
+    # the mod-10 alignment so a removed base hub leaves TWO surviving
+    # copies — e.g. base 147 ≡ 7 (mod 10) is removed while copyA
+    # 1000148 and copyB 2000150 survive and must be re-starred by the
+    # connector solve, the case pure graph-surgery gets WRONG)
+    d = docs_corpus(spark, sf_dir)
+    corpus = (
+        d.unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + DR_OFF_A).alias("doc_id"), "t"
+            )
+        ).unionByName(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + DR_OFF_B).alias("doc_id"), "t"
+            )
+        )
     )
-    assignments = connected_components(edges, verts)
+    w = Window.partitionBy("h")
+    exact = (
+        corpus.select("doc_id", F.md5("t").alias("h"))
+        .withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("a"), F.col("doc_id").alias("b"),
+            F.lit(1.0).alias("sim"), F.lit("exact").alias("kind"),
+        )
+    )
+    jac = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("ia").alias("a"), F.col("ib").alias("b"),
+        F.col("jac").alias("sim"), F.lit("jaccard").alias("kind"),
+    )
+    edges = exact.unionByName(jac)
+    verts = corpus.select(F.col("doc_id").alias("clip_id"))
+    assignments = connected_components(edges.select("a", "b"), verts)
     removed = verts.filter(F.col("clip_id") % 10 == 7)
-    repaired = repair_after_removal(assignments, edges, removed)
+    repaired = repair_after_removal(
+        assignments, edges, removed, equivalence_kinds=("exact",)
+    )
     return repaired.select(
         F.col("clip_id").alias("doc_id"), "cluster_id"
     )
 
 
+# rebuild-from-scratch oracle over the SURVIVING corpus
+# (doc_id % 10 != 7): exact stars re-form among surviving copies,
+# Jaccard pairs keep only surviving direct evidence, then the
+# recursive closure — repair == rebuild, with planted size-3 groups
+# whose hub removal forces the connector recovery
 SQL_CLUSTER_DELETE_REPAIR = f"""
-WITH RECURSIVE {SQL_DOC_EDGES},
-surv_edges AS (
-  SELECT a, b FROM edges WHERE a % 10 != 7 AND b % 10 != 7
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + {DR_OFF_A}, lower(coalesce(text, '')) FROM documents
+  WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + {DR_OFF_B}, lower(coalesce(text, '')) FROM documents
+  WHERE doc_id % 7 = 0
 ),
-sym AS (SELECT a, b FROM surv_edges UNION SELECT b, a FROM surv_edges),
-verts AS (SELECT DISTINCT doc_id FROM corpus WHERE doc_id % 10 != 7),
-reach(id, lbl) AS (
+surv AS (SELECT * FROM corpus WHERE doc_id % 10 != 7),
+lbl AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(t)) AS rep FROM surv
+),
+exact_edges AS (
+  SELECT rep AS a, doc_id AS b FROM lbl WHERE doc_id != rep
+),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM surv
+         WHERE doc_id < {EXACT_ID_OFFSET}),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jac_edges AS (
+  SELECT ia AS a, ib AS b
+  FROM inter
+  JOIN sz za ON za.doc_id = ia
+  JOIN sz zb ON zb.doc_id = ib
+  WHERE c * 1.0 / (za.n + zb.n - c) >= {JACCARD_T}
+),
+edges AS (SELECT a, b FROM exact_edges UNION ALL SELECT a, b FROM jac_edges),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+verts AS (SELECT DISTINCT doc_id FROM surv),
+reach(id, lbl2) AS (
   SELECT doc_id, doc_id FROM verts
   UNION
-  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+  SELECT s.b, r.lbl2 FROM reach r JOIN sym s ON s.a = r.id
 )
-SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+SELECT id AS doc_id, min(lbl2) AS cluster_id FROM reach GROUP BY id
 """
 
 

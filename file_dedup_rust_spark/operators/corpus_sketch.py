@@ -343,12 +343,15 @@ CMS_HEX_W = 3    # width w: 16^3 = 4096 counters per row
 
 
 def _cms_keys(df: DataFrame, term_col: str, extra: list[str]) -> DataFrame:
-    """Explode each row into its CMS_LANES (lane, bkt) counter keys."""
+    """Explode each row into its CMS_LANES (lane, bkt) counter keys;
+    the term rides along as `w` (the ONE routing implementation — the
+    build and probe sides must never diverge)."""
     lanes = F.explode(
         F.array(*[F.lit(i) for i in range(CMS_LANES)])
     ).alias("lane")
     return df.select(*extra, F.col(term_col).alias("w"), lanes).select(
         *extra,
+        "w",
         "lane",
         F.substring(
             F.md5(F.concat_ws(":", F.col("lane").cast("string"), F.col("w"))),
@@ -392,18 +395,7 @@ def cms_estimate(counters: DataFrame, probes: DataFrame,
     to CMS_LANES rows, the counter side is sketch-sized (broadcast at
     demo w, hash join at production w), and the min is one partial
     agg per term."""
-    lanes = F.explode(
-        F.array(*[F.lit(i) for i in range(CMS_LANES)])
-    ).alias("lane")
-    keys = probes.select(F.col(term_col).alias("w"), lanes).select(
-        "w",
-        "lane",
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("lane").cast("string"), F.col("w"))),
-            1,
-            CMS_HEX_W,
-        ).alias("bkt"),
-    )
+    keys = _cms_keys(probes, term_col, [])
     return (
         keys.join(counters, ["lane", "bkt"])
         .groupBy("w")

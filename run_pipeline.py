@@ -280,6 +280,7 @@ def main() -> int:
         )
         from file_dedup_rust_spark.operators.maintenance import (
             repair_after_removal,
+            surviving_edges,
         )
 
         rm = (
@@ -289,14 +290,12 @@ def main() -> int:
             .persist()
         )
         repaired = repair_after_removal(
-            res.assignments, res.edges, rm
+            res.assignments, res.edges, rm,
+            signatures=res.signatures, cfg=cfg,
         ).persist()
-        surv_edges = (
-            res.edges.join(
-                rm.select(F.col("clip_id").alias("a")), "a", "left_anti"
-            ).join(rm.select(F.col("clip_id").alias("b")), "b", "left_anti")
-        )
-        clusters_after = cluster_summary(repaired, surv_edges)
+        clusters_after = cluster_summary(
+            repaired, surviving_edges(res.edges, rm)
+        ).persist()
         maintenance_summary = {
             "removed_requested": rm.count(),
             "survivors": repaired.count(),
@@ -309,6 +308,7 @@ def main() -> int:
             clusters_after.write.mode("overwrite").parquet(
                 f"{args.output}/clusters_after_remove"
             )
+        clusters_after.unpersist()
         repaired.unpersist()
         rm.unpersist()
     if args.output:

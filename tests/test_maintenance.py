@@ -89,8 +89,10 @@ def test_cli_remove_flag_end_to_end(spark, tmp_path):
     """`run_pipeline.py --remove ids.parquet` on an intact checkpoint:
     every pipeline stage resumes (the operation costs the repair, not
     a re-cluster), the maintenance summary is consistent, and the
-    written assignments_after_remove equal a from-scratch CC solve of
-    the surviving checkpointed edge set."""
+    written assignments_after_remove are IDENTICAL to a full pipeline
+    rerun on the filtered corpus — the repair == rebuild claim at the
+    pipeline level, with the removal set deliberately including star
+    hubs / representatives (the case pure edge surgery gets wrong)."""
     import json
     import os
     import subprocess
@@ -98,23 +100,30 @@ def test_cli_remove_flag_end_to_end(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    from file_dedup_rust_spark import datagen
 
-    def run(extra):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(n_or_input, ck, out, extra=()):
+        src = (
+            ["--synthetic", str(n_or_input)]
+            if isinstance(n_or_input, int)
+            else ["--input", n_or_input]
+        )
         r = subprocess.run(
             [sys.executable, os.path.join(repo, "run_pipeline.py"),
-             "--synthetic", "1000", "--checkpoint", ck, "--output", out,
-             "--master", "local[4]"] + extra,
+             *src, "--checkpoint", ck, "--output", out,
+             "--master", "local[4]"] + list(extra),
             check=True, capture_output=True, text=True, timeout=600,
         )
         return json.loads(r.stdout.strip().splitlines()[-1])
 
-    first = run([])
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    first = run(1000, ck, out)
     assert first["dup_clusters"] == 222 and first["dup_edges"] == 389
 
-    # removal set: members of multi-member clusters (incl. reps) +
-    # singletons, deterministic
+    # removal set: members of multi-member clusters INCLUDING their
+    # min-id representatives (= star hubs) + singletons, deterministic
     asg = spark.read.parquet(f"{out}/assignments")
     sizes = asg.groupBy("cluster_id").agg(F.count("*").alias("n"))
     multi = (
@@ -128,30 +137,27 @@ def test_cli_remove_flag_end_to_end(spark, tmp_path):
     rm = multi.unionByName(solo)
     rm_path = str(tmp_path / "rm")
     rm.coalesce(1).write.mode("overwrite").parquet(rm_path)
-    # materialize before the second run overwrites out/assignments
     rm_ids = {r["clip_id"] for r in rm.collect()}
-    all_ids = [r["clip_id"] for r in asg.collect()]
-    all_edges = [
-        (r["a"], r["b"])
-        for r in spark.read.parquet(f"{ck}/edges").select("a", "b").collect()
-    ]
 
-    second = run(["--remove", rm_path])
+    second = run(1000, ck, out, ["--remove", rm_path])
     assert all(s["resumed"] for s in second["stages"])  # no recompute
     m = second["maintenance"]
     assert m["removed_requested"] == 50
     assert m["survivors"] == 1000 - 50
-
-    # repaired output == from-scratch solve of the surviving graph
-    surv_edges = [
-        (a, b) for a, b in all_edges
-        if a not in rm_ids and b not in rm_ids
-    ]
-    surv_verts = [c for c in all_ids if c not in rm_ids]
-    want_df, _, _ = _solve(spark, surv_edges, surv_verts)
-    want = _labels(want_df)
     got = _labels(
         spark.read.parquet(f"{out}/assignments_after_remove")
+        .select("clip_id", "cluster_id")
+    )
+
+    # ground truth: a FULL pipeline rerun on the filtered corpus
+    filt_path = str(tmp_path / "filtered")
+    clips = datagen.generate_clips(spark, 1000)
+    clips.filter(~F.col("clip_id").isin(list(rm_ids))).write.mode(
+        "overwrite"
+    ).parquet(filt_path)
+    run(filt_path, str(tmp_path / "ck2"), str(tmp_path / "out2"))
+    want = _labels(
+        spark.read.parquet(f"{tmp_path}/out2/assignments")
         .select("clip_id", "cluster_id")
     )
     assert got == want

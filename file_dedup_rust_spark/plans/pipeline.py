@@ -255,9 +255,17 @@ def run_pipeline(
     stop_after: str | None = None,
     audio_containment: bool = False,
     speed_ladder: bool = False,
+    input_token: str | None = None,
 ) -> PipelineResult | None:
     """Checkpointed end-to-end run.  `stop_after` kills the run after a
     named stage commits (resume tests); returns None in that case.
+
+    `input_token` is an identity string for the INPUT (the CLI derives
+    it from the source + row count); it folds into every stage
+    fingerprint so re-running against the same checkpoint dir with a
+    DIFFERENT input invalidates loudly instead of silently resuming
+    the old corpus's results.  None (library callers that manage their
+    own checkpoint dirs) keeps the config-only fingerprints.
 
     `audio_containment=True` adds the sub-clip tier
     (operators.audio_containment), FUSED into the single decode pass
@@ -279,6 +287,8 @@ def run_pipeline(
 
     io = TableIO(spark, checkpoint_dir)
     fp = cfg.fingerprint()
+    if input_token is not None:
+        fp += ":i" + hashlib.sha256(input_token.encode()).hexdigest()[:8]
     # stages downstream of the tier choice carry the flag in their
     # fingerprint: toggling --audio-containment against an existing
     # checkpoint dir must INVALIDATE assignments/clusters (their edge

@@ -164,13 +164,26 @@ def main() -> int:
     t0 = time.monotonic()
     if args.synthetic:
         clips = datagen.generate_clips(spark, args.synthetic, seed=args.seed)
+        # seed is in cfg; N identifies the deterministic corpus
+        input_token = f"synthetic:{args.synthetic}"
     else:
         clips = spark.read.parquet(args.input)
+        # path + row count (parquet metadata only — no data scan):
+        # catches both a different source and in-place appends; a
+        # same-path same-count content swap is out of scope (use
+        # --no-resume)
+        import os as _os
+
+        import pyarrow.dataset as _ds
+
+        n_in = _ds.dataset(args.input, format="parquet").count_rows()
+        input_token = f"input:{_os.path.abspath(args.input)}:{n_in}"
 
     res = run_pipeline(
         spark, clips, cfg, args.checkpoint, resume=not args.no_resume,
         audio_containment=args.audio_containment,
         speed_ladder=args.speed_ladder,
+        input_token=input_token,
     )
     n_clips = res.assignments.count()
     n_clusters = res.clusters.count()

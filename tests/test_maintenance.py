@@ -161,3 +161,35 @@ def test_cli_remove_flag_end_to_end(spark, tmp_path):
         .select("clip_id", "cluster_id")
     )
     assert got == want
+
+
+def test_cli_changed_input_invalidates_checkpoint(tmp_path):
+    """Re-running the CLI against the SAME checkpoint dir with a
+    DIFFERENT input must NOT silently resume the old corpus's stages
+    (the input token folds into every stage fingerprint); the same
+    input resumes as before."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ck = str(tmp_path / "ck")
+
+    def run(n):
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "run_pipeline.py"),
+             "--synthetic", str(n), "--checkpoint", ck,
+             "--master", "local[4]"],
+            check=True, capture_output=True, text=True, timeout=600,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    a = run(400)
+    assert a["clips"] == 400 and not any(s["resumed"] for s in a["stages"])
+    b = run(1000)  # different corpus, same checkpoint dir
+    assert b["clips"] == 1000, "stale resume returned the old corpus"
+    assert not any(s["resumed"] for s in b["stages"])
+    c = run(1000)  # same corpus again -> full resume
+    assert c["clips"] == 1000
+    assert all(s["resumed"] for s in c["stages"])

@@ -178,7 +178,14 @@ def main() -> int:
                      "chunk_dedup_savings", "dsir_selected",
                      "hll_distinct_by_source",
                      "winnow_fingerprints", "winnow_matches",
-                     "allpairs_jaccard", "contam_redact"]:
+                     "allpairs_jaccard", "contam_redact",
+                     "bloom_prefilter", "dedup_threshold_curve",
+                     "snm_neardup_pairs", "user_sessions",
+                     "table_stats", "bag_jaccard_pairs",
+                     "cluster_size_histogram", "tfidf_cosine_pairs",
+                     "token_entropy", "cms_freq_estimates",
+                     "pmi_top_bigrams", "cluster_delete_repair",
+                     "node_triangles", "triangle_summary"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

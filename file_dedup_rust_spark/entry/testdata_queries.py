@@ -6794,6 +6794,137 @@ SELECT id AS doc_id, min(lbl2) AS cluster_id FROM reach GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# Graph analytics over the dup graph: triangles + clustering coefficients
+# (candidate-quality audit — see operators/graph.py docstring: dense
+#  triangles = transitive near-dup evidence; chains = threshold-hopping
+#  false merges.  Degree orientation neutralizes the exact-tier star
+#  hubs that would otherwise make wedge generation quadratic.)
+# ---------------------------------------------------------------------------
+
+def q_node_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    dup graph (_doc_edges: exact stars ∪ Jaccard>=0.8), for every node
+    of degree >= 2 (where the coefficient is defined).  local_cc =
+    triangles / C(degree, 2)."""
+    from file_dedup_rust_spark.operators.graph import (
+        node_triangle_counts,
+        undirected_edges,
+    )
+
+    ue = undirected_edges(_doc_edges(spark, sf_dir).select("a", "b"))
+    nt = node_triangle_counts(ue).filter(F.col("degree") >= 2)
+    return nt.select(
+        F.col("id").alias("doc_id"),
+        "degree",
+        "triangles",
+        F.round(
+            F.col("triangles") * 2.0
+            / (F.col("degree") * (F.col("degree") - F.lit(1))),
+            4,
+        ).alias("local_cc"),
+    ).orderBy("doc_id")
+
+
+SQL_NODE_TRIANGLES = f"""
+WITH {SQL_DOC_EDGES},
+ue AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM edges WHERE a != b
+),
+deg AS (
+  SELECT id, count(*) AS degree
+  FROM (SELECT a AS id FROM ue UNION ALL SELECT b FROM ue)
+  GROUP BY id
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1
+  JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+per AS (
+  SELECT id, count(*) AS triangles
+  FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY id
+)
+SELECT d.id AS doc_id, d.degree,
+       CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+       round(coalesce(p.triangles, 0) * 2.0
+             / (d.degree * (d.degree - 1)), 4) AS local_cc
+FROM deg d LEFT JOIN per p ON p.id = d.id
+WHERE d.degree >= 2
+ORDER BY doc_id
+"""
+
+
+def q_triangle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health summary of the dup graph: node/edge
+    counts, wedge count (paths of length 2), triangle count, and the
+    global (transitivity) clustering coefficient 3*T / wedges."""
+    from file_dedup_rust_spark.operators.graph import (
+        degrees,
+        triangles,
+        undirected_edges,
+    )
+
+    ue = undirected_edges(_doc_edges(spark, sf_dir).select("a", "b"))
+    deg = degrees(ue)
+    nodes_wedges = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (
+            F.sum(F.col("degree") * (F.col("degree") - F.lit(1))) / F.lit(2)
+        ).cast("long").alias("n_wedges"),
+    )
+    n_edges = ue.agg(F.count("*").alias("n_edges"))
+    n_tri = triangles(ue, deg).agg(F.count("*").alias("n_triangles"))
+    return (
+        nodes_wedges.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0, F.round(
+                F.col("n_triangles") * 3.0 / F.col("n_wedges"), 6
+            )).otherwise(F.lit(0.0)).alias("global_cc"),
+        )
+    )
+
+
+SQL_TRIANGLE_SUMMARY = f"""
+WITH {SQL_DOC_EDGES},
+ue AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM edges WHERE a != b
+),
+deg AS (
+  SELECT id, count(*) AS degree
+  FROM (SELECT a AS id FROM ue UNION ALL SELECT b FROM ue)
+  GROUP BY id
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM ue e1
+  JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+dd AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(degree * (degree - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+ec AS (SELECT count(*) AS n_edges FROM ue)
+SELECT dd.n_nodes, ec.n_edges, dd.n_wedges, tri.n_triangles,
+       CASE WHEN dd.n_wedges > 0
+            THEN round(tri.n_triangles * 3.0 / dd.n_wedges, 6)
+            ELSE 0.0 END AS global_cc
+FROM dd, ec, tri
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6905,6 +7036,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_freq_estimates": q_cms_freq_estimates,
     "pmi_top_bigrams": q_pmi_top_bigrams,
     "cluster_delete_repair": q_cluster_delete_repair,
+    "node_triangles": q_node_triangles,
+    "triangle_summary": q_triangle_summary,
 }
 
 ORACLES: dict[str, str] = {
@@ -7021,4 +7154,6 @@ ORACLES: dict[str, str] = {
     "cms_freq_estimates": SQL_CMS_FREQ_ESTIMATES,
     "pmi_top_bigrams": SQL_PMI_TOP_BIGRAMS,
     "cluster_delete_repair": SQL_CLUSTER_DELETE_REPAIR,
+    "node_triangles": SQL_NODE_TRIANGLES,
+    "triangle_summary": SQL_TRIANGLE_SUMMARY,
 }

@@ -667,6 +667,25 @@ def main() -> int:
         ["LeftSemi", "LeftAnti", "HashAggregate", "Union"],
     ))
 
+    sections.append((
+        "node_triangles (degree-oriented triangle enumeration: edges "
+        "canonicalized with least/greatest, oriented small->large by "
+        "(degree,id) so the exact-tier star hub generates zero wedges "
+        "(out-degree bounded O(sqrt m)); wedge self-join + closing "
+        "equi-join ship (long,long) keys only — no cartesian, no UDF)",
+        plan_text(Q.q_node_triangles(spark, args.sf_dir)),
+        ["least", "greatest", "HashAggregate", "partial_count"],
+    ))
+
+    sections.append((
+        "triangle_summary (corpus transitivity: wedge count is one "
+        "partial agg over degrees — never materialized as rows — and "
+        "the triangle count reuses the oriented closing join; the "
+        "three 1-row aggregates meet in broadcast crossJoins)",
+        plan_text(Q.q_triangle_summary(spark, args.sf_dir)),
+        ["HashAggregate", "partial_count", "BroadcastNestedLoopJoin"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

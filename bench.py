@@ -185,7 +185,8 @@ def main() -> int:
                      "cluster_size_histogram", "tfidf_cosine_pairs",
                      "token_entropy", "cms_freq_estimates",
                      "pmi_top_bigrams", "cluster_delete_repair",
-                     "node_triangles", "triangle_summary"]:
+                     "node_triangles", "triangle_summary",
+                     "graph_pagerank"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

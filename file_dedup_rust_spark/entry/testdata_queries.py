@@ -6924,6 +6924,74 @@ FROM dd, ec, tri
 """
 
 
+PAGERANK_ITERS = 6
+PAGERANK_DAMPING = 0.85
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k PageRank over the dup graph — centrality-based
+    canonical-representative signal (the most centrally-attested copy
+    of a dup cluster, vs the arbitrary min-id convention).  Exactly
+    PAGERANK_ITERS power steps from the uniform vector, so the value
+    set is deterministic and the oracle can unroll the identical
+    iteration as chained CTEs."""
+    from file_dedup_rust_spark.operators.graph import (
+        pagerank,
+        undirected_edges,
+    )
+
+    ue = undirected_edges(_doc_edges(spark, sf_dir).select("a", "b"))
+    pr = pagerank(ue, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+    return pr.select(
+        F.col("id").alias("doc_id"),
+        "degree",
+        F.round("rank", 6).alias("pagerank"),
+    ).orderBy("doc_id")
+
+
+def _pagerank_sql_steps(iters: int, d: float) -> str:
+    """r1..rK CTEs — one power step each.  Inner join is exact: every
+    node of the undirected deg>=1 graph has an in-neighbour."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        cur = f"r{i}"
+        steps.append(
+            f"""{cur} AS (
+  SELECT ad.dst AS id,
+         CAST((1 - {d}) AS DOUBLE) / nn.n
+         + CAST({d} AS DOUBLE) * sum(p.rank / ad.degree) AS rank
+  FROM adjd ad JOIN {prev} p ON p.id = ad.src CROSS JOIN nn
+  GROUP BY ad.dst, nn.n
+)"""
+        )
+        prev = cur
+    return ",\n".join(steps)
+
+
+SQL_GRAPH_PAGERANK = f"""
+WITH {SQL_DOC_EDGES},
+ue AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM edges WHERE a != b
+),
+bidir AS (
+  SELECT a AS src, b AS dst FROM ue
+  UNION ALL SELECT b AS src, a AS dst FROM ue
+),
+deg AS (SELECT src AS id, count(*) AS degree FROM bidir GROUP BY src),
+adjd AS (
+  SELECT b.src, b.dst, d.degree FROM bidir b JOIN deg d ON d.id = b.src
+),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM deg CROSS JOIN nn),
+{_pagerank_sql_steps(PAGERANK_ITERS, PAGERANK_DAMPING)}
+SELECT d.id AS doc_id, d.degree, round(r.rank, 6) AS pagerank
+FROM deg d JOIN r{PAGERANK_ITERS} r ON r.id = d.id
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7038,6 +7106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_delete_repair": q_cluster_delete_repair,
     "node_triangles": q_node_triangles,
     "triangle_summary": q_triangle_summary,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -7156,4 +7225,5 @@ ORACLES: dict[str, str] = {
     "cluster_delete_repair": SQL_CLUSTER_DELETE_REPAIR,
     "node_triangles": SQL_NODE_TRIANGLES,
     "triangle_summary": SQL_TRIANGLE_SUMMARY,
+    "graph_pagerank": SQL_GRAPH_PAGERANK,
 }

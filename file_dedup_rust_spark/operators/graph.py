@@ -98,6 +98,67 @@ def triangles(uedges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     )
 
 
+def pagerank(
+    uedges: DataFrame, iterations: int = 6, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected dup graph:
+    (id, degree, rank) after exactly `iterations` power steps from the
+    uniform vector — r'(v) = (1-d)/N + d * sum_{u~v} r(u)/deg(u).
+
+    Why a dedup engine ranks its dup graph: min-id representative
+    selection (the CC convention) is arbitrary under content quality —
+    the most CENTRALLY-ATTESTED member of a cluster (highest rank) is
+    the copy the most other near-identical copies corroborate, which
+    is the right canonical pick when clusters mix clean originals with
+    degraded/truncated variants that each match only a few siblings.
+    Fixed k (not convergence-tested) keeps the result deterministic
+    and engine-independent: the oracle unrolls the same k steps as
+    chained SQL CTEs.
+
+    Scale shape: the input is the REP-level dup graph (orders of
+    magnitude below corpus rows — see connected_components' sizing
+    note).  The adjacency (src, dst, deg(src)) is localCheckpoint-ed
+    once, so the expensive tier derivation behind `uedges` never
+    re-executes across iterations; each step is then one shuffle of
+    the 16-byte rank vector into a map-side-combined sum — no UDFs,
+    no driver state beyond the single scalar N (same convention as
+    connected_components' strategy count).  Every node of an
+    undirected deg>=1 graph has an in-neighbour, so there is no
+    dangling mass and rank sums to exactly 1 at every step.  At
+    production depth (k > ~10) re-checkpoint `ranks` every few
+    iterations to truncate lineage."""
+    bidir = uedges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        uedges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg_src = (
+        bidir.groupBy("src").agg(F.count("*").alias("degree"))
+    )
+    adj = bidir.join(deg_src, "src").localCheckpoint(eager=True)
+    nodes = adj.select(F.col("src").alias("id"), "degree").distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "id", "degree", F.lit(0.0).alias("rank")
+        )
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("degree")).alias("c"))
+        )
+        ranks = contrib.select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.col("c")
+            ).alias("rank"),
+        )
+    return nodes.join(ranks, "id").select("id", "degree", "rank")
+
+
 def node_triangle_counts(uedges: DataFrame) -> DataFrame:
     """(id, degree, triangles) for every node with degree >= 1.  Each
     triangle credits all three endpoints (explode is 3 rows per

@@ -112,3 +112,76 @@ def test_wedge_generation_is_orientation_bounded(spark):
     # ... yet every triangle THROUGH the hub is still found, generated
     # at its low-degree corner: {1,2,3} plus {0,1,2},{0,1,3},{0,2,3}
     assert triangles(ue).count() == 4
+
+
+# --- PageRank -------------------------------------------------------------
+
+from file_dedup_rust_spark.operators.graph import pagerank  # noqa: E402
+
+
+def _brute_pagerank(pairs, iterations=6, d=0.85):
+    """Reference power iteration in plain Python dicts."""
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj: dict[int, list[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(iterations):
+        nxt = {v: (1.0 - d) / n for v in adj}
+        for u, nbrs in adj.items():
+            share = d * r[u] / len(nbrs)
+            for v in nbrs:
+                nxt[v] += share
+        r = nxt
+    return r
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """On a regular graph the uniform vector is the exact fixpoint —
+    every iterate stays 1/n bit-for-bit (no float drift: each step
+    computes (1-d)/n + d*(1/n))."""
+    n = 12
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    pr = pagerank(undirected_edges(_edges_df(spark, pairs)), iterations=4)
+    vals = {r["rank"] for r in pr.collect()}
+    assert len(vals) == 1
+    (v,) = vals
+    assert abs(v - 1.0 / n) < 1e-12
+
+
+def test_pagerank_matches_brute_force_and_sums_to_one(spark):
+    """G(40, 0.12) seeded: distributed ranks equal the dict-based
+    power iteration, and total mass is exactly 1 (no dangling nodes
+    in an undirected deg>=1 graph)."""
+    rng = random.Random(7)
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(range(40), 2)
+        if rng.random() < 0.12
+    ]
+    expected = _brute_pagerank(pairs, iterations=6)
+    rows = pagerank(
+        undirected_edges(_edges_df(spark, pairs)), iterations=6
+    ).collect()
+    got = {r["id"]: r["rank"] for r in rows}
+    assert set(got) == set(expected)
+    for v, r in expected.items():
+        assert abs(got[v] - r) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_hub_dominates(spark):
+    """On a star the hub out-ranks every leaf and the ranks match the
+    closed-form iterate (leaves symmetric)."""
+    pairs = [(0, i) for i in range(1, 21)]
+    rows = pagerank(
+        undirected_edges(_edges_df(spark, pairs)), iterations=6
+    ).collect()
+    got = {r["id"]: r["rank"] for r in rows}
+    expected = _brute_pagerank(pairs, iterations=6)
+    hub = got.pop(0)
+    assert all(abs(v - expected[1]) < 1e-12 for v in got.values())
+    assert hub > max(got.values()) * 5
+    assert abs(hub - expected[0]) < 1e-12

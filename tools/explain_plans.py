@@ -686,6 +686,17 @@ def main() -> int:
         ["HashAggregate", "partial_count", "BroadcastNestedLoopJoin"],
     ))
 
+    sections.append((
+        "graph_pagerank (fixed-k power iteration: the adjacency with "
+        "src-degree attached is localCheckpoint-ed ONCE (ExistingRDD "
+        "in-plan — the tier derivation never re-executes across "
+        "iterations); each step is one shuffle of the 16-byte rank "
+        "vector into a map-side-combined sum; N is a single scalar, "
+        "never a per-row join)",
+        plan_text(Q.q_graph_pagerank(spark, args.sf_dir)),
+        ["ExistingRDD", "HashAggregate", "partial_sum"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

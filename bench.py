@@ -186,7 +186,7 @@ def main() -> int:
                      "token_entropy", "cms_freq_estimates",
                      "pmi_top_bigrams", "cluster_delete_repair",
                      "node_triangles", "triangle_summary",
-                     "graph_pagerank"]:
+                     "graph_pagerank", "clustering_agreement"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -6992,6 +6992,110 @@ ORDER BY doc_id
 """
 
 
+def q_clustering_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-semantic clustering agreement by pair-confusion
+    algebra (operators/clustering_audit.py): the corpus-level answer
+    to "what does each tier buy / miss".  Clustering A = connected
+    components over word-3-gram Jaccard >= 0.8 pairs; clustering B =
+    connected components over embedding cosine >= COSINE_T pairs —
+    same element set (vec_id == doc_id).  pairs_sem - pairs_both is
+    the paraphrase mass (semantic-only), pairs_lex - pairs_both the
+    embedding-drift mass; Rand index and the two conditional
+    agreements quantify it in one row, with NO pair set ever
+    materialized (closed-form C(n,2) sums over the contingency
+    table)."""
+    from file_dedup_rust_spark.operators.clustering_audit import (
+        pair_confusion,
+    )
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    lex_edges = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("ia").alias("a"), F.col("ib").alias("b")
+    )
+    dverts = _docs(spark, sf_dir).select(F.col("doc_id").alias("clip_id"))
+    lex = connected_components(lex_edges, dverts).select(
+        F.col("clip_id").alias("id"), F.col("cluster_id").alias("ca")
+    )
+    sem_edges = _neardup_cosine_pairs(spark, sf_dir).select(
+        F.col("ia").alias("a"), F.col("ib").alias("b")
+    )
+    everts = _embeddings(spark, sf_dir).select(F.col("vec_id").alias("clip_id"))
+    sem = connected_components(sem_edges, everts).select(
+        F.col("clip_id").alias("id"), F.col("cluster_id").alias("cb")
+    )
+    pc = pair_confusion(lex, sem)
+    total = F.expr("n_items * (n_items - 1) DIV 2")
+    neither = total - F.col("pairs_a") - F.col("pairs_b") + F.col("pairs_both")
+    return pc.select(
+        "n_items",
+        F.col("pairs_a").alias("pairs_lex"),
+        F.col("pairs_b").alias("pairs_sem"),
+        "pairs_both",
+        F.round((F.col("pairs_both") + neither) / total, 6).alias("rand_index"),
+        F.round(
+            F.when(F.col("pairs_a") > 0, F.col("pairs_both") / F.col("pairs_a")),
+            6,
+        ).alias("p_sem_given_lex"),
+        F.round(
+            F.when(F.col("pairs_b") > 0, F.col("pairs_both") / F.col("pairs_b")),
+            6,
+        ).alias("p_lex_given_sem"),
+    )
+
+
+SQL_CLUSTERING_AGREEMENT = f"""
+WITH RECURSIVE {_sql_shingles(SQL_DOCS_CORPUS)},
+{SQL_JACCARD_PAIRS},
+lex_edges AS (SELECT ia AS a, ib AS b FROM jpairs WHERE jac >= {JACCARD_T}),
+lex_sym AS (SELECT a, b FROM lex_edges UNION SELECT b, a FROM lex_edges),
+lex_reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.lbl FROM lex_reach r JOIN lex_sym s ON s.a = r.id
+),
+lex AS (SELECT id, min(lbl) AS ca FROM lex_reach GROUP BY id),
+{SQL_COSINE_PAIRS},
+sem_edges AS (SELECT ia AS a, ib AS b FROM pairs WHERE sim >= {COSINE_T}),
+sem_sym AS (SELECT a, b FROM sem_edges UNION SELECT b, a FROM sem_edges),
+sem_reach(id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.b, r.lbl FROM sem_reach r JOIN sem_sym s ON s.a = r.id
+),
+sem AS (SELECT id, min(lbl) AS cb FROM sem_reach GROUP BY id),
+cont AS (
+  SELECT ca, cb, count(*) AS nij
+  FROM lex JOIN sem ON sem.id = lex.id GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(nij) AS BIGINT) AS n_items,
+         CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS pairs_both
+  FROM cont
+),
+pa AS (
+  SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS pairs_lex
+  FROM (SELECT sum(nij) AS ai FROM cont GROUP BY ca)
+),
+pb AS (
+  SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS pairs_sem
+  FROM (SELECT sum(nij) AS bj FROM cont GROUP BY cb)
+)
+SELECT n_items, pairs_lex, pairs_sem, pairs_both,
+       round((pairs_both + (n_items * (n_items - 1) // 2
+              - pairs_lex - pairs_sem + pairs_both)) * 1.0
+             / (n_items * (n_items - 1) // 2), 6) AS rand_index,
+       CASE WHEN pairs_lex > 0
+            THEN round(pairs_both * 1.0 / pairs_lex, 6) END
+         AS p_sem_given_lex,
+       CASE WHEN pairs_sem > 0
+            THEN round(pairs_both * 1.0 / pairs_sem, 6) END
+         AS p_lex_given_sem
+FROM tot, pa, pb
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7107,6 +7211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "node_triangles": q_node_triangles,
     "triangle_summary": q_triangle_summary,
     "graph_pagerank": q_graph_pagerank,
+    "clustering_agreement": q_clustering_agreement,
 }
 
 ORACLES: dict[str, str] = {
@@ -7226,4 +7331,5 @@ ORACLES: dict[str, str] = {
     "node_triangles": SQL_NODE_TRIANGLES,
     "triangle_summary": SQL_TRIANGLE_SUMMARY,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
+    "clustering_agreement": SQL_CLUSTERING_AGREEMENT,
 }

@@ -697,6 +697,16 @@ def main() -> int:
         ["ExistingRDD", "HashAggregate", "partial_sum"],
     ))
 
+    sections.append((
+        "clustering_agreement (pair-confusion algebra: contingency "
+        "table localCheckpoint-ed once (ExistingRDD — the two CC "
+        "solves never re-execute across the three 1-row aggregates); "
+        "pair counts are closed-form C(n,2) sums with integer DIV — "
+        "exact past 2^53 — and no pair set is ever materialized)",
+        plan_text(Q.q_clustering_agreement(spark, args.sf_dir)),
+        ["ExistingRDD", "HashAggregate", "partial_sum", " div "],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

@@ -186,7 +186,8 @@ def main() -> int:
                      "token_entropy", "cms_freq_estimates",
                      "pmi_top_bigrams", "cluster_delete_repair",
                      "node_triangles", "triangle_summary",
-                     "graph_pagerank", "clustering_agreement"]:
+                     "graph_pagerank", "clustering_agreement",
+                     "contam_spread"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -7096,6 +7096,156 @@ FROM tot, pa, pb
 """
 
 
+# Transitive contamination spread: direct eval-gram hits are hop 0;
+# near-dups of a hit are hop 1; and so on — the multi-hop iteration of
+# the fuzzy-decontamination argument (a near-dup of a contaminated doc
+# carries the contamination in paraphrase even when the exact gram
+# probe misses it).  Fixture plants both rings deterministically: a
+# contaminated copy S = eval 8-gram + FULL host text is the direct hit
+# (the gram probe fires on the prefix), and its host — a clean train
+# doc sharing every shingle of its own text with S, Jaccard >=
+# n/(n+10) > 0.8 at >= 60 words — is the provable hop-1 spread.
+
+CONTAM_SPREAD_OFFSET = 7_000_000
+CONTAM_SPREAD_HOPS = 3
+CONTAM_HOST_MIN_WORDS = 60
+CONTAM_HOST_MOD = 4
+CONTAM_HOST_RESIDUE = 2
+
+
+def corpus_contam_spread(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(train ∪ planted contaminated copies, eval)."""
+    d = docs_corpus(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE)
+    train = d.filter(F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
+    hosts = train.filter(
+        (F.size(F.split("t", " ")) >= CONTAM_HOST_MIN_WORDS)
+        & (F.col("doc_id") % CONTAM_HOST_MOD == CONTAM_HOST_RESIDUE)
+    )
+    partner = (
+        F.col("doc_id") - (F.col("doc_id") % EVAL_MOD) + EVAL_RESIDUE
+    )
+    planted = (
+        hosts.withColumn("pid", partner)
+        .join(
+            ev.filter(F.size(F.split("t", " ")) >= DECONTAM_N).select(
+                F.col("doc_id").alias("pid"), F.col("t").alias("et")
+            ),
+            "pid",
+        )
+        .select(
+            (F.col("doc_id") + CONTAM_SPREAD_OFFSET).alias("doc_id"),
+            F.concat(
+                F.array_join(
+                    F.slice(F.split("et", " "), 1, DECONTAM_N), " "
+                ),
+                F.lit(" "),
+                F.col("t"),
+            ).alias("t"),
+        )
+    )
+    return train.unionByName(planted), ev
+
+
+def q_contam_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hop_dist, risk) for every corpus doc within
+    CONTAM_SPREAD_HOPS of an eval-gram hit over the Jaccard dup graph;
+    risk = 0.5^hop_dist.  Routing: drop hop 0, review hop 1,
+    sample-audit hop 2+."""
+    from file_dedup_rust_spark.operators.graph import (
+        min_hop_distance,
+        undirected_edges,
+    )
+
+    corpus, ev = corpus_contam_spread(spark, sf_dir)
+    edges = jaccard_pairs(shingles(corpus), JACCARD_T).select(
+        F.col("ia").alias("a"), F.col("ib").alias("b")
+    )
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    cg = word_ngrams(corpus, DECONTAM_N)
+    eg = word_ngrams(ev, DECONTAM_N)
+    seeds = (
+        cg.join(eg.select("g"), "g", "left_semi")
+        .select(F.col("doc_id").alias("id"))
+        .distinct()
+    )
+    dist = min_hop_distance(
+        undirected_edges(edges), seeds, CONTAM_SPREAD_HOPS
+    )
+    return dist.select(
+        F.col("id").alias("doc_id"),
+        "hop_dist",
+        F.round(F.pow(F.lit(0.5), F.col("hop_dist")), 4).alias("risk"),
+    ).orderBy("doc_id")
+
+
+_SQL_CONTAM_SPREAD_CORPUS = f"""docs_t AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+evalset AS (
+  SELECT * FROM docs_t WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+),
+train AS (
+  SELECT * FROM docs_t WHERE doc_id % {EVAL_MOD} != {EVAL_RESIDUE}
+),
+hosts AS (
+  SELECT * FROM train
+  WHERE len(string_split(t, ' ')) >= {CONTAM_HOST_MIN_WORDS}
+    AND doc_id % {CONTAM_HOST_MOD} = {CONTAM_HOST_RESIDUE}
+),
+planted AS (
+  SELECT h.doc_id + {CONTAM_SPREAD_OFFSET} AS doc_id,
+         array_to_string(
+           (string_split(e.t, ' '))[1:{DECONTAM_N}], ' ') || ' ' || h.t AS t
+  FROM hosts h
+  JOIN evalset e
+    ON e.doc_id = h.doc_id - (h.doc_id % {EVAL_MOD}) + {EVAL_RESIDUE}
+  WHERE len(string_split(e.t, ' ')) >= {DECONTAM_N}
+),
+corpus AS (
+  SELECT doc_id, t FROM train UNION ALL SELECT doc_id, t FROM planted
+)"""
+
+
+def _contam_spread_hop_sql(max_hops: int) -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, max_hops + 1):
+        cur = f"d{i}"
+        steps.append(
+            f"""{cur} AS (
+  SELECT id, CAST(min(hop) AS INT) AS hop FROM (
+    SELECT id, hop FROM {prev}
+    UNION ALL
+    SELECT s.b AS id, d.hop + 1 AS hop
+    FROM {prev} d JOIN sym s ON s.a = d.id
+  ) GROUP BY id
+)"""
+        )
+        prev = cur
+    return ",\n".join(steps)
+
+
+SQL_CONTAM_SPREAD = f"""
+WITH {_sql_shingles(_SQL_CONTAM_SPREAD_CORPUS)},
+{SQL_JACCARD_PAIRS},
+e0 AS (SELECT ia AS a, ib AS b FROM jpairs WHERE jac >= {JACCARD_T}),
+sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+cg AS ({_sql_ngrams('corpus', DECONTAM_N)}),
+eg AS ({_sql_ngrams('evalset', DECONTAM_N)}),
+seeds AS (SELECT DISTINCT c.doc_id FROM cg c JOIN eg e ON e.g = c.g),
+d0 AS (SELECT doc_id AS id, CAST(0 AS INT) AS hop FROM seeds),
+{_contam_spread_hop_sql(CONTAM_SPREAD_HOPS)}
+SELECT id AS doc_id, hop AS hop_dist,
+       round(power(0.5, hop), 4) AS risk
+FROM d{CONTAM_SPREAD_HOPS}
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7212,6 +7362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_summary": q_triangle_summary,
     "graph_pagerank": q_graph_pagerank,
     "clustering_agreement": q_clustering_agreement,
+    "contam_spread": q_contam_spread,
 }
 
 ORACLES: dict[str, str] = {
@@ -7332,4 +7483,5 @@ ORACLES: dict[str, str] = {
     "triangle_summary": SQL_TRIANGLE_SUMMARY,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "clustering_agreement": SQL_CLUSTERING_AGREEMENT,
+    "contam_spread": SQL_CONTAM_SPREAD,
 }

@@ -159,6 +159,51 @@ def pagerank(
     return nodes.join(ranks, "id").select("id", "degree", "rank")
 
 
+def min_hop_distance(
+    uedges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """(id, hop_dist) for every node within `max_hops` of a seed —
+    hop_dist 0 = seed itself.  Fixed-round BFS min-propagation over
+    the undirected edge set; seeds absent from the graph still emit
+    distance 0 (an isolated direct hit is still a hit).
+
+    The dedup-engine use: blast-radius queries.  Contamination spread
+    (a near-dup of a contaminated doc is itself suspect — the fuzzy-
+    decontam argument, iterated), takedown propagation (everything
+    within k hops of a removed clip), and audit sampling by distance
+    ring.  Fixed `max_hops` (not convergence) keeps the result
+    engine-independent: the oracle unrolls the same k relaxation
+    rounds as chained CTEs.
+
+    Scale shape: the symmetrized edge set is localCheckpoint-ed once
+    (the tier derivation behind `uedges` never re-executes); each
+    round is one equi-join frontier expansion + one map-side-combined
+    min — rows bounded by the k-hop neighbourhood of the seed set,
+    not the graph.  Distances are small ints; every shuffle row is
+    12 bytes."""
+    sym = (
+        uedges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            uedges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(
+        F.col("id"), F.lit(0).cast("int").alias("hop_dist")
+    ).distinct()
+    for _ in range(max_hops):
+        stepped = dist.join(sym, dist.id == sym.src).select(
+            F.col("dst").alias("id"),
+            (F.col("hop_dist") + F.lit(1)).cast("int").alias("hop_dist"),
+        )
+        dist = (
+            dist.unionAll(stepped)
+            .groupBy("id")
+            .agg(F.min("hop_dist").alias("hop_dist"))
+        )
+    return dist
+
+
 def node_triangle_counts(uedges: DataFrame) -> DataFrame:
     """(id, degree, triangles) for every node with degree >= 1.  Each
     triangle credits all three endpoints (explode is 3 rows per

@@ -185,3 +185,59 @@ def test_pagerank_star_hub_dominates(spark):
     assert all(abs(v - expected[1]) < 1e-12 for v in got.values())
     assert hub > max(got.values()) * 5
     assert abs(hub - expected[0]) < 1e-12
+
+
+# --- BFS min-hop distance ---------------------------------------------------
+
+from file_dedup_rust_spark.operators.graph import min_hop_distance  # noqa: E402
+
+
+def _seeds_df(spark, ids):
+    return spark.createDataFrame([(int(i),) for i in ids], "id long")
+
+
+def test_min_hop_distance_on_path(spark):
+    """Path 0-1-2-3-4-5, seed 0, max 3: distances 0..3 and nodes 4,5
+    excluded (beyond the horizon)."""
+    pairs = [(i, i + 1) for i in range(5)]
+    ue = undirected_edges(_edges_df(spark, pairs))
+    rows = min_hop_distance(ue, _seeds_df(spark, [0]), 3).collect()
+    assert {r["id"]: r["hop_dist"] for r in rows} == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_min_hop_distance_multi_seed_takes_min(spark):
+    """Seeds at both ends of the path: middle node gets the nearer."""
+    pairs = [(i, i + 1) for i in range(6)]
+    ue = undirected_edges(_edges_df(spark, pairs))
+    rows = min_hop_distance(ue, _seeds_df(spark, [0, 6]), 3).collect()
+    got = {r["id"]: r["hop_dist"] for r in rows}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1, 6: 0}
+
+
+def test_min_hop_distance_isolated_seed(spark):
+    """A seed absent from the edge set still reports distance 0, and
+    duplicate seed rows collapse."""
+    pairs = [(1, 2)]
+    ue = undirected_edges(_edges_df(spark, pairs))
+    rows = min_hop_distance(ue, _seeds_df(spark, [99, 99]), 2).collect()
+    assert {r["id"]: r["hop_dist"] for r in rows} == {99: 0}
+
+
+def test_contam_spread_fixture_plants_hop1(spark):
+    """At sf0.001 the planted contaminated copies are direct hits and
+    their hosts surface at hop 1 with risk 0.5."""
+    import file_dedup_rust_spark.entry.testdata_queries as Q
+
+    rows = Q.QUERIES["contam_spread"](spark, "/root/testdata/sf0.001").collect()
+    by_hop = {}
+    for r in rows:
+        by_hop.setdefault(r["hop_dist"], []).append(r)
+    assert by_hop.get(0), "no direct hits planted"
+    assert by_hop.get(1), "no hop-1 spread"
+    planted = [r for r in by_hop[0] if r["doc_id"] >= Q.CONTAM_SPREAD_OFFSET]
+    assert planted, "planted contaminated copies are not direct hits"
+    hosts = {r["doc_id"] for r in by_hop[1]}
+    assert any(
+        r["doc_id"] - Q.CONTAM_SPREAD_OFFSET in hosts for r in planted
+    ), "no planted host surfaced at hop 1"
+    assert all(abs(r["risk"] - 0.5) < 1e-9 for r in by_hop[1])

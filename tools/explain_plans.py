@@ -707,6 +707,16 @@ def main() -> int:
         ["ExistingRDD", "HashAggregate", "partial_sum", " div "],
     ))
 
+    sections.append((
+        "contam_spread (multi-hop contamination risk: symmetrized dup "
+        "edges localCheckpoint-ed once (ExistingRDD), then k BFS "
+        "relaxation rounds — each one equi-join frontier expansion + "
+        "map-side-combined min over 12-byte rows; the eval gram probe "
+        "stays a semi-join, never a corpus shuffle on the gram)",
+        plan_text(Q.q_contam_spread(spark, args.sf_dir)),
+        ["ExistingRDD", "LeftSemi", "HashAggregate", "partial_min"],
+    ))
+
     # speed-ladder edges over a tiny synthetic clips table: posting
     # equi-join on band keys, bit_count verify inline — no cartesian
     sections.append((

@@ -7246,6 +7246,71 @@ ORDER BY doc_id
 """
 
 
+def q_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join over the events stream — last-touch
+    attribution: for each purchase, the most recent STRICTLY-earlier
+    click/view by the same user, plus the exact staleness in
+    microseconds; first-touch purchases (no prior click/view) keep
+    NULLs.  The same operator answers the engine's ledger questions —
+    which config revision / corpus snapshot was in effect when a scan
+    event fired (`operators/asof.py` docstring).
+
+    Scale shape: the zero-join formulation — probes and references
+    UNION into one relation and a single window over user_id ordered
+    by (ts, side, event_id) sweeps each user's timeline once.  ONE
+    hashpartitioning exchange, no join operator in the plan at all
+    (plan-pinned), so no range blowup and no build side; strictness is
+    free (the side tag's sort position at equal ts).  The oracle is an
+    independent spec: a correlated LATERAL argmax per probe."""
+    from file_dedup_rust_spark.operators.asof import asof_join_backward
+
+    e = _events(spark, sf_dir)
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    refs = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    out = asof_join_backward(probes, refs, "user_id", "ts", "event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "touch_event_id",
+        "touch_type",
+        F.expr("timestampdiff(MICROSECOND, touch_ts, ts)").alias(
+            "staleness_us"
+        ),
+    ).orderBy("event_id")
+
+
+SQL_ASOF_LAST_TOUCH = """
+WITH probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+refs AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'view')
+)
+SELECT p.event_id, p.user_id,
+       t.event_id AS touch_event_id,
+       t.event_type AS touch_type,
+       date_diff('microsecond', t.ts, p.ts) AS staleness_us
+FROM probes p LEFT JOIN LATERAL (
+  SELECT r.event_id, r.event_type, r.ts
+  FROM refs r
+  WHERE r.user_id = p.user_id AND r.ts < p.ts
+  ORDER BY r.ts DESC, r.event_id DESC
+  LIMIT 1
+) t ON TRUE
+ORDER BY p.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7363,6 +7428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
     "clustering_agreement": q_clustering_agreement,
     "contam_spread": q_contam_spread,
+    "asof_last_touch": q_asof_last_touch,
 }
 
 ORACLES: dict[str, str] = {
@@ -7484,4 +7550,5 @@ ORACLES: dict[str, str] = {
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "clustering_agreement": SQL_CLUSTERING_AGREEMENT,
     "contam_spread": SQL_CONTAM_SPREAD,
+    "asof_last_touch": SQL_ASOF_LAST_TOUCH,
 }

@@ -708,6 +708,19 @@ def main() -> int:
     ))
 
     sections.append((
+        "asof_last_touch (backward as-of join, zero-join formulation: "
+        "probes and references UNION into one relation, ONE "
+        "hashpartitioning exchange on user_id feeds the window sweep "
+        "ordered by (ts, side, event_id); strictness is the side "
+        "tag's sort position at equal ts — NO join operator exists "
+        "in the plan, pinned by the negative check)",
+        plan_text(Q.q_asof_last_touch(spark, args.sf_dir)),
+        ["Window", "hashpartitioning\\(user_id",
+         r"(?s)\A(?!.*(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+         r"|BroadcastNestedLoop|CartesianProduct))"],
+    ))
+
+    sections.append((
         "contam_spread (multi-hop contamination risk: symmetrized dup "
         "edges localCheckpoint-ed once (ExistingRDD), then k BFS "
         "relaxation rounds — each one equi-join frontier expansion + "

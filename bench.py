@@ -187,7 +187,8 @@ def main() -> int:
                      "pmi_top_bigrams", "cluster_delete_repair",
                      "node_triangles", "triangle_summary",
                      "graph_pagerank", "clustering_agreement",
-                     "contam_spread", "asof_last_touch"]:
+                     "contam_spread", "asof_last_touch",
+                     "error_blast_window"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -7311,6 +7311,94 @@ ORDER BY p.event_id
 """
 
 
+BLAST_WINDOW_MIN = 30
+
+
+def q_error_blast_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval) over the events stream — the
+    incident blast-window audit: for every error event, the same
+    user's activity inside the half-open [ts, ts+30min) window that
+    follows it (event count, purchases, exact value cents).  Errors
+    with a quiet window surface with zeros (left completion).  The
+    engine-side use is identical in shape: which re-uploads landed
+    inside a takedown/quarantine window.
+
+    Scale shape: `operators/rangejoin.py` bucketization — the non-equi
+    time predicate becomes a plain shuffled equi-join on (user_id,
+    30-min bin) with ≤2× interval replication and NO
+    BroadcastNestedLoop/Cartesian anywhere (plan-pinned); the exact
+    predicate refines inside the join, the rollup is one map-side-
+    combined aggregate, and the zero-window completion is a broadcast-
+    able left join back to the (small) error side.  Money sums in
+    integer cents — engine-order-independent."""
+    from file_dedup_rust_spark.operators.rangejoin import (
+        range_join_point_in_interval,
+    )
+
+    e = _events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_event_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {BLAST_WINDOW_MIN} MINUTES")).alias(
+            "w_end"
+        ),
+    )
+    pts = e.filter(F.col("event_type") != "error").select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("p_type"),
+        F.col("value").alias("p_value"),
+    )
+    hits = range_join_point_in_interval(
+        errors,
+        pts,
+        "user_id",
+        "w_start",
+        "w_end",
+        "ts",
+        BLAST_WINDOW_MIN * 60 * 1_000_000,
+    )
+    agg = hits.groupBy("err_event_id").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("p_type") == "purchase").cast("long")).alias("np"),
+        F.sum(F.round(F.col("p_value") * 100).cast("long")).alias("vc"),
+    )
+    return (
+        errors.join(agg, "err_event_id", "left")
+        .select(
+            F.col("err_event_id").alias("event_id"),
+            "user_id",
+            F.coalesce("n", F.lit(0)).alias("n_in_window"),
+            F.coalesce("np", F.lit(0)).alias("n_purchases"),
+            F.coalesce("vc", F.lit(0)).alias("value_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_ERROR_BLAST_WINDOW = f"""
+WITH errors AS (
+  SELECT event_id, user_id, ts,
+         ts + INTERVAL {BLAST_WINDOW_MIN} MINUTE AS w_end
+  FROM events WHERE event_type = 'error'
+),
+pts AS (
+  SELECT user_id, ts, event_type, value FROM events
+  WHERE event_type != 'error'
+)
+SELECT e.event_id, e.user_id,
+       count(p.ts) AS n_in_window,
+       coalesce(sum(CASE WHEN p.event_type = 'purchase'
+                         THEN 1 ELSE 0 END), 0) AS n_purchases,
+       coalesce(sum(CAST(round(p.value * 100) AS BIGINT)), 0) AS value_cents
+FROM errors e LEFT JOIN pts p
+  ON p.user_id = e.user_id AND p.ts >= e.ts AND p.ts < e.w_end
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7429,6 +7517,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clustering_agreement": q_clustering_agreement,
     "contam_spread": q_contam_spread,
     "asof_last_touch": q_asof_last_touch,
+    "error_blast_window": q_error_blast_window,
 }
 
 ORACLES: dict[str, str] = {
@@ -7551,4 +7640,5 @@ ORACLES: dict[str, str] = {
     "clustering_agreement": SQL_CLUSTERING_AGREEMENT,
     "contam_spread": SQL_CONTAM_SPREAD,
     "asof_last_touch": SQL_ASOF_LAST_TOUCH,
+    "error_blast_window": SQL_ERROR_BLAST_WINDOW,
 }

@@ -721,6 +721,18 @@ def main() -> int:
     ))
 
     sections.append((
+        "error_blast_window (bucketized range join: the non-equi time "
+        "predicate becomes a shuffled equi-join on (user_id, 30-min "
+        "bin) with <=2x interval replication — NO BroadcastNestedLoop "
+        "/ Cartesian (negative-pinned); exact predicate refines in "
+        "the join, rollup map-side-combines, zero-window errors "
+        "complete via a left join back to the small error side)",
+        plan_text(Q.q_error_blast_window(spark, args.sf_dir)),
+        ["__bin", "HashAggregate", "partial_count|partial_sum",
+         r"(?s)\A(?!.*(BroadcastNestedLoop|CartesianProduct))"],
+    ))
+
+    sections.append((
         "contam_spread (multi-hop contamination risk: symmetrized dup "
         "edges localCheckpoint-ed once (ExistingRDD), then k BFS "
         "relaxation rounds — each one equi-join frontier expansion + "

@@ -7399,6 +7399,79 @@ ORDER BY e.event_id
 """
 
 
+WSAMPLE_K = 100
+WSAMPLE_CHARS_PER_WEIGHT = 96
+WSAMPLE_SEED = "ws1"
+
+
+def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k WEIGHTED sampling without replacement (Efraimidis &
+    Spirakis 2006) — the length/quality-proportional subsample a
+    data-mixing pipeline draws where `eval_carve_k` can only draw
+    uniformly: here k=100 docs with probability ∝ a 1..8 length
+    bucket.  Engine-exact: for integer weights the ES key u^(1/w) is
+    distributionally the MAX of w independent uniforms, so the key is
+    greatest() over per-weight md5 lanes — fixed-length hex strings
+    order like the integers they encode, no float ln/pow to disagree
+    at ulp scale, and the DuckDB oracle reproduces the draw
+    bit-for-bit.  Deterministic and replayable from (seed, doc_id,
+    weight) alone; partition- and engine-invariant.
+
+    Scale shape: the ES key is one narrow projection (≤8 md5 calls
+    per row); the global top-k is the salted two-stage pattern —
+    no task sees more than max(n/32, 32k) rows
+    (`functions/sampling.py::weighted_take_k`)."""
+    from file_dedup_rust_spark.functions.sampling import weighted_take_k
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.least(
+            F.lit(8),
+            F.lit(1)
+            + F.floor(F.col("n_chars") / F.lit(WSAMPLE_CHARS_PER_WEIGHT)),
+        )
+        .cast("long")
+        .alias("weight"),
+    )
+    out = weighted_take_k(d, "doc_id", "weight", WSAMPLE_K, seed=WSAMPLE_SEED)
+    return out.select(
+        "doc_id",
+        "weight",
+        "es_key",
+        F.col("draw_rank").cast("int").alias("draw_rank"),
+    ).orderBy("draw_rank")
+
+
+_WSAMPLE_LANES = ",\n      ".join(
+    f"CASE WHEN weight > {j} THEN md5('{WSAMPLE_SEED}:{j}:' || doc_id)"
+    f" ELSE '' END"
+    for j in range(8)
+)
+
+SQL_WEIGHTED_SAMPLE_K = f"""
+WITH w AS (
+  SELECT doc_id,
+         least(8, 1 + n_chars // {WSAMPLE_CHARS_PER_WEIGHT}) AS weight
+  FROM documents
+),
+pr AS (
+  SELECT doc_id, weight,
+    greatest(
+      {_WSAMPLE_LANES}
+    ) AS es_key
+  FROM w
+),
+r AS (
+  SELECT doc_id, weight, es_key,
+         row_number() OVER (ORDER BY es_key DESC, doc_id) AS draw_rank
+  FROM pr
+)
+SELECT doc_id, weight, es_key, CAST(draw_rank AS INT) AS draw_rank
+FROM r WHERE draw_rank <= {WSAMPLE_K}
+ORDER BY draw_rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7518,6 +7591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contam_spread": q_contam_spread,
     "asof_last_touch": q_asof_last_touch,
     "error_blast_window": q_error_blast_window,
+    "weighted_sample_k": q_weighted_sample_k,
 }
 
 ORACLES: dict[str, str] = {
@@ -7641,4 +7715,5 @@ ORACLES: dict[str, str] = {
     "contam_spread": SQL_CONTAM_SPREAD,
     "asof_last_touch": SQL_ASOF_LAST_TOUCH,
     "error_blast_window": SQL_ERROR_BLAST_WINDOW,
+    "weighted_sample_k": SQL_WEIGHTED_SAMPLE_K,
 }

@@ -303,3 +303,75 @@ def unimax_allocation(
         alloc.alias("alloc_tokens"),
         F.round(alloc / F.col("tok"), 4).alias("epochs"),
     )
+
+
+MAX_ES_WEIGHT = 8
+
+
+def weighted_take_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "es",
+    n_salt: int = 32,
+) -> DataFrame:
+    """Exactly k rows drawn WITHOUT replacement with probability
+    proportional to an integer weight (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir") — the quality- or
+    length-weighted subsample a data-mixing pipeline draws after
+    dedup, where `stratified_take_k` can only draw uniformly.
+
+    ES assigns each row the key u_i^(1/w_i) (u_i uniform) and takes
+    the global top-k.  Floating ln/pow differs between engines at ulp
+    scale, which an exact-hash oracle cannot tolerate — so for integer
+    weights this uses the identity  u^(1/w) ~ max of w iid uniforms:
+    lane j of a row is md5("seed:j:key") (independent uniforms across
+    rows AND lanes), the ES key is the MAX of the row's first w lanes,
+    and fixed-length hex strings order exactly like the integers they
+    encode, so `greatest()` on hex needs no conversion and both
+    engines agree bit-for-bit (the `corpus_sketch` trick).  The draw
+    is deterministic, partition-invariant, and replayable from (seed,
+    key, weight) alone.
+
+    Weights must be integers in [1, MAX_ES_WEIGHT]; wider ranges
+    should be log-bucketed into that range by the caller (the lane
+    count is the cost: MAX_ES_WEIGHT md5 calls per row, one
+    projection, no shuffle until the top-k).
+
+    Scale shape: the ES key is a pure narrow expression; the global
+    top-k runs the same salted two-stage pattern as
+    `stratified_take_k` — stage 1 takes k per salt lane (n_salt
+    parallel tasks), stage 2 ranks the <= k*n_salt survivors; any row
+    in the true top-k survives its lane, so the result is exact and
+    no single task ever sees more than max(n/n_salt, k*n_salt) rows.
+
+    Output: the input row + es_key + draw_rank (1..k).
+    """
+    lanes = [
+        F.when(
+            F.col(weight_col) > j,
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.lit(str(j)),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+        ).otherwise(F.lit(""))
+        for j in range(MAX_ES_WEIGHT)
+    ]
+    keyed = df.withColumn("es_key", F.greatest(*lanes))
+    salt = F.pmod(F.col(key_col), F.lit(n_salt))
+    w1 = Window.partitionBy(salt.alias("salt")).orderBy(
+        F.desc("es_key"), F.col(key_col)
+    )
+    w2 = Window.partitionBy().orderBy(F.desc("es_key"), F.col(key_col))
+    return (
+        keyed.withColumn("_lrank", F.row_number().over(w1))
+        .filter(F.col("_lrank") <= k)
+        .withColumn("draw_rank", F.row_number().over(w2))
+        .filter(F.col("draw_rank") <= k)
+        .drop("_lrank")
+    )

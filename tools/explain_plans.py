@@ -733,6 +733,17 @@ def main() -> int:
     ))
 
     sections.append((
+        "weighted_sample_k (Efraimidis-Spirakis weighted take-k: the "
+        "ES key is greatest() over <=8 md5 lanes — one narrow "
+        "projection, no floats; the global top-k is the salted "
+        "two-stage pattern, so two Window nodes with a filter "
+        "between, never one single-task global sort of the corpus)",
+        plan_text(Q.q_weighted_sample_k(spark, args.sf_dir)),
+        ["Window", "md5", "greatest",
+         r"(?s)\A(?!.*(BroadcastNestedLoop|CartesianProduct))"],
+    ))
+
+    sections.append((
         "contam_spread (multi-hop contamination risk: symmetrized dup "
         "edges localCheckpoint-ed once (ExistingRDD), then k BFS "
         "relaxation rounds — each one equi-join frontier expansion + "

@@ -188,7 +188,8 @@ def main() -> int:
                      "node_triangles", "triangle_summary",
                      "graph_pagerank", "clustering_agreement",
                      "contam_spread", "asof_last_touch",
-                     "error_blast_window", "weighted_sample_k"]:
+                     "error_blast_window", "weighted_sample_k",
+                     "props_json_profile"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

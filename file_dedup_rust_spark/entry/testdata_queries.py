@@ -7472,6 +7472,60 @@ ORDER BY draw_rank
 """
 
 
+def q_props_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload profiling — the first query anyone runs
+    against a JSON column at 100 TB: which keys exist per event type,
+    how often, and the typed stats of the known numeric field.  One
+    scan: the key census (json_object_keys explode) and the typed
+    extraction (get_json_object path eval) both run as JVM expressions
+    inside whole-stage codegen — JSON never reaches Python, and the
+    aggregate map-side-combines.  Malformed payloads and non-integer values parse to NULL via
+    try_cast (ANSI mode makes a plain cast THROW) and surface in n_rows - n_with_key; engine
+    robustness to planted garbage is pytest-pinned.
+
+    Output per (event_type, json key): rows carrying the key, values
+    parsing as integers, their sum and max, and the count ≥ 50 — all
+    integer columns, no float accumulation."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    keyed = e.select(
+        "event_type",
+        F.explode(F.json_object_keys("props")).alias("jkey"),
+        k.alias("kv"),
+    )
+    return (
+        keyed.groupBy("event_type", "jkey")
+        .agg(
+            F.count("*").alias("n_with_key"),
+            F.sum(F.col("kv").isNotNull().cast("long")).alias("n_int"),
+            F.sum("kv").alias("sum_k"),
+            F.max("kv").alias("max_k"),
+            F.sum((F.col("kv") >= 50).cast("long")).alias("n_hi"),
+        )
+        .orderBy("event_type", "jkey")
+    )
+
+
+SQL_PROPS_JSON_PROFILE = """
+WITH keyed AS (
+  SELECT event_type,
+         unnest(json_keys(props)) AS jkey,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+  FROM events
+)
+SELECT event_type, jkey,
+       count(*) AS n_with_key,
+       CAST(sum(CASE WHEN kv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_int,
+       CAST(sum(kv) AS BIGINT) AS sum_k,
+       max(kv) AS max_k,
+       CAST(sum(CASE WHEN kv >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+FROM keyed
+GROUP BY event_type, jkey
+ORDER BY event_type, jkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7592,6 +7646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_touch": q_asof_last_touch,
     "error_blast_window": q_error_blast_window,
     "weighted_sample_k": q_weighted_sample_k,
+    "props_json_profile": q_props_json_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -7716,4 +7771,5 @@ ORACLES: dict[str, str] = {
     "asof_last_touch": SQL_ASOF_LAST_TOUCH,
     "error_blast_window": SQL_ERROR_BLAST_WINDOW,
     "weighted_sample_k": SQL_WEIGHTED_SAMPLE_K,
+    "props_json_profile": SQL_PROPS_JSON_PROFILE,
 }

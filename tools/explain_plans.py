@@ -744,6 +744,18 @@ def main() -> int:
     ))
 
     sections.append((
+        "props_json_profile (semi-structured profiling: "
+        "json_object_keys explode + get_json_object path eval are JVM "
+        "expressions inside WholeStageCodegen — JSON never reaches "
+        "Python (no ArrowEval/BatchEval anywhere); one scan, "
+        "map-side-combined aggregate)",
+        plan_text(Q.q_props_json_profile(spark, args.sf_dir)),
+        ["jsonObjectKeys", "get_json_object", "Generate",
+         "HashAggregate", "partial_count|partial_sum",
+         r"(?s)\A(?!.*(ArrowEvalPython|MapInPandas|BatchEvalPython))"],
+    ))
+
+    sections.append((
         "contam_spread (multi-hop contamination risk: symmetrized dup "
         "edges localCheckpoint-ed once (ExistingRDD), then k BFS "
         "relaxation rounds — each one equi-join frontier expansion + "

@@ -189,7 +189,7 @@ def main() -> int:
                      "graph_pagerank", "clustering_agreement",
                      "contam_spread", "asof_last_touch",
                      "error_blast_window", "weighted_sample_k",
-                     "props_json_profile"]:
+                     "props_json_profile", "session_funnel"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

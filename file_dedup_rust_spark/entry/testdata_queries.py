@@ -7526,6 +7526,122 @@ ORDER BY event_type, jkey
 """
 
 
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel inside gap-sessions — the sequence-matching
+    operator: a session converts at step 2 only if a click follows
+    STRICTLY after its first view, and at step 3 only if a purchase
+    follows strictly after that click (the standard product-analytics
+    semantics: first view, first click after it, first purchase after
+    that — out-of-order events do not count).  One summary row:
+    session count and survivors of each step.
+
+    Scale shape: session labels come from the lag+cumsum sweep (ONE
+    hashpartitioning exchange on user_id); the three step timestamps
+    are three chained window aggregates over (user_id, sid) — Spark
+    plans consecutive windows over the SAME partitioning with a
+    single additional exchange, so the whole funnel is two shuffles
+    of (ts, type) rows plus one global count — no joins, no Python,
+    no per-session driver loop.  The oracle derives the identical
+    sessionization and steps via group-agg + join-back (same
+    semantics, different algorithm)."""
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                       "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+                >= F.lit(1800 * 1_000_000)
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    s = e.withColumn("brk", brk).withColumn(
+        "sid",
+        F.sum("brk").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    s = s.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws)
+    )
+    s = s.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    s = s.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    per_session = s.groupBy("user_id", "sid").agg(
+        F.max(F.col("t1").isNotNull().cast("long")).alias("s1"),
+        F.max(F.col("t2").isNotNull().cast("long")).alias("s2"),
+        F.max(F.col("t3").isNotNull().cast("long")).alias("s3"),
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("s1").alias("n_view"),
+        F.sum("s2").alias("n_view_click"),
+        F.sum("s3").alias("n_full_funnel"),
+    )
+
+
+SQL_SESSION_FUNNEL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('microsecond', lag(ts) OVER w, ts)
+                 >= 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+t1 AS (
+  SELECT user_id, sid,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM s GROUP BY 1, 2
+),
+t2 AS (
+  SELECT s.user_id, s.sid,
+         min(CASE WHEN s.event_type = 'click' AND s.ts > t1.t1
+                  THEN s.ts END) AS t2
+  FROM s JOIN t1 USING (user_id, sid) GROUP BY 1, 2
+),
+t3 AS (
+  SELECT s.user_id, s.sid,
+         min(CASE WHEN s.event_type = 'purchase' AND s.ts > t2.t2
+                  THEN s.ts END) AS t3
+  FROM s JOIN t2 USING (user_id, sid) GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(sum(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click,
+       CAST(sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_funnel
+FROM t1 JOIN t2 USING (user_id, sid) JOIN t3 USING (user_id, sid)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7647,6 +7763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "error_blast_window": q_error_blast_window,
     "weighted_sample_k": q_weighted_sample_k,
     "props_json_profile": q_props_json_profile,
+    "session_funnel": q_session_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -7772,4 +7889,5 @@ ORACLES: dict[str, str] = {
     "error_blast_window": SQL_ERROR_BLAST_WINDOW,
     "weighted_sample_k": SQL_WEIGHTED_SAMPLE_K,
     "props_json_profile": SQL_PROPS_JSON_PROFILE,
+    "session_funnel": SQL_SESSION_FUNNEL,
 }

@@ -756,6 +756,19 @@ def main() -> int:
     ))
 
     sections.append((
+        "session_funnel (ordered-step sequence matching: lag+cumsum "
+        "session labels on ONE user_id exchange, then three chained "
+        "conditional-min windows over (user_id, sid) sharing a single "
+        "additional exchange — two shuffles total, no joins, no "
+        "Python; the strictly-after step semantics live in the "
+        "window expressions)",
+        plan_text(Q.q_session_funnel(spark, args.sf_dir)),
+        ["Window", "hashpartitioning\\(user_id", "HashAggregate",
+         r"(?s)\A(?!.*(SortMergeJoin|BroadcastHashJoin|BatchEvalPython"
+         r"|ArrowEvalPython))"],
+    ))
+
+    sections.append((
         "contam_spread (multi-hop contamination risk: symmetrized dup "
         "edges localCheckpoint-ed once (ExistingRDD), then k BFS "
         "relaxation rounds — each one equi-join frontier expansion + "

@@ -189,7 +189,8 @@ def main() -> int:
                      "graph_pagerank", "clustering_agreement",
                      "contam_spread", "asof_last_touch",
                      "error_blast_window", "weighted_sample_k",
-                     "props_json_profile", "session_funnel"]:
+                     "props_json_profile", "session_funnel",
+                     "dup_rate_alerts"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

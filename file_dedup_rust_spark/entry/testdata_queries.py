@@ -7642,6 +7642,114 @@ FROM t1 JOIN t2 USING (user_id, sid) JOIN t3 USING (user_id, sid)
 """
 
 
+ALERT_TRAIL = 8  # trailing buckets in the anomaly baseline
+ALERT_SLACK_PM = 50  # per-mille dead band around the 2x/0.5x rule
+
+
+def q_dup_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly alerting over the dup-rate drift series — the
+    monitoring rule a pipeline owner pages on: per ingestion bucket,
+    compare the dup rate (per-mille integer) against the DISCRETE
+    lower median of the trailing {ALERT_TRAIL} buckets; 'spike' past
+    2x median + slack (crawl started re-fetching — the planted
+    re-upload buckets provably fire), 'collapse' below half median −
+    slack (a dedup tier silently stopped matching), 'none' while the
+    trail is empty.  Everything is INTEGER arithmetic — per-mille
+    rates via div(), median as element_at of the sorted trail list —
+    so both engines agree bit-for-bit (an avg/stddev z-score would
+    hash-diverge at ulp scale).
+
+    Scale shape: the drift census itself is the dup_rate_drift plan
+    (map-side-combined min per 8-byte content key + one bounded
+    groupBy); the alert pass is a window over the BUCKET CENSUS —
+    corpus_size/{DRIFT_BUCKET} rows, not data — so the global
+    orderBy window is a deliberate driver-scale step over a bounded
+    relation, exactly like mixture_rates' stratum table."""
+    c = corpus_exact(spark, sf_dir)
+    keyed = c.select("doc_id", F.xxhash64("t").alias("k"))
+    mins = keyed.groupBy("k").agg(F.min("doc_id").alias("first_id"))
+    firsts = keyed.join(mins, "k")
+    drift = firsts.groupBy(
+        F.floor(F.col("doc_id") / DRIFT_BUCKET).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("doc_id") == F.col("first_id")).cast("long")).alias(
+            "n_new"
+        ),
+    ).select(
+        "bucket",
+        "n_docs",
+        F.expr("div((n_docs - n_new) * 1000, n_docs)").alias("dup_pm"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(-ALERT_TRAIL, -1)
+    trail = F.array_sort(F.collect_list("dup_pm").over(w))
+    labeled = drift.withColumn("trail", trail).select(
+        "bucket",
+        "n_docs",
+        "dup_pm",
+        F.when(
+            F.size("trail") > 0,
+            F.element_at(
+                "trail",
+                F.floor((F.size("trail") + 1) / 2).cast("int"),
+            ),
+        ).alias("median_pm"),
+    )
+    alert = (
+        F.when(F.col("median_pm").isNull(), F.lit("none"))
+        .when(
+            F.col("dup_pm")
+            > F.lit(2) * F.col("median_pm") + F.lit(ALERT_SLACK_PM),
+            F.lit("spike"),
+        )
+        .when(
+            F.lit(2) * F.col("dup_pm") + F.lit(ALERT_SLACK_PM)
+            < F.col("median_pm"),
+            F.lit("collapse"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return labeled.withColumn("alert", alert).orderBy("bucket")
+
+
+SQL_DUP_RATE_ALERTS = f"""
+WITH {SQL_CORPUS_EXACT},
+firsts AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY t) AS first_id
+  FROM corpus
+),
+drift AS (
+  SELECT CAST(floor(doc_id / {DRIFT_BUCKET}) AS BIGINT) AS bucket,
+         count(*) AS n_docs,
+         ((count(*) - sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END))
+          * 1000) // count(*) AS dup_pm
+  FROM firsts
+  GROUP BY 1
+),
+trailed AS (
+  SELECT bucket, n_docs, CAST(dup_pm AS BIGINT) AS dup_pm,
+         list_sort(list(dup_pm) OVER (
+           ORDER BY bucket
+           ROWS BETWEEN {ALERT_TRAIL} PRECEDING AND 1 PRECEDING)) AS trail
+  FROM drift
+),
+med AS (
+  SELECT bucket, n_docs, dup_pm,
+         CASE WHEN len(trail) > 0
+              THEN CAST(trail[(len(trail) + 1) // 2] AS BIGINT)
+         END AS median_pm
+  FROM trailed
+)
+SELECT bucket, n_docs, dup_pm, median_pm,
+       CASE WHEN median_pm IS NULL THEN 'none'
+            WHEN dup_pm > 2 * median_pm + {ALERT_SLACK_PM} THEN 'spike'
+            WHEN 2 * dup_pm + {ALERT_SLACK_PM} < median_pm THEN 'collapse'
+            ELSE 'ok' END AS alert
+FROM med
+ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7764,6 +7872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_k": q_weighted_sample_k,
     "props_json_profile": q_props_json_profile,
     "session_funnel": q_session_funnel,
+    "dup_rate_alerts": q_dup_rate_alerts,
 }
 
 ORACLES: dict[str, str] = {
@@ -7890,4 +7999,5 @@ ORACLES: dict[str, str] = {
     "weighted_sample_k": SQL_WEIGHTED_SAMPLE_K,
     "props_json_profile": SQL_PROPS_JSON_PROFILE,
     "session_funnel": SQL_SESSION_FUNNEL,
+    "dup_rate_alerts": SQL_DUP_RATE_ALERTS,
 }

@@ -769,6 +769,18 @@ def main() -> int:
     ))
 
     sections.append((
+        "dup_rate_alerts (anomaly alerting over the drift census: the "
+        "dup_rate_drift plan — map-side-combined min per 8-byte "
+        "content key + bounded bucket groupBy — then ONE global "
+        "window over the bucket CENSUS (corpus/100 rows, not data) "
+        "computing the integer trailing median; all comparisons "
+        "integer, no stddev floats)",
+        plan_text(Q.q_dup_rate_alerts(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial_min", "Window",
+         "array_sort"],
+    ))
+
+    sections.append((
         "contam_spread (multi-hop contamination risk: symmetrized dup "
         "edges localCheckpoint-ed once (ExistingRDD), then k BFS "
         "relaxation rounds — each one equi-join frontier expansion + "

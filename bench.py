@@ -190,7 +190,7 @@ def main() -> int:
                      "contam_spread", "asof_last_touch",
                      "error_blast_window", "weighted_sample_k",
                      "props_json_profile", "session_funnel",
-                     "dup_rate_alerts"]:
+                     "dup_rate_alerts", "cluster_eccentricity"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

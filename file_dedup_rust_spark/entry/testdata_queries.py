@@ -7750,6 +7750,96 @@ ORDER BY bucket
 """
 
 
+ECC_HOPS = 4
+
+
+def q_cluster_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster STRETCH audit — the distance-structure complement
+    to `cluster_coherence`'s density metrics: for every multi-member
+    dup cluster, how far (in dup-graph hops) its farthest member sits
+    from the representative, and how many members lie beyond
+    {ECC_HOPS} hops entirely (n_deep > 0 = the chain is longer than
+    the audit horizon — the strongest threshold-hopping-false-merge
+    signal, since a legitimate near-dup cluster is a dense ball of
+    radius 1-2 around any member, while a chain a~b~c~d merges
+    endpoints that share nothing).
+
+    One multi-source BFS serves every cluster at once
+    (`operators/graph.py::min_hop_distance` seeded with ALL reps):
+    components are disjoint, so a rep's frontier can never leak into
+    another cluster and the per-cluster distances come out of a
+    single k-round sweep over the shared edge set — never one BFS per
+    cluster.  The oracle recomputes CC via the recursive min-label
+    CTE and unrolls the same k relaxation rounds."""
+    from file_dedup_rust_spark.operators.graph import (
+        min_hop_distance,
+        undirected_edges,
+    )
+
+    cc = q_cc_clusters(spark, sf_dir)
+    edges = _doc_edges(spark, sf_dir).select("a", "b")
+    reps = cc.select(F.col("cluster_id").alias("id")).distinct()
+    dist = min_hop_distance(undirected_edges(edges), reps, ECC_HOPS)
+    joined = cc.join(
+        dist.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("size"),
+            F.max("hop_dist").alias("max_hop"),
+            F.sum(F.col("hop_dist").isNull().cast("long")).alias("n_deep"),
+        )
+        .filter(F.col("size") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
+def _ecc_hop_sql(max_hops: int) -> str:
+    steps = []
+    prev = "e0"
+    for i in range(1, max_hops + 1):
+        cur = f"e{i}"
+        steps.append(
+            f"""{cur} AS (
+  SELECT id, CAST(min(hop) AS INT) AS hop FROM (
+    SELECT id, hop FROM {prev}
+    UNION ALL
+    SELECT s.b AS id, d.hop + 1 AS hop
+    FROM {prev} d JOIN sym s ON s.a = d.id
+  ) GROUP BY id
+)"""
+        )
+        prev = cur
+    return ",\n".join(steps)
+
+
+SQL_CLUSTER_ECCENTRICITY = f"""
+WITH RECURSIVE {SQL_DOC_EDGES},
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+verts AS (SELECT DISTINCT doc_id FROM corpus),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+e0 AS (
+  SELECT DISTINCT cluster_id AS id, CAST(0 AS INT) AS hop FROM cc
+),
+{_ecc_hop_sql(ECC_HOPS)}
+SELECT c.cluster_id,
+       count(*) AS size,
+       max(d.hop) AS max_hop,
+       CAST(sum(CASE WHEN d.hop IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deep
+FROM cc c LEFT JOIN e{ECC_HOPS} d ON d.id = c.doc_id
+GROUP BY c.cluster_id
+HAVING count(*) >= 2
+ORDER BY c.cluster_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7873,6 +7963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_json_profile": q_props_json_profile,
     "session_funnel": q_session_funnel,
     "dup_rate_alerts": q_dup_rate_alerts,
+    "cluster_eccentricity": q_cluster_eccentricity,
 }
 
 ORACLES: dict[str, str] = {
@@ -8000,4 +8091,5 @@ ORACLES: dict[str, str] = {
     "props_json_profile": SQL_PROPS_JSON_PROFILE,
     "session_funnel": SQL_SESSION_FUNNEL,
     "dup_rate_alerts": SQL_DUP_RATE_ALERTS,
+    "cluster_eccentricity": SQL_CLUSTER_ECCENTRICITY,
 }

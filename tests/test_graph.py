@@ -241,3 +241,32 @@ def test_contam_spread_fixture_plants_hop1(spark):
         r["doc_id"] - Q.CONTAM_SPREAD_OFFSET in hosts for r in planted
     ), "no planted host surfaced at hop 1"
     assert all(abs(r["risk"] - 0.5) < 1e-9 for r in by_hop[1])
+
+
+def test_min_hop_distance_components_do_not_leak(spark):
+    """Multi-source BFS over two disjoint components, seeded with both
+    reps at once: each component's distances are as if BFS ran alone —
+    the property cluster_eccentricity relies on to serve every cluster
+    from ONE sweep."""
+    pairs = [(0, 1), (1, 2), (10, 11), (11, 12), (12, 13)]
+    ue = undirected_edges(_edges_df(spark, pairs))
+    rows = min_hop_distance(ue, _seeds_df(spark, [0, 10]), 4).collect()
+    got = {r["id"]: r["hop_dist"] for r in rows}
+    assert got == {0: 0, 1: 1, 2: 2, 10: 0, 11: 1, 12: 2, 13: 3}
+
+
+def test_cluster_eccentricity_invariants(spark):
+    """Driver-level invariants at sf0.001: only multi-member clusters,
+    every member either within the hop horizon (max_hop in [1, size-1])
+    or counted in n_deep; reached+deep == size."""
+    import file_dedup_rust_spark.entry.testdata_queries as Q
+
+    rows = Q.QUERIES["cluster_eccentricity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "no multi-member clusters at sf0.001"
+    for r in rows:
+        assert r["size"] >= 2
+        if r["n_deep"] == 0:
+            assert 1 <= r["max_hop"] <= r["size"] - 1
+        assert r["n_deep"] < r["size"]  # the rep itself is always hop 0

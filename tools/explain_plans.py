@@ -781,6 +781,16 @@ def main() -> int:
     ))
 
     sections.append((
+        "cluster_eccentricity (per-cluster stretch audit: ONE "
+        "multi-source BFS serves every cluster — components are "
+        "disjoint so rep frontiers cannot leak; k relaxation rounds "
+        "of frontier equi-join + map-side-combined min, then a "
+        "partial-agg rollup per cluster)",
+        plan_text(Q.q_cluster_eccentricity(spark, args.sf_dir)),
+        ["ExistingRDD", "HashAggregate", "partial_min", "partial_max"],
+    ))
+
+    sections.append((
         "contam_spread (multi-hop contamination risk: symmetrized dup "
         "edges localCheckpoint-ed once (ExistingRDD), then k BFS "
         "relaxation rounds — each one equi-join frontier expansion + "

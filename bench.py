@@ -190,7 +190,8 @@ def main() -> int:
                      "contam_spread", "asof_last_touch",
                      "error_blast_window", "weighted_sample_k",
                      "props_json_profile", "session_funnel",
-                     "dup_rate_alerts", "cluster_eccentricity"]:
+                     "dup_rate_alerts", "cluster_eccentricity",
+                     "snapshot_merge3"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

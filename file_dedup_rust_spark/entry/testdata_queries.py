@@ -7840,6 +7840,148 @@ ORDER BY c.cluster_id
 """
 
 
+MERGE3_THEIRS_CHG_MOD, MERGE3_THEIRS_CHG_RES = 17, 2
+MERGE3_THEIRS_ADD_MOD = 15
+MERGE3_THEIRS_ADD_OFFSET = 7_000_000
+
+
+def _merge3_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(base, ours, theirs) — two deterministic branches off one base
+    planting every merge class: ours deletes %11==5 / revises %13==3 /
+    adds +6e6 for %9==0; theirs deletes only the EVEN half of %11==5
+    (odd half -> take_ours, even -> both-deleted both_same), revises
+    the even %13==3 DIFFERENTLY (conflict; odd -> take_ours), revises
+    its own %17==2 (take_theirs), re-adds the SAME +6e6 rows
+    (both-added both_same) and its own +7e6 rows (take_theirs)."""
+    a = docs_corpus(spark, sf_dir)
+    ours = (
+        a.filter((F.col("doc_id") % DELTA_DEL_MOD) != DELTA_DEL_RES)
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % DELTA_CHG_MOD) == DELTA_CHG_RES,
+                F.concat("t", F.lit(" rev-ours")),
+            ).otherwise(F.col("t")).alias("t"),
+        )
+        .unionByName(
+            a.filter((F.col("doc_id") % DELTA_ADD_MOD) == 0).select(
+                (F.col("doc_id") + DELTA_ADD_OFFSET).alias("doc_id"), "t"
+            )
+        )
+    )
+    theirs = (
+        a.filter(
+            ~(
+                ((F.col("doc_id") % DELTA_DEL_MOD) == DELTA_DEL_RES)
+                & (F.col("doc_id") % 2 == 0)
+            )
+        )
+        .select(
+            "doc_id",
+            F.when(
+                ((F.col("doc_id") % DELTA_CHG_MOD) == DELTA_CHG_RES)
+                & (F.col("doc_id") % 2 == 0),
+                F.concat("t", F.lit(" rev-theirs")),
+            )
+            .when(
+                (F.col("doc_id") % MERGE3_THEIRS_CHG_MOD)
+                == MERGE3_THEIRS_CHG_RES,
+                F.concat("t", F.lit(" patch")),
+            )
+            .otherwise(F.col("t"))
+            .alias("t"),
+        )
+        .unionByName(
+            a.filter((F.col("doc_id") % DELTA_ADD_MOD) == 0).select(
+                (F.col("doc_id") + DELTA_ADD_OFFSET).alias("doc_id"), "t"
+            )
+        )
+        .unionByName(
+            a.filter((F.col("doc_id") % MERGE3_THEIRS_ADD_MOD) == 0).select(
+                (F.col("doc_id") + MERGE3_THEIRS_ADD_OFFSET).alias("doc_id"),
+                "t",
+            )
+        )
+    )
+    return a, ours, theirs
+
+
+def q_snapshot_merge3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way corpus merge (`operators/delta.py::snapshot_merge3`)
+    — the git-merge of snapshot versions: a main rebuild and a hotfix
+    branch edited the same base independently; classify every touched
+    id take_ours / take_theirs / both_same / conflict for the
+    reconciler (conflicts feed conflict_repair's majority vote).  All
+    four classes are deterministically planted (overlapping deletes,
+    divergent and convergent revisions, same-and-different adds).
+
+    Scale shape: per-side md5 fingerprints, then two full-outer joins
+    on the SAME id key (second join reuses the first's partitioning);
+    only 40-byte rows cross the exchanges; output bounded by churn."""
+    from file_dedup_rust_spark.operators.delta import snapshot_merge3
+
+    base, ours, theirs = _merge3_snapshots(spark, sf_dir)
+    return snapshot_merge3(base, ours, theirs).orderBy("doc_id")
+
+
+_SQL_MERGE3_CHG = (
+    f"(doc_id % {DELTA_CHG_MOD}) = {DELTA_CHG_RES}"
+)
+
+SQL_SNAPSHOT_MERGE3 = f"""
+WITH {SQL_DOCS_CORPUS},
+base AS (SELECT doc_id, t FROM corpus),
+ours AS (
+  SELECT doc_id,
+         CASE WHEN {_SQL_MERGE3_CHG} THEN t || ' rev-ours' ELSE t END AS t
+  FROM base WHERE (doc_id % {DELTA_DEL_MOD}) != {DELTA_DEL_RES}
+  UNION ALL
+  SELECT doc_id + {DELTA_ADD_OFFSET}, t FROM base
+  WHERE (doc_id % {DELTA_ADD_MOD}) = 0
+),
+theirs AS (
+  SELECT doc_id,
+         CASE WHEN {_SQL_MERGE3_CHG} AND doc_id % 2 = 0
+                THEN t || ' rev-theirs'
+              WHEN (doc_id % {MERGE3_THEIRS_CHG_MOD})
+                   = {MERGE3_THEIRS_CHG_RES} THEN t || ' patch'
+              ELSE t END AS t
+  FROM base
+  WHERE NOT ((doc_id % {DELTA_DEL_MOD}) = {DELTA_DEL_RES}
+             AND doc_id % 2 = 0)
+  UNION ALL
+  SELECT doc_id + {DELTA_ADD_OFFSET}, t FROM base
+  WHERE (doc_id % {DELTA_ADD_MOD}) = 0
+  UNION ALL
+  SELECT doc_id + {MERGE3_THEIRS_ADD_OFFSET}, t FROM base
+  WHERE (doc_id % {MERGE3_THEIRS_ADD_MOD}) = 0
+),
+b AS (SELECT doc_id AS id, md5(t) AS fb FROM base),
+o AS (SELECT doc_id AS id, md5(t) AS fo FROM ours),
+th AS (SELECT doc_id AS id, md5(t) AS ft FROM theirs),
+j AS (
+  SELECT coalesce(b.id, o.id, th.id) AS doc_id, fb, fo, ft
+  FROM b FULL JOIN o ON o.id = b.id
+         FULL JOIN th ON th.id = coalesce(b.id, o.id)
+)
+SELECT doc_id,
+       CASE WHEN fo IS DISTINCT FROM fb AND ft IS NOT DISTINCT FROM fb
+              THEN 'take_ours'
+            WHEN ft IS DISTINCT FROM fb AND fo IS NOT DISTINCT FROM fb
+              THEN 'take_theirs'
+            WHEN fo IS DISTINCT FROM fb AND ft IS DISTINCT FROM fb
+                 AND fo IS NOT DISTINCT FROM ft THEN 'both_same'
+            WHEN fo IS DISTINCT FROM fb AND ft IS DISTINCT FROM fb
+              THEN 'conflict'
+       END AS status
+FROM j
+WHERE fo IS DISTINCT FROM fb OR ft IS DISTINCT FROM fb
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7964,6 +8106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_funnel": q_session_funnel,
     "dup_rate_alerts": q_dup_rate_alerts,
     "cluster_eccentricity": q_cluster_eccentricity,
+    "snapshot_merge3": q_snapshot_merge3,
 }
 
 ORACLES: dict[str, str] = {
@@ -8092,4 +8235,5 @@ ORACLES: dict[str, str] = {
     "session_funnel": SQL_SESSION_FUNNEL,
     "dup_rate_alerts": SQL_DUP_RATE_ALERTS,
     "cluster_eccentricity": SQL_CLUSTER_ECCENTRICITY,
+    "snapshot_merge3": SQL_SNAPSHOT_MERGE3,
 }

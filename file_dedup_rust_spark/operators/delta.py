@@ -58,3 +58,54 @@ def snapshot_delta(
         )
         .filter(F.col("status").isNotNull())
     )
+
+
+def snapshot_merge3(
+    base: DataFrame,
+    ours: DataFrame,
+    theirs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "t",
+) -> DataFrame:
+    """Three-way snapshot merge — the git-merge of corpus versions:
+    two pipelines branch from one base snapshot (e.g. a main rebuild
+    and a hotfix redaction pass) and edit independently; every id that
+    either side touched is classified for the reconciler:
+
+      take_ours   — only ours differs from base (theirs untouched)
+      take_theirs — symmetric
+      both_same   — both sides changed and AGREE (convergent edits,
+                    including both-deleted and both-added-identical)
+      conflict    — both sides changed, differently (needs a human or
+                    a policy, e.g. conflict_repair's majority vote)
+
+    Rows untouched on both sides emit nothing, so the output is
+    bounded by the combined churn, not the corpus.
+
+    Scale shape: per-side md5 fingerprints BEFORE two full-outer hash
+    equi-joins on the id — only (id, 32-char) rows cross the
+    exchanges, and all three sides shuffle on the same key so the
+    second join reuses the first's partitioning.  Presence/absence
+    and equality are null-safe (`eqNullSafe` / IS NOT DISTINCT FROM):
+    a deletion is just fingerprint NULL, no special-casing."""
+    b = base.select(F.col(id_col).alias("_id"), F.md5(content_col).alias("fb"))
+    o = ours.select(F.col(id_col).alias("_id"), F.md5(content_col).alias("fo"))
+    t = theirs.select(
+        F.col(id_col).alias("_id"), F.md5(content_col).alias("ft")
+    )
+    j = b.join(o, "_id", "full_outer").join(t, "_id", "full_outer")
+    ours_chg = ~F.col("fo").eqNullSafe(F.col("fb"))
+    theirs_chg = ~F.col("ft").eqNullSafe(F.col("fb"))
+    status = (
+        F.when(ours_chg & ~theirs_chg, F.lit("take_ours"))
+        .when(theirs_chg & ~ours_chg, F.lit("take_theirs"))
+        .when(
+            ours_chg & theirs_chg & F.col("fo").eqNullSafe(F.col("ft")),
+            F.lit("both_same"),
+        )
+        .when(ours_chg & theirs_chg, F.lit("conflict"))
+    )
+    return (
+        j.select(F.col("_id").alias(id_col), status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

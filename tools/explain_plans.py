@@ -791,6 +791,15 @@ def main() -> int:
     ))
 
     sections.append((
+        "snapshot_merge3 (three-way corpus merge: per-side md5 "
+        "fingerprints BEFORE two full-outer joins on the SAME id key "
+        "— 40-byte rows through the exchanges, null-safe compares, "
+        "output bounded by churn)",
+        plan_text(Q.q_snapshot_merge3(spark, args.sf_dir)),
+        ["md5", "FullOuter", "SortMergeJoin|ShuffledHashJoin"],
+    ))
+
+    sections.append((
         "contam_spread (multi-hop contamination risk: symmetrized dup "
         "edges localCheckpoint-ed once (ExistingRDD), then k BFS "
         "relaxation rounds — each one equi-join frontier expansion + "

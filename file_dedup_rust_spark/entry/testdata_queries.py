@@ -7982,6 +7982,56 @@ ORDER BY doc_id
 """
 
 
+KANON_K = 5
+KANON_LEN_BUCKET = 100
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate over the corpus metadata — before a
+    corpus ships WITH its metadata columns, every quasi-identifier
+    combination (lang × source × length bucket) must describe at
+    least k={KANON_K} documents, or the combination isolates
+    individuals' contributions (Sweeney 2002's re-identification
+    argument; the metadata analog of `pii_redaction`'s content gate).
+    One row per QI group: its size and whether it violates k — the
+    release decision is then suppress/generalize the risky groups.
+
+    Scale shape: ONE map-side-combined groupBy over the QI tuple —
+    the same single-shuffle census shape as counts_by_type; the
+    length bucket is a pure projection.  Integer-only output."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / KANON_LEN_BUCKET)
+            .cast("long")
+            .alias("len_bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "n",
+            (F.col("n") < KANON_K).cast("int").alias("risky"),
+        )
+        .orderBy("lang", "source", "len_bucket")
+    )
+
+
+SQL_K_ANONYMITY_AUDIT = f"""
+SELECT lang, source,
+       CAST(floor(n_chars / {KANON_LEN_BUCKET}) AS BIGINT) AS len_bucket,
+       count(*) AS n,
+       CAST(CASE WHEN count(*) < {KANON_K} THEN 1 ELSE 0 END AS INT)
+         AS risky
+FROM documents
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8107,6 +8157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_rate_alerts": q_dup_rate_alerts,
     "cluster_eccentricity": q_cluster_eccentricity,
     "snapshot_merge3": q_snapshot_merge3,
+    "k_anonymity_audit": q_k_anonymity_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -8236,4 +8287,5 @@ ORACLES: dict[str, str] = {
     "dup_rate_alerts": SQL_DUP_RATE_ALERTS,
     "cluster_eccentricity": SQL_CLUSTER_ECCENTRICITY,
     "snapshot_merge3": SQL_SNAPSHOT_MERGE3,
+    "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
 }

@@ -791,6 +791,14 @@ def main() -> int:
     ))
 
     sections.append((
+        "k_anonymity_audit (privacy release gate: ONE map-side-"
+        "combined groupBy over the quasi-identifier tuple, length "
+        "bucket as a pure projection — single shuffle, integer-only)",
+        plan_text(Q.q_k_anonymity_audit(spark, args.sf_dir)),
+        ["HashAggregate", "partial_count", "ReadSchema"],
+    ))
+
+    sections.append((
         "snapshot_merge3 (three-way corpus merge: per-side md5 "
         "fingerprints BEFORE two full-outer joins on the SAME id key "
         "— 40-byte rows through the exchanges, null-safe compares, "

@@ -8032,6 +8032,154 @@ ORDER BY 1, 2, 3
 """
 
 
+VENN_PAD_MOD, VENN_PAD_RES = 21, 1
+VENN_PAD_OFFSET = 8_000_000
+VENN_COPY_MOD, VENN_COPY_RES = 23, 2
+VENN_COPY_OFFSET = 9_000_000
+
+
+def q_tier_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification-tier agreement census — the redundancy audit that
+    says which detector you could turn off: over the union of the
+    set-Jaccard and bag-Jaccard pair sets (both at {JACCARD_T}), each
+    pair carries three flags — caught by set-Jaccard, caught by
+    bag-Jaccard, exactly identical content — and the output is the
+    3-bit Venn cell census (≤ 7 rows).  set-only cells are the
+    repetition-padded pairs the bag metric correctly demotes;
+    bag-only cells are count-pattern matches the set metric dilutes;
+    exact pairs should sit in the both-cell (a tier missing its own
+    exact dups is broken — pytest pins that cell is populated).
+    Disagreement is deterministically planted: tripled-text copies of
+    the %{VENN_PAD_MOD}=={VENN_PAD_RES} hosts keep the shingle SET
+    (set-Jaccard ~0.97) while the occurrence counts diverge 3x
+    (bag ~0.33 < {JACCARD_T}) — the set-only cell is provably
+    non-empty, and identical +{VENN_COPY_OFFSET} copies populate the
+    exact both-cell (the raw table has zero exact dups).
+
+    Scale shape: the two pair derivations are the existing posting
+    joins (short word-3-gram posting lists); the Venn itself is one
+    full-outer join of (ia, ib) keys, two broadcast-ready fingerprint
+    attach joins, and a ≤8-group partial-agg census — the audit adds
+    no new quadratic surface."""
+    base = docs_corpus(spark, sf_dir)
+    padded = base.filter(
+        (F.col("doc_id") % VENN_PAD_MOD == VENN_PAD_RES)
+        & (F.size(F.split("t", " ")) >= 30)
+    ).select(
+        (F.col("doc_id") + VENN_PAD_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", "t", "t", "t").alias("t"),
+    )
+    copies = base.filter(
+        (F.col("doc_id") % VENN_COPY_MOD == VENN_COPY_RES)
+        & (F.size(F.split("t", " ")) >= 3)
+    ).select((F.col("doc_id") + VENN_COPY_OFFSET).alias("doc_id"), "t")
+    corpus = base.unionByName(padded).unionByName(copies)
+    sj = jaccard_pairs(shingles(corpus), JACCARD_T).select(
+        "ia", "ib", F.lit(1).alias("in_set")
+    )
+    from file_dedup_rust_spark.operators.decontaminate import word_ngrams
+
+    grams = word_ngrams(corpus.select("doc_id", "t"), 3, distinct=False)
+    cnt = grams.groupBy("doc_id", F.xxhash64("g").alias("h")).agg(
+        F.count("*").alias("cn")
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("cn").alias("n"))
+    ba = cnt.select(F.col("doc_id").alias("ia"), "h", F.col("cn").alias("ca"))
+    bb = cnt.select(F.col("doc_id").alias("ib"), "h", F.col("cn").alias("cb"))
+    binter = (
+        ba.join(bb, "h")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.least("ca", "cb")).alias("m"))
+    )
+    bj = (
+        binter.join(tot.select(F.col("doc_id").alias("ia"),
+                               F.col("n").alias("na")), "ia")
+        .join(tot.select(F.col("doc_id").alias("ib"),
+                         F.col("n").alias("nb")), "ib")
+        .filter(
+            F.round(F.col("m") / (F.col("na") + F.col("nb") - F.col("m")), 4)
+            >= JACCARD_T
+        )
+        .select("ia", "ib", F.lit(1).alias("in_bag"))
+    )
+    uni = sj.join(bj, ["ia", "ib"], "full_outer")
+    fp = corpus.select("doc_id", F.md5("t").alias("fpr"))
+    flagged = (
+        uni.join(fp.select(F.col("doc_id").alias("ia"),
+                           F.col("fpr").alias("fa")), "ia")
+        .join(fp.select(F.col("doc_id").alias("ib"),
+                        F.col("fpr").alias("fb")), "ib")
+        .select(
+            F.coalesce("in_set", F.lit(0)).alias("in_set"),
+            F.coalesce("in_bag", F.lit(0)).alias("in_bag"),
+            (F.col("fa") == F.col("fb")).cast("int").alias("is_exact"),
+        )
+    )
+    return (
+        flagged.groupBy("in_set", "in_bag", "is_exact")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("in_set", "in_bag", "is_exact")
+    )
+
+
+_SQL_VENN_CORPUS = f"""docs_base AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+),
+corpus AS (
+  SELECT doc_id, t FROM docs_base
+  UNION ALL
+  SELECT doc_id + {VENN_PAD_OFFSET}, t || ' ' || t || ' ' || t
+  FROM docs_base
+  WHERE doc_id % {VENN_PAD_MOD} = {VENN_PAD_RES}
+    AND len(string_split(t, ' ')) >= 30
+  UNION ALL
+  SELECT doc_id + {VENN_COPY_OFFSET}, t
+  FROM docs_base
+  WHERE doc_id % {VENN_COPY_MOD} = {VENN_COPY_RES}
+    AND len(string_split(t, ' ')) >= 3
+)"""
+
+SQL_TIER_VENN = f"""
+WITH {_sql_shingles(_SQL_VENN_CORPUS)},
+{SQL_JACCARD_PAIRS},
+sj AS (SELECT ia, ib FROM jpairs WHERE jac >= {JACCARD_T}),
+bgm AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+),
+bcnt AS (SELECT doc_id, g, count(*) AS c FROM bgm GROUP BY 1, 2),
+btot AS (SELECT doc_id, sum(c) AS n FROM bcnt GROUP BY 1),
+binter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, sum(least(a.c, b.c)) AS m
+  FROM bcnt a JOIN bcnt b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+bj AS (
+  SELECT ia, ib
+  FROM binter
+  JOIN btot ta ON ta.doc_id = ia
+  JOIN btot tb ON tb.doc_id = ib
+  WHERE round(m * 1.0 / (ta.n + tb.n - m), 4) >= {JACCARD_T}
+),
+uni AS (
+  SELECT coalesce(sj.ia, bj.ia) AS ia, coalesce(sj.ib, bj.ib) AS ib,
+         CASE WHEN sj.ia IS NULL THEN 0 ELSE 1 END AS in_set,
+         CASE WHEN bj.ia IS NULL THEN 0 ELSE 1 END AS in_bag
+  FROM sj FULL JOIN bj ON bj.ia = sj.ia AND bj.ib = sj.ib
+),
+fp AS (SELECT doc_id, md5(t) AS fpr FROM corpus)
+SELECT u.in_set, u.in_bag,
+       CAST(CASE WHEN fa.fpr = fb.fpr THEN 1 ELSE 0 END AS INT) AS is_exact,
+       count(*) AS n_pairs
+FROM uni u
+JOIN fp fa ON fa.doc_id = u.ia
+JOIN fp fb ON fb.doc_id = u.ib
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8158,6 +8306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_eccentricity": q_cluster_eccentricity,
     "snapshot_merge3": q_snapshot_merge3,
     "k_anonymity_audit": q_k_anonymity_audit,
+    "tier_venn": q_tier_venn,
 }
 
 ORACLES: dict[str, str] = {
@@ -8288,4 +8437,5 @@ ORACLES: dict[str, str] = {
     "cluster_eccentricity": SQL_CLUSTER_ECCENTRICITY,
     "snapshot_merge3": SQL_SNAPSHOT_MERGE3,
     "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
+    "tier_venn": SQL_TIER_VENN,
 }

@@ -799,6 +799,15 @@ def main() -> int:
     ))
 
     sections.append((
+        "tier_venn (verification-tier agreement census: two existing "
+        "posting-join pair derivations, one full-outer join of (ia, "
+        "ib) keys, fingerprint attach joins, <=8-group census — no "
+        "new quadratic surface)",
+        plan_text(Q.q_tier_venn(spark, args.sf_dir)),
+        ["FullOuter", "HashAggregate", "partial_count", "xxhash64"],
+    ))
+
+    sections.append((
         "snapshot_merge3 (three-way corpus merge: per-side md5 "
         "fingerprints BEFORE two full-outer joins on the SAME id key "
         "— 40-byte rows through the exchanges, null-safe compares, "

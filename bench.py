@@ -191,7 +191,8 @@ def main() -> int:
                      "error_blast_window", "weighted_sample_k",
                      "props_json_profile", "session_funnel",
                      "dup_rate_alerts", "cluster_eccentricity",
-                     "snapshot_merge3", "k_anonymity_audit", "tier_venn"]:
+                     "snapshot_merge3", "k_anonymity_audit", "tier_venn",
+                     "wasted_space_by_source"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

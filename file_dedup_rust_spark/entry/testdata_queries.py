@@ -8180,6 +8180,101 @@ ORDER BY 1, 2, 3
 """
 
 
+WSRC_MIRROR_MOD = 7
+WSRC_MIRROR_OFFSET = 1_000_000
+
+
+def q_wasted_space_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source storage-waste attribution — `wasted_space` answers
+    "how much would dedup reclaim"; this answers "WHICH FEED is
+    wasting it": every duplicate copy's bytes (n_chars as the proxy)
+    are charged to the COPY's source, first occurrences are free (the
+    global first-seen = min doc_id per content hash, the dedup
+    pipeline's keep rule).  A planted 'mirror' feed re-crawls every
+    %{WSRC_MIRROR_MOD}==0 doc, so its rows are 100% duplicates — the
+    audit provably isolates the re-crawling feed while the organic
+    sources keep reclaim ~0.
+
+    Scale shape: the dup_rate_drift plan — map-side-combined min per
+    8-byte xxhash64 content key + join back — then one bounded
+    groupBy on source; waste rates as integer per-mille (div), no
+    float accumulation."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lower(F.coalesce("text", F.lit(""))).alias("t"),
+        "source",
+        "n_chars",
+    )
+    mirror = base.filter(F.col("doc_id") % WSRC_MIRROR_MOD == 0).select(
+        (F.col("doc_id") + WSRC_MIRROR_OFFSET).alias("doc_id"),
+        "t",
+        F.lit("mirror").alias("source"),
+        "n_chars",
+    )
+    c = base.unionByName(mirror)
+    keyed = c.select("doc_id", "source", "n_chars", F.xxhash64("t").alias("k"))
+    mins = keyed.groupBy("k").agg(F.min("doc_id").alias("first_id"))
+    firsts = keyed.join(mins, "k")
+    return (
+        firsts.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("doc_id") != F.col("first_id")).cast("long")
+            ).alias("n_dup_copies"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("first_id"), F.col("n_chars")
+                ).otherwise(F.lit(0))
+            ).alias("wasted_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_copies",
+            "wasted_chars",
+            F.expr("div(wasted_chars * 1000, total_chars)").alias(
+                "reclaim_pm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_WASTED_SPACE_BY_SOURCE = f"""
+WITH base AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t, source, n_chars
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t, source, n_chars FROM base
+  UNION ALL
+  SELECT doc_id + {WSRC_MIRROR_OFFSET}, t, 'mirror', n_chars
+  FROM base WHERE doc_id % {WSRC_MIRROR_MOD} = 0
+),
+firsts AS (
+  SELECT doc_id, source, n_chars,
+         min(doc_id) OVER (PARTITION BY t) AS first_id
+  FROM c
+),
+g AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN doc_id != first_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_copies,
+         CAST(sum(CASE WHEN doc_id != first_id THEN n_chars ELSE 0 END)
+              AS BIGINT) AS wasted_chars,
+         sum(n_chars) AS total_chars
+  FROM firsts GROUP BY 1
+)
+SELECT source, n_docs, n_dup_copies, wasted_chars,
+       (wasted_chars * 1000) // total_chars AS reclaim_pm
+FROM g
+ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8307,6 +8402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_merge3": q_snapshot_merge3,
     "k_anonymity_audit": q_k_anonymity_audit,
     "tier_venn": q_tier_venn,
+    "wasted_space_by_source": q_wasted_space_by_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -8438,4 +8534,5 @@ ORACLES: dict[str, str] = {
     "snapshot_merge3": SQL_SNAPSHOT_MERGE3,
     "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
     "tier_venn": SQL_TIER_VENN,
+    "wasted_space_by_source": SQL_WASTED_SPACE_BY_SOURCE,
 }

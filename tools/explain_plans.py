@@ -799,6 +799,14 @@ def main() -> int:
     ))
 
     sections.append((
+        "wasted_space_by_source (storage-waste attribution: map-side-"
+        "combined min per 8-byte xxhash64 content key + join back, "
+        "bounded source groupBy, integer per-mille rates)",
+        plan_text(Q.q_wasted_space_by_source(spark, args.sf_dir)),
+        ["xxhash64", "HashAggregate", "partial_min", "partial_sum"],
+    ))
+
+    sections.append((
         "tier_venn (verification-tier agreement census: two existing "
         "posting-join pair derivations, one full-outer join of (ia, "
         "ib) keys, fingerprint attach joins, <=8-group census — no "

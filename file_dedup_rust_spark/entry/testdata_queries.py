@@ -8275,6 +8275,90 @@ ORDER BY source
 """
 
 
+TPCH_Q1_CUTOFF = "2001-06-30 00:00:00"
+
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) over the star-schema half of the
+    driver tables — the first exercise of `lineitem` in the contract,
+    proving the engine's plain-OLAP side next to the dedup surface:
+    per (returnflag, linestatus), row/quantity counts and the
+    base / discounted / charged monetary sums for shipments up to the
+    cutoff.  All money in EXACT integers — cents for the base sum,
+    cents×10⁻² for discounted (price_cents × (100−disc_pct)),
+    cents×10⁻⁴ for charge (× (100+tax_pct)) — so the engines agree
+    bit-for-bit where double accumulation would diverge at ulp scale;
+    the 2-dp source doubles convert exactly via round(x*100).
+
+    Scale shape: the cutoff filter reaches the parquet scan
+    (PushedFilters, plan-pinned) and the single groupBy map-side-
+    combines into 4 groups — the canonical one-pass scan+agg; at
+    10^12 rows this is a pure scan-bandwidth workload."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= F.lit(TPCH_Q1_CUTOFF).cast("timestamp")
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dpct = F.round(F.col("l_discount") * 100).cast("long")
+    tpct = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(qty).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(cents * (F.lit(100) - dpct)).alias("sum_disc_e4"),
+            F.sum(
+                cents * (F.lit(100) - dpct) * (F.lit(100) + tpct)
+            ).alias("sum_charge_e6"),
+            F.sum(dpct).alias("sum_disc_pct"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            "sum_qty",
+            "sum_base_cents",
+            "sum_disc_e4",
+            "sum_charge_e6",
+            F.round(F.col("sum_qty") / F.col("n_rows"), 4).alias("avg_qty"),
+            F.round(
+                F.col("sum_base_cents") / (F.col("n_rows") * 100), 4
+            ).alias("avg_price"),
+            F.round(
+                F.col("sum_disc_pct") / (F.col("n_rows") * 100), 4
+            ).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1_PRICING = f"""
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_discount * 100) AS BIGINT) AS dpct,
+         CAST(round(l_tax * 100) AS BIGINT) AS tpct
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{TPCH_Q1_CUTOFF}'
+)
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(cents) AS BIGINT) AS sum_base_cents,
+       CAST(sum(cents * (100 - dpct)) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(cents * (100 - dpct) * (100 + tpct)) AS BIGINT)
+         AS sum_charge_e6,
+       round(sum(qty) * 1.0 / count(*), 4) AS avg_qty,
+       round(sum(cents) * 1.0 / (count(*) * 100), 4) AS avg_price,
+       round(sum(dpct) * 1.0 / (count(*) * 100), 4) AS avg_disc
+FROM li
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8403,6 +8487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity_audit": q_k_anonymity_audit,
     "tier_venn": q_tier_venn,
     "wasted_space_by_source": q_wasted_space_by_source,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
 }
 
 ORACLES: dict[str, str] = {
@@ -8535,4 +8620,5 @@ ORACLES: dict[str, str] = {
     "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
     "tier_venn": SQL_TIER_VENN,
     "wasted_space_by_source": SQL_WASTED_SPACE_BY_SOURCE,
+    "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,
 }

@@ -1,0 +1,38 @@
+"""TPC-H Q1: the integer-cent conversion is exact against a pandas
+brute force, and the shipdate cutoff actually excludes rows."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import file_dedup_rust_spark.entry.testdata_queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_money_exact_vs_pandas(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li[li["l_shipdate"] <= pd.Timestamp(Q.TPCH_Q1_CUTOFF)]
+    cents = (li["l_extendedprice"] * 100).round().astype("int64")
+    want = (
+        pd.DataFrame(
+            {"f": li["l_returnflag"], "s": li["l_linestatus"], "c": cents}
+        )
+        .groupby(["f", "s"])["c"]
+        .sum()
+        .to_dict()
+    )
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r["sum_base_cents"]
+        for r in Q.QUERIES["tpch_q1_pricing"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_q1_cutoff_excludes_rows(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    n_all = len(li)
+    n_kept = int((li["l_shipdate"] <= pd.Timestamp(Q.TPCH_Q1_CUTOFF)).sum())
+    assert n_kept < n_all, "cutoff does not bind on this fixture"
+    rows = Q.QUERIES["tpch_q1_pricing"](spark, SF).collect()
+    assert sum(r["n_rows"] for r in rows) == n_kept

@@ -799,6 +799,15 @@ def main() -> int:
     ))
 
     sections.append((
+        "tpch_q1_pricing (plain-OLAP side: shipdate cutoff PUSHED to "
+        "the parquet scan, one map-side-combined groupBy into 4 "
+        "groups, exact integer money — the canonical scan+agg)",
+        plan_text(Q.q_tpch_q1_pricing(spark, args.sf_dir)),
+        ["PushedFilters", "HashAggregate", "partial_count",
+         "partial_sum"],
+    ))
+
+    sections.append((
         "wasted_space_by_source (storage-waste attribution: map-side-"
         "combined min per 8-byte xxhash64 content key + join back, "
         "bounded source groupBy, integer per-mille rates)",

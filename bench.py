@@ -192,7 +192,8 @@ def main() -> int:
                      "props_json_profile", "session_funnel",
                      "dup_rate_alerts", "cluster_eccentricity",
                      "snapshot_merge3", "k_anonymity_audit", "tier_venn",
-                     "wasted_space_by_source", "tpch_q1_pricing"]:
+                     "wasted_space_by_source", "tpch_q1_pricing",
+                     "tpch_q3_shipping"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -8359,6 +8359,82 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+TPCH_Q3_SEGMENT = "BUILDING"
+TPCH_Q3_DATE = "2000-12-01 00:00:00"
+TPCH_Q3_TOPN = 10
+
+
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) — the join-shaped OLAP exercise:
+    top-{TPCH_Q3_TOPN} undelivered orders by revenue for one market
+    segment (orders placed before the date whose lineitems ship
+    after it), through customer ⋈ orders ⋈ lineitem.
+
+    Scale shape: both dimension filters are pushed to their parquet
+    scans (segment on customer, date on orders — PushedFilters
+    plan-pinned); the filtered customer side is explicitly
+    `broadcast()` (1/5 of a dimension table — never shuffle the fact
+    table for it) and Catalyst broadcasts the filtered orders side
+    under AQE sizing, so lineitem — the 100-TB table — is never
+    re-partitioned before the joins; one map-side-combined groupBy on
+    (orderkey, date) and a TakeOrdered top-N replace a global sort.
+    Revenue in exact cents×10⁻² integers: ranking ties are impossible
+    to mis-order across engines (deterministic orderkey tiebreak)."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == TPCH_Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            F.col("o_orderdate") < F.lit(TPCH_Q3_DATE).cast("timestamp")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit(TPCH_Q3_DATE).cast("timestamp")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dpct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust),
+                                    orders.o_custkey == cust.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(cents * (F.lit(100) - dpct)).alias("revenue_e4")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue_e4",
+        )
+        .orderBy(F.desc("revenue_e4"), "l_orderkey")
+        .limit(TPCH_Q3_TOPN)
+    )
+
+
+SQL_TPCH_Q3_SHIPPING = f"""
+SELECT l.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{TPCH_Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{TPCH_Q3_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{TPCH_Q3_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_e4 DESC, l.l_orderkey
+LIMIT {TPCH_Q3_TOPN}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8488,6 +8564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tier_venn": q_tier_venn,
     "wasted_space_by_source": q_wasted_space_by_source,
     "tpch_q1_pricing": q_tpch_q1_pricing,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
 }
 
 ORACLES: dict[str, str] = {
@@ -8621,4 +8698,5 @@ ORACLES: dict[str, str] = {
     "tier_venn": SQL_TIER_VENN,
     "wasted_space_by_source": SQL_WASTED_SPACE_BY_SOURCE,
     "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,
+    "tpch_q3_shipping": SQL_TPCH_Q3_SHIPPING,
 }

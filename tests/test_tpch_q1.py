@@ -36,3 +36,30 @@ def test_q1_cutoff_excludes_rows(spark):
     assert n_kept < n_all, "cutoff does not bind on this fixture"
     rows = Q.QUERIES["tpch_q1_pricing"](spark, SF).collect()
     assert sum(r["n_rows"] for r in rows) == n_kept
+
+
+def test_q3_matches_pandas_brute_force(spark):
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    d = pd.Timestamp(Q.TPCH_Q3_DATE)
+    cu = cu[cu["c_mktsegment"] == Q.TPCH_Q3_SEGMENT]
+    od = od[(od["o_orderdate"] < d) & od["o_custkey"].isin(cu["c_custkey"])]
+    li = li[(li["l_shipdate"] > d) & li["l_orderkey"].isin(od["o_orderkey"])]
+    rev = (
+        (li["l_extendedprice"] * 100).round().astype("int64")
+        * (100 - (li["l_discount"] * 100).round().astype("int64"))
+    )
+    want = (
+        pd.DataFrame({"k": li["l_orderkey"], "r": rev})
+        .groupby("k")["r"].sum()
+        .sort_values(ascending=False)
+    )
+    want = sorted(
+        want.items(), key=lambda kv: (-kv[1], kv[0])
+    )[: Q.TPCH_Q3_TOPN]
+    got = [
+        (r["l_orderkey"], r["revenue_e4"])
+        for r in Q.QUERIES["tpch_q3_shipping"](spark, SF).collect()
+    ]
+    assert got == [(int(k), int(v)) for k, v in want]

@@ -799,6 +799,18 @@ def main() -> int:
     ))
 
     sections.append((
+        "tpch_q3_shipping (join-shaped OLAP: segment + date filters "
+        "pushed to the dimension scans, both dim sides broadcast so "
+        "the fact table never re-partitions before the joins, "
+        "map-side-combined agg, TakeOrdered top-N instead of a "
+        "global sort)",
+        plan_text(Q.q_tpch_q3_shipping(spark, args.sf_dir)),
+        ["PushedFilters", "BroadcastHashJoin", "HashAggregate",
+         "TakeOrderedAndProject",
+         r"(?s)\A(?!.*SortMergeJoin)"],
+    ))
+
+    sections.append((
         "tpch_q1_pricing (plain-OLAP side: shipdate cutoff PUSHED to "
         "the parquet scan, one map-side-combined groupBy into 4 "
         "groups, exact integer money — the canonical scan+agg)",

@@ -8435,6 +8435,83 @@ LIMIT {TPCH_Q3_TOPN}
 """
 
 
+TPCH_Q5_REGION = "ASIA"
+TPCH_Q5_FROM = "1999-01-01 00:00:00"
+TPCH_Q5_TO = "2000-01-01 00:00:00"
+
+
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) — the six-table star join
+    exercising region, nation, and supplier (with customer, orders,
+    lineitem): revenue per nation in one region and order-year where
+    the supplying and ordering nations coincide.  With Q1/Q3 this
+    makes every driver table an exercised surface.
+
+    Scale shape: the dimension chain region→nation→customer and the
+    100-row supplier table are all broadcast; orders carries the
+    pushed date range; the fact table joins against broadcast hashes
+    only (no SortMergeJoin, negative-pinned) and the local-supplier
+    predicate (c_nationkey = s_nationkey) evaluates inside the join's
+    codegen.  Revenue in exact cents×10⁻² integers; final rollup is
+    25 groups max."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == TPCH_Q5_REGION
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey", "n_name")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(TPCH_Q5_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(TPCH_Q5_TO).cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dpct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(
+            F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents * (F.lit(100) - dpct)).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "n_name")
+    )
+
+
+SQL_TPCH_Q5_LOCAL_SUPPLIER = f"""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE r.r_name = '{TPCH_Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{TPCH_Q5_FROM}'
+  AND o.o_orderdate < TIMESTAMP '{TPCH_Q5_TO}'
+  AND c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name
+ORDER BY revenue_e4 DESC, n.n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8565,6 +8642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasted_space_by_source": q_wasted_space_by_source,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
 }
 
 ORACLES: dict[str, str] = {
@@ -8699,4 +8777,5 @@ ORACLES: dict[str, str] = {
     "wasted_space_by_source": SQL_WASTED_SPACE_BY_SOURCE,
     "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,
     "tpch_q3_shipping": SQL_TPCH_Q3_SHIPPING,
+    "tpch_q5_local_supplier": SQL_TPCH_Q5_LOCAL_SUPPLIER,
 }

@@ -63,3 +63,39 @@ def test_q3_matches_pandas_brute_force(spark):
         for r in Q.QUERIES["tpch_q3_shipping"](spark, SF).collect()
     ]
     assert got == [(int(k), int(v)) for k, v in want]
+
+
+def test_q5_matches_pandas_brute_force(spark):
+    rg = pd.read_parquet(f"{SF}/region.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    su = pd.read_parquet(f"{SF}/supplier.parquet")
+    rk = rg[rg["r_name"] == Q.TPCH_Q5_REGION]["r_regionkey"]
+    na = na[na["n_regionkey"].isin(rk)]
+    cu = cu[cu["c_nationkey"].isin(na["n_nationkey"])]
+    od = od[
+        (od["o_orderdate"] >= pd.Timestamp(Q.TPCH_Q5_FROM))
+        & (od["o_orderdate"] < pd.Timestamp(Q.TPCH_Q5_TO))
+    ].merge(cu, left_on="o_custkey", right_on="c_custkey")
+    j = (
+        li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[j["c_nationkey"] == j["s_nationkey"]].merge(
+        na, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    rev = (
+        (j["l_extendedprice"] * 100).round().astype("int64")
+        * (100 - (j["l_discount"] * 100).round().astype("int64"))
+    )
+    want = (
+        pd.DataFrame({"n": j["n_name"], "r": rev}).groupby("n")["r"].sum()
+    )
+    want = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [
+        (r["n_name"], r["revenue_e4"])
+        for r in Q.QUERIES["tpch_q5_local_supplier"](spark, SF).collect()
+    ]
+    assert got == [(k, int(v)) for k, v in want]

@@ -799,6 +799,17 @@ def main() -> int:
     ))
 
     sections.append((
+        "tpch_q5_local_supplier (six-table star join: the whole "
+        "region->nation->customer dimension chain and the supplier "
+        "table broadcast, date range pushed to the orders scan, fact "
+        "table joins broadcast hashes only — no SortMergeJoin — and "
+        "the local-supplier predicate evaluates inside codegen)",
+        plan_text(Q.q_tpch_q5_local_supplier(spark, args.sf_dir)),
+        ["PushedFilters", "BroadcastHashJoin", "HashAggregate",
+         "partial_sum", r"(?s)\A(?!.*SortMergeJoin)"],
+    ))
+
+    sections.append((
         "tpch_q3_shipping (join-shaped OLAP: segment + date filters "
         "pushed to the dimension scans, both dim sides broadcast so "
         "the fact table never re-partitions before the joins, "

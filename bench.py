@@ -193,7 +193,8 @@ def main() -> int:
                      "dup_rate_alerts", "cluster_eccentricity",
                      "snapshot_merge3", "k_anonymity_audit", "tier_venn",
                      "wasted_space_by_source", "tpch_q1_pricing",
-                     "tpch_q3_shipping", "tpch_q5_local_supplier"]:
+                     "tpch_q3_shipping", "tpch_q5_local_supplier",
+                     "tpch_q14_promo"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -8512,6 +8512,68 @@ ORDER BY revenue_e4 DESC, n.n_name
 """
 
 
+TPCH_Q14_FROM = "2000-01-01 00:00:00"
+TPCH_Q14_TO = "2000-04-01 00:00:00"
+
+
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) — the part ⋈ lineitem exercise
+    that closes the last untouched driver table: the share of one
+    quarter's revenue attributable to PROMO-type parts.  One row:
+    exact-integer promo and total revenue (cents×10⁻²) plus the
+    4-dp percentage.
+
+    Scale shape: the 2,000-row part table broadcasts into the
+    date-pruned lineitem scan (PushedFilters on l_shipdate,
+    negative-pinned no SortMergeJoin); the conditional promo sum and
+    the total ride ONE map-side-combined aggregate — a single pass,
+    no second scan for the denominator."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit(TPCH_Q14_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TPCH_Q14_TO).cast("timestamp"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dpct = F.round(F.col("l_discount") * 100).cast("long")
+    rev = cents * (F.lit(100) - dpct)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+            ).alias("promo_rev_e4"),
+            F.sum(rev).alias("total_rev_e4"),
+        )
+        .select(
+            "promo_rev_e4",
+            "total_rev_e4",
+            F.round(
+                F.col("promo_rev_e4") * 100.0 / F.col("total_rev_e4"), 4
+            ).alias("promo_pct"),
+        )
+    )
+
+
+SQL_TPCH_Q14_PROMO = f"""
+WITH j AS (
+  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+         p.p_type
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{TPCH_Q14_FROM}'
+    AND l.l_shipdate < TIMESTAMP '{TPCH_Q14_TO}'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+         AS promo_rev_e4,
+       CAST(sum(rev) AS BIGINT) AS total_rev_e4,
+       round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 100.0
+             / sum(rev), 4) AS promo_pct
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8643,6 +8705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "tpch_q14_promo": q_tpch_q14_promo,
 }
 
 ORACLES: dict[str, str] = {
@@ -8778,4 +8841,5 @@ ORACLES: dict[str, str] = {
     "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,
     "tpch_q3_shipping": SQL_TPCH_Q3_SHIPPING,
     "tpch_q5_local_supplier": SQL_TPCH_Q5_LOCAL_SUPPLIER,
+    "tpch_q14_promo": SQL_TPCH_Q14_PROMO,
 }

@@ -99,3 +99,21 @@ def test_q5_matches_pandas_brute_force(spark):
         for r in Q.QUERIES["tpch_q5_local_supplier"](spark, SF).collect()
     ]
     assert got == [(k, int(v)) for k, v in want]
+
+
+def test_q14_matches_pandas_brute_force(spark):
+    pt = pd.read_parquet(f"{SF}/part.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li[
+        (li["l_shipdate"] >= pd.Timestamp(Q.TPCH_Q14_FROM))
+        & (li["l_shipdate"] < pd.Timestamp(Q.TPCH_Q14_TO))
+    ].merge(pt, left_on="l_partkey", right_on="p_partkey")
+    rev = (
+        (li["l_extendedprice"] * 100).round().astype("int64")
+        * (100 - (li["l_discount"] * 100).round().astype("int64"))
+    )
+    want_promo = int(rev[li["p_type"] == "PROMO"].sum())
+    want_total = int(rev.sum())
+    r = Q.QUERIES["tpch_q14_promo"](spark, SF).collect()[0]
+    assert (r["promo_rev_e4"], r["total_rev_e4"]) == (want_promo, want_total)
+    assert 0 < r["promo_pct"] < 100

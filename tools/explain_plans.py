@@ -799,6 +799,15 @@ def main() -> int:
     ))
 
     sections.append((
+        "tpch_q14_promo (part broadcast into the date-pruned lineitem "
+        "scan; promo and total revenue ride ONE map-side-combined "
+        "aggregate — single pass, no denominator rescan)",
+        plan_text(Q.q_tpch_q14_promo(spark, args.sf_dir)),
+        ["PushedFilters", "BroadcastHashJoin", "partial_sum",
+         r"(?s)\A(?!.*SortMergeJoin)"],
+    ))
+
+    sections.append((
         "tpch_q5_local_supplier (six-table star join: the whole "
         "region->nation->customer dimension chain and the supplier "
         "table broadcast, date range pushed to the orders scan, fact "

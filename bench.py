@@ -194,7 +194,7 @@ def main() -> int:
                      "snapshot_merge3", "k_anonymity_audit", "tier_venn",
                      "wasted_space_by_source", "tpch_q1_pricing",
                      "tpch_q3_shipping", "tpch_q5_local_supplier",
-                     "tpch_q14_promo"]:
+                     "tpch_q14_promo", "customer_running_revenue"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

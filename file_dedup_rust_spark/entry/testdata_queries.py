@@ -8574,6 +8574,60 @@ FROM j
 """
 
 
+def q_customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue — the cumulative-window OLAP shape
+    (account-balance / LTV timelines): every order annotated with its
+    1-based sequence number and the customer's cumulative spend in
+    exact integer cents up to and including it, ordered by
+    (o_orderdate, o_orderkey) so ties are deterministic.
+
+    Scale shape: ONE hashpartitioning exchange on o_custkey feeds the
+    sort-based window (row_number + running sum share the frame);
+    money converts to cents once in the scan projection — no doubles
+    accumulate, so the running sums are bit-identical across engines
+    at any prefix length."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        od.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            cents.alias("order_cents"),
+        )
+        .withColumn("order_seq", F.count("*").over(w).cast("int"))
+        .withColumn("cum_cents", F.sum("order_cents").over(w))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "order_cents",
+            "order_seq",
+            "cum_cents",
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+SQL_CUSTOMER_RUNNING_REVENUE = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS order_cents,
+       CAST(count(*) OVER w AS INT) AS order_seq,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS cum_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY o_custkey, order_seq
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8706,6 +8760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "tpch_q14_promo": q_tpch_q14_promo,
+    "customer_running_revenue": q_customer_running_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -8842,4 +8897,5 @@ ORACLES: dict[str, str] = {
     "tpch_q3_shipping": SQL_TPCH_Q3_SHIPPING,
     "tpch_q5_local_supplier": SQL_TPCH_Q5_LOCAL_SUPPLIER,
     "tpch_q14_promo": SQL_TPCH_Q14_PROMO,
+    "customer_running_revenue": SQL_CUSTOMER_RUNNING_REVENUE,
 }

@@ -117,3 +117,21 @@ def test_q14_matches_pandas_brute_force(spark):
     r = Q.QUERIES["tpch_q14_promo"](spark, SF).collect()[0]
     assert (r["promo_rev_e4"], r["total_rev_e4"]) == (want_promo, want_total)
     assert 0 < r["promo_pct"] < 100
+
+
+def test_running_revenue_prefix_property(spark):
+    """Each customer's final cum_cents equals the sum of their
+    order_cents, and order_seq is a gapless 1..n sequence."""
+    rows = Q.QUERIES["customer_running_revenue"](spark, SF).collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    assert by_cust
+    for cust, rs in by_cust.items():
+        assert [r["order_seq"] for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[-1]["cum_cents"] == sum(r["order_cents"] for r in rs)
+        for i in range(1, len(rs)):
+            assert (
+                rs[i]["cum_cents"]
+                == rs[i - 1]["cum_cents"] + rs[i]["order_cents"]
+            )

@@ -799,6 +799,15 @@ def main() -> int:
     ))
 
     sections.append((
+        "customer_running_revenue (cumulative-window OLAP: ONE "
+        "hashpartitioning exchange on o_custkey feeds the sort-based "
+        "window; row_number and running sum share the frame; cents "
+        "conversion in the scan projection so no doubles accumulate)",
+        plan_text(Q.q_customer_running_revenue(spark, args.sf_dir)),
+        ["Window", "hashpartitioning\(o_custkey", "ReadSchema"],
+    ))
+
+    sections.append((
         "tpch_q14_promo (part broadcast into the date-pruned lineitem "
         "scan; promo and total revenue ride ONE map-side-combined "
         "aggregate — single pass, no denominator rescan)",

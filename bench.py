@@ -194,7 +194,8 @@ def main() -> int:
                      "snapshot_merge3", "k_anonymity_audit", "tier_venn",
                      "wasted_space_by_source", "tpch_q1_pricing",
                      "tpch_q3_shipping", "tpch_q5_local_supplier",
-                     "tpch_q14_promo", "customer_running_revenue"]:
+                     "tpch_q14_promo", "customer_running_revenue",
+                     "tpch_q18_large_orders"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

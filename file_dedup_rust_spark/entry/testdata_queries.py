@@ -8628,6 +8628,71 @@ ORDER BY o_custkey, order_seq
 """
 
 
+TPCH_Q18_MIN_QTY = 300
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) — the aggregate-then-join
+    shape: orders whose TOTAL lineitem quantity exceeds
+    {TPCH_Q18_MIN_QTY}, enriched with the customer name, ranked by
+    quantity.  The classic HAVING-subquery pattern a SQL user writes
+    as `WHERE o_orderkey IN (SELECT ... HAVING sum(qty) > T)`.
+
+    Scale shape: the qualifying-order set comes from ONE map-side-
+    combined groupBy over the fact table (partial sums collapse the
+    4-rows-per-order long before the exchange); that tiny survivor
+    set then drives broadcast joins against orders and customer — the
+    fact table is aggregated exactly once and never re-shuffled, and
+    the big-side HAVING filter runs post-agg where Catalyst placed
+    it.  Quantities are integer-valued doubles → exact longs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > TPCH_Q18_MIN_QTY)
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        od.join(F.broadcast(big), od.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("total_cents"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+SQL_TPCH_Q18_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem
+  GROUP BY 1
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {TPCH_Q18_MIN_QTY}
+)
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY b.total_qty DESC, o.o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8761,6 +8826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "tpch_q14_promo": q_tpch_q14_promo,
     "customer_running_revenue": q_customer_running_revenue,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -8898,4 +8964,5 @@ ORACLES: dict[str, str] = {
     "tpch_q5_local_supplier": SQL_TPCH_Q5_LOCAL_SUPPLIER,
     "tpch_q14_promo": SQL_TPCH_Q14_PROMO,
     "customer_running_revenue": SQL_CUSTOMER_RUNNING_REVENUE,
+    "tpch_q18_large_orders": SQL_TPCH_Q18_LARGE_ORDERS,
 }

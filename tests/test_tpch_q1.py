@@ -135,3 +135,16 @@ def test_running_revenue_prefix_property(spark):
                 rs[i]["cum_cents"]
                 == rs[i - 1]["cum_cents"] + rs[i]["order_cents"]
             )
+
+
+def test_q18_threshold_binds_and_matches_pandas(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    tot = (
+        li.assign(q=li["l_quantity"].round().astype("int64"))
+        .groupby("l_orderkey")["q"].sum()
+    )
+    want = set(tot[tot > Q.TPCH_Q18_MIN_QTY].index)
+    assert 0 < len(want) < len(tot), "threshold must bind"
+    rows = Q.QUERIES["tpch_q18_large_orders"](spark, SF).collect()
+    assert {r["o_orderkey"] for r in rows} == want
+    assert all(r["total_qty"] == tot[r["o_orderkey"]] for r in rows)

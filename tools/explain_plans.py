@@ -799,6 +799,16 @@ def main() -> int:
     ))
 
     sections.append((
+        "tpch_q18_large_orders (aggregate-then-join: ONE map-side-"
+        "combined groupBy collapses the fact table to the qualifying "
+        "survivor set, which broadcasts into orders and customer — "
+        "the fact table never re-shuffles; no SortMergeJoin)",
+        plan_text(Q.q_tpch_q18_large_orders(spark, args.sf_dir)),
+        ["HashAggregate", "partial_sum", "BroadcastHashJoin",
+         r"(?s)\A(?!.*SortMergeJoin)"],
+    ))
+
+    sections.append((
         "customer_running_revenue (cumulative-window OLAP: ONE "
         "hashpartitioning exchange on o_custkey feeds the sort-based "
         "window; row_number and running sum share the frame; cents "

@@ -8693,6 +8693,55 @@ ORDER BY b.total_qty DESC, o.o_orderkey
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_day_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type PIVOT — the wide-format report surface
+    (`df.groupBy(...).pivot(...)`): one row per calendar day with a
+    count column per event type plus the row total.  The pivot column
+    set is DECLARED (the five known types), which is the 100-TB
+    contract: an undeclared pivot forces an extra distinct-values
+    job over the fact table before the real aggregation can even be
+    planned — declared values make it a single one-pass conditional
+    aggregation, identical to the CASE-based SQL the oracle runs.
+
+    Scale shape: one map-side-combined groupBy on the day key;
+    every pivot cell is a conditional partial count inside the same
+    aggregate — no join, no second pass, day-bounded output."""
+    e = _events(spark, sf_dir)
+    out = (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+    total = None
+    for t in EVENT_TYPES:
+        total = F.col(t) if total is None else total + F.col(t)
+    return out.withColumn("total", total.cast("long")).orderBy("day")
+
+
+SQL_EVENTS_DAY_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS view,
+       count(*) AS total
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8827,6 +8876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14_promo": q_tpch_q14_promo,
     "customer_running_revenue": q_customer_running_revenue,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "events_day_pivot": q_events_day_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -8965,4 +9015,5 @@ ORACLES: dict[str, str] = {
     "tpch_q14_promo": SQL_TPCH_Q14_PROMO,
     "customer_running_revenue": SQL_CUSTOMER_RUNNING_REVENUE,
     "tpch_q18_large_orders": SQL_TPCH_Q18_LARGE_ORDERS,
+    "events_day_pivot": SQL_EVENTS_DAY_PIVOT,
 }

@@ -148,3 +148,16 @@ def test_q18_threshold_binds_and_matches_pandas(spark):
     rows = Q.QUERIES["tpch_q18_large_orders"](spark, SF).collect()
     assert {r["o_orderkey"] for r in rows} == want
     assert all(r["total_qty"] == tot[r["o_orderkey"]] for r in rows)
+
+
+def test_day_pivot_row_sums(spark):
+    """Pivot cells sum to the row total and to the raw event count."""
+    rows = Q.QUERIES["events_day_pivot"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["click"] + r["error"] + r["purchase"] + r["signup"] + r["view"]
+            == r["total"]
+        )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert sum(r["total"] for r in rows) == len(ev)

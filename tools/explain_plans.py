@@ -799,6 +799,15 @@ def main() -> int:
     ))
 
     sections.append((
+        "events_day_pivot (declared-values pivot: one map-side-"
+        "combined conditional aggregation, no distinct-values pre-job "
+        "over the fact table, no join)",
+        plan_text(Q.q_events_day_pivot(spark, args.sf_dir)),
+        ["HashAggregate", "partial_count",
+         r"(?s)\A(?!.*(SortMergeJoin|BroadcastHashJoin))"],
+    ))
+
+    sections.append((
         "tpch_q18_large_orders (aggregate-then-join: ONE map-side-"
         "combined groupBy collapses the fact table to the qualifying "
         "survivor set, which broadcasts into orders and customer — "

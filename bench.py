@@ -195,7 +195,8 @@ def main() -> int:
                      "wasted_space_by_source", "tpch_q1_pricing",
                      "tpch_q3_shipping", "tpch_q5_local_supplier",
                      "tpch_q14_promo", "customer_running_revenue",
-                     "tpch_q18_large_orders", "events_day_pivot"]:
+                     "tpch_q18_large_orders", "events_day_pivot",
+                     "revenue_rollup"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -8742,6 +8742,66 @@ ORDER BY 1
 """
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment × order-year ROLLUP — the multi-level subtotal surface
+    (`df.rollup(...)`): detail rows, per-segment subtotals, and the
+    grand total from ONE aggregation, with explicit GROUPING flags so
+    subtotal NULLs are distinguishable from NULL data (the contract
+    every BI layer depends on).  Exact integer cents throughout.
+
+    Scale shape: Spark plans rollup as a single Expand (3 grouping
+    sets) feeding one map-side-combined aggregate — the fact-dim join
+    happens once, not once per level, and the broadcast customer side
+    keeps orders un-shuffled; output is bounded by segments × years +
+    segments + 1."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    j = od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        cents.alias("cents"),
+    )
+    return (
+        j.rollup("segment", "order_year")
+        .agg(
+            F.grouping("segment").cast("int").alias("g_segment"),
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            "segment",
+            "order_year",
+            "g_segment",
+            "g_year",
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("g_segment", "g_year", "segment", "order_year")
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT segment, order_year,
+       CAST(GROUPING(segment) AS INT) AS g_segment,
+       CAST(GROUPING(order_year) AS INT) AS g_year,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM j
+GROUP BY ROLLUP(segment, order_year)
+ORDER BY g_segment, g_year, segment, order_year
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8877,6 +8937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_running_revenue": q_customer_running_revenue,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "events_day_pivot": q_events_day_pivot,
+    "revenue_rollup": q_revenue_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -9016,4 +9077,5 @@ ORACLES: dict[str, str] = {
     "customer_running_revenue": SQL_CUSTOMER_RUNNING_REVENUE,
     "tpch_q18_large_orders": SQL_TPCH_Q18_LARGE_ORDERS,
     "events_day_pivot": SQL_EVENTS_DAY_PIVOT,
+    "revenue_rollup": SQL_REVENUE_ROLLUP,
 }

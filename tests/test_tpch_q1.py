@@ -161,3 +161,21 @@ def test_day_pivot_row_sums(spark):
         )
     ev = pd.read_parquet(f"{SF}/events.parquet")
     assert sum(r["total"] for r in rows) == len(ev)
+
+
+def test_rollup_levels_reconcile(spark):
+    """Detail rows sum to their segment subtotal, subtotals to the
+    grand total, and grouping flags separate the levels."""
+    rows = Q.QUERIES["revenue_rollup"](spark, SF).collect()
+    detail = [r for r in rows if (r["g_segment"], r["g_year"]) == (0, 0)]
+    subs = {r["segment"]: r for r in rows
+            if (r["g_segment"], r["g_year"]) == (0, 1)}
+    grand = [r for r in rows if (r["g_segment"], r["g_year"]) == (1, 1)]
+    assert detail and subs and len(grand) == 1
+    for seg, sub in subs.items():
+        mine = [r for r in detail if r["segment"] == seg]
+        assert sum(r["revenue_cents"] for r in mine) == sub["revenue_cents"]
+        assert sum(r["n_orders"] for r in mine) == sub["n_orders"]
+    assert sum(s["revenue_cents"] for s in subs.values()) == grand[0][
+        "revenue_cents"
+    ]

@@ -799,6 +799,15 @@ def main() -> int:
     ))
 
     sections.append((
+        "revenue_rollup (multi-level subtotals: ONE Expand into 3 "
+        "grouping sets feeding one map-side-combined aggregate — the "
+        "fact-dim broadcast join runs once, not once per level)",
+        plan_text(Q.q_revenue_rollup(spark, args.sf_dir)),
+        ["Expand", "HashAggregate", "partial_count",
+         "BroadcastHashJoin", r"(?s)\A(?!.*SortMergeJoin)"],
+    ))
+
+    sections.append((
         "events_day_pivot (declared-values pivot: one map-side-"
         "combined conditional aggregation, no distinct-values pre-job "
         "over the fact table, no join)",

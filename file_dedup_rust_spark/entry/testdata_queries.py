@@ -8802,6 +8802,77 @@ ORDER BY g_segment, g_year, segment, order_year
 """
 
 
+DORMANT_FROM = "2000-01-01 00:00:00"
+DORMANT_TO = "2001-01-01 00:00:00"
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ZERO orders in a year — the LeftAnti surface at
+    driver-query level (the engine uses anti-joins internally for
+    incremental dedup; this is the user-facing churn/retention shape):
+    per dormant customer, their segment and lifetime order count
+    outside the window (0 = never ordered at all — acquisition-list
+    rows — kept via the left join's coalesce).
+
+    Scale shape: the window-filtered orders project to DISTINCT
+    custkeys BEFORE the anti-join (pre-aggregation shrinks the build
+    side to ≤ one row per active customer), the anti-join broadcasts
+    that bounded key set, and the lifetime count attaches via one
+    more broadcast-able aggregate — the customer table streams
+    through two broadcast probes, never shuffling."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    active = (
+        od.filter(
+            (F.col("o_orderdate") >= F.lit(DORMANT_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(DORMANT_TO).cast("timestamp"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    lifetime = od.groupBy("o_custkey").agg(
+        F.count("*").alias("lifetime_orders")
+    )
+    return (
+        cust.join(
+            F.broadcast(active), cust.c_custkey == active.o_custkey, "left_anti"
+        )
+        .join(
+            F.broadcast(lifetime),
+            cust.c_custkey == lifetime.o_custkey,
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce("lifetime_orders", F.lit(0))
+            .cast("long")
+            .alias("lifetime_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SQL_DORMANT_CUSTOMERS = f"""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       CAST(coalesce(lt.n, 0) AS BIGINT) AS lifetime_orders
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+) lt ON lt.o_custkey = c.c_custkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '{DORMANT_FROM}'
+    AND o.o_orderdate < TIMESTAMP '{DORMANT_TO}'
+)
+ORDER BY c.c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8938,6 +9009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "events_day_pivot": q_events_day_pivot,
     "revenue_rollup": q_revenue_rollup,
+    "dormant_customers": q_dormant_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -9078,4 +9150,5 @@ ORACLES: dict[str, str] = {
     "tpch_q18_large_orders": SQL_TPCH_Q18_LARGE_ORDERS,
     "events_day_pivot": SQL_EVENTS_DAY_PIVOT,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
+    "dormant_customers": SQL_DORMANT_CUSTOMERS,
 }

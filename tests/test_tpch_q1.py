@@ -179,3 +179,24 @@ def test_rollup_levels_reconcile(spark):
     assert sum(s["revenue_cents"] for s in subs.values()) == grand[0][
         "revenue_cents"
     ]
+
+
+def test_dormant_customers_anti_semantics(spark):
+    """No dormant customer has an in-window order; never-ordered
+    customers appear with lifetime 0; active customers are absent."""
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    inw = od[
+        (od["o_orderdate"] >= pd.Timestamp(Q.DORMANT_FROM))
+        & (od["o_orderdate"] < pd.Timestamp(Q.DORMANT_TO))
+    ]
+    active = set(inw["o_custkey"])
+    rows = Q.QUERIES["dormant_customers"](spark, SF).collect()
+    got = {r["c_custkey"]: r["lifetime_orders"] for r in rows}
+    assert set(got) == set(cu["c_custkey"]) - active
+    lifetime = od.groupby("o_custkey").size().to_dict()
+    for k, n in got.items():
+        assert n == lifetime.get(k, 0)
+    assert any(n == 0 for n in got.values()) or not (
+        set(cu["c_custkey"]) - set(od["o_custkey"])
+    )

@@ -799,6 +799,16 @@ def main() -> int:
     ))
 
     sections.append((
+        "dormant_customers (LeftAnti churn shape: window-filtered "
+        "orders pre-aggregate to distinct custkeys before the "
+        "anti-join, both probe sides broadcast — the customer table "
+        "streams through without shuffling)",
+        plan_text(Q.q_dormant_customers(spark, args.sf_dir)),
+        ["LeftAnti", "BroadcastHashJoin", "HashAggregate",
+         r"(?s)\A(?!.*SortMergeJoin)"],
+    ))
+
+    sections.append((
         "revenue_rollup (multi-level subtotals: ONE Expand into 3 "
         "grouping sets feeding one map-side-combined aggregate — the "
         "fact-dim broadcast join runs once, not once per level)",

@@ -8873,6 +8873,65 @@ ORDER BY c.c_custkey
 """
 
 
+def q_order_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order against its OWN customer's average — the correlated
+    scalar-subquery shape (`WHERE price > (SELECT avg(...) WHERE same
+    customer)`), decorrelated the way an optimizer does it: ONE
+    window over the customer key computes every per-customer
+    aggregate in a single pass instead of re-running a subquery per
+    row.  Output: above-average orders with their exact deviation.
+    Comparisons in exact integers — order_cents × n vs sum_cents —
+    so no division touches the PREDICATE; the reported ratio is the
+    only rounded value.
+
+    Scale shape: one hashpartitioning exchange on o_custkey (the
+    window), predicate and deviation inside codegen, no join at all
+    (negative-pinned) — the decorrelation IS the optimization."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey")
+    base = od.select(
+        "o_orderkey", "o_custkey", cents.alias("order_cents")
+    ).withColumn("n", F.count("*").over(w)).withColumn(
+        "sum_cents", F.sum("order_cents").over(w)
+    )
+    return (
+        base.filter(
+            F.col("order_cents") * F.col("n") > F.col("sum_cents")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "order_cents",
+            F.col("n").cast("long").alias("n_orders"),
+            "sum_cents",
+            F.round(
+                F.col("order_cents") * F.col("n") / F.col("sum_cents"), 4
+            ).alias("x_of_avg"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_ORDER_VS_CUSTOMER_AVG = """
+WITH b AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS order_cents,
+         count(*) OVER w AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS sum_cents
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey)
+)
+SELECT o_orderkey, o_custkey, order_cents,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(sum_cents AS BIGINT) AS sum_cents,
+       round(order_cents * n * 1.0 / sum_cents, 4) AS x_of_avg
+FROM b
+WHERE order_cents * n > sum_cents
+ORDER BY o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9010,6 +9069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_day_pivot": q_events_day_pivot,
     "revenue_rollup": q_revenue_rollup,
     "dormant_customers": q_dormant_customers,
+    "order_vs_customer_avg": q_order_vs_customer_avg,
 }
 
 ORACLES: dict[str, str] = {
@@ -9151,4 +9211,5 @@ ORACLES: dict[str, str] = {
     "events_day_pivot": SQL_EVENTS_DAY_PIVOT,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "dormant_customers": SQL_DORMANT_CUSTOMERS,
+    "order_vs_customer_avg": SQL_ORDER_VS_CUSTOMER_AVG,
 }

@@ -200,3 +200,22 @@ def test_dormant_customers_anti_semantics(spark):
     assert any(n == 0 for n in got.values()) or not (
         set(cu["c_custkey"]) - set(od["o_custkey"])
     )
+
+
+def test_order_vs_customer_avg_predicate_exact(spark):
+    """The above-average predicate is evaluated in exact integers:
+    every returned order strictly exceeds its customer's mean, and a
+    single-order customer (order == its own average) never appears."""
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (od["o_totalprice"] * 100).round().astype("int64")
+    d = pd.DataFrame({"k": od["o_orderkey"], "c": od["o_custkey"], "v": cents})
+    g = d.groupby("c")["v"].agg(["sum", "count"])
+    want = {
+        int(r.k)
+        for r in d.itertuples()
+        if r.v * g.loc[r.c, "count"] > g.loc[r.c, "sum"]
+    }
+    rows = Q.QUERIES["order_vs_customer_avg"](spark, SF).collect()
+    assert {r["o_orderkey"] for r in rows} == want
+    singles = set(g[g["count"] == 1].index)
+    assert all(r["o_custkey"] not in singles for r in rows)

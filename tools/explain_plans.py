@@ -799,6 +799,15 @@ def main() -> int:
     ))
 
     sections.append((
+        "order_vs_customer_avg (decorrelated scalar subquery: ONE "
+        "window over o_custkey replaces a per-row correlated "
+        "subquery; integer-exact predicate in codegen; no join)",
+        plan_text(Q.q_order_vs_customer_avg(spark, args.sf_dir)),
+        ["Window", "hashpartitioning\(o_custkey",
+         r"(?s)\A(?!.*(SortMergeJoin|BroadcastHashJoin))"],
+    ))
+
+    sections.append((
         "dormant_customers (LeftAnti churn shape: window-filtered "
         "orders pre-aggregate to distinct custkeys before the "
         "anti-join, both probe sides broadcast — the customer table "

@@ -197,7 +197,8 @@ def main() -> int:
                      "tpch_q14_promo", "customer_running_revenue",
                      "tpch_q18_large_orders", "events_day_pivot",
                      "revenue_rollup", "dormant_customers",
-                     "order_vs_customer_avg"]:
+                     "order_vs_customer_avg",
+                     "embedding_component_stats"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

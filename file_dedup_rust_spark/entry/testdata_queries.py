@@ -8932,6 +8932,62 @@ ORDER BY o_orderkey
 """
 
 
+def q_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector component statistics via HIGHER-ORDER array
+    functions — the vector-column API surface with zero Python:
+    `transform` (abs), `filter` (positive-component census),
+    `array_max` / `array_position` (dominant coordinate), and the
+    `aggregate` fold (squared norm) all run as JVM codegen
+    expressions over the array<float> column.  Per row: positive
+    count, dominant |component| and its 1-based index, squared norm.
+
+    Engine-exactness: every float op here is PER-ROW and the fold is
+    a SEQUENTIAL left-to-right accumulation in both engines (probed
+    bit-identical), so no cross-row float aggregation order exists to
+    diverge; ties in the dominant coordinate resolve to the first
+    index in both engines.  At 100 TB this is the narrow projection
+    shape — no shuffle, no Arrow hop, fused into the scan."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.size(F.filter("embedding", lambda x: x > 0))
+            .cast("int")
+            .alias("pos_n"),
+            F.round(F.array_max(a), 4).alias("max_abs"),
+            F.array_position(a, F.array_max(a)).cast("long").alias("arg_max"),
+            F.round(sq, 4).alias("sq_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_EMBEDDING_COMPONENT_STATS = """
+WITH t AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> abs(CAST(x AS DOUBLE))) AS a,
+         len(list_filter(embedding, x -> x > 0)) AS pos_n,
+         list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+  FROM embeddings
+)
+SELECT vec_id, label,
+       CAST(pos_n AS INT) AS pos_n,
+       round(list_max(a), 4) AS max_abs,
+       CAST(list_indexof(a, list_max(a)) AS BIGINT) AS arg_max,
+       round(sq, 4) AS sq_norm
+FROM t
+ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9070,6 +9126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_rollup": q_revenue_rollup,
     "dormant_customers": q_dormant_customers,
     "order_vs_customer_avg": q_order_vs_customer_avg,
+    "embedding_component_stats": q_embedding_component_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -9212,4 +9269,5 @@ ORACLES: dict[str, str] = {
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "dormant_customers": SQL_DORMANT_CUSTOMERS,
     "order_vs_customer_avg": SQL_ORDER_VS_CUSTOMER_AVG,
+    "embedding_component_stats": SQL_EMBEDDING_COMPONENT_STATS,
 }

@@ -219,3 +219,20 @@ def test_order_vs_customer_avg_predicate_exact(spark):
     assert {r["o_orderkey"] for r in rows} == want
     singles = set(g[g["count"] == 1].index)
     assert all(r["o_custkey"] not in singles for r in rows)
+
+
+def test_embedding_component_stats_vs_numpy(spark):
+    """HOF outputs match a numpy brute force per row."""
+    import numpy as np
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    rows = Q.QUERIES["embedding_component_stats"](spark, SF).collect()
+    byid = {r["vec_id"]: r for r in rows}
+    assert len(byid) == len(emb)
+    for _, e in emb.head(100).iterrows():
+        v = np.asarray(e["embedding"], dtype=np.float64)
+        r = byid[e["vec_id"]]
+        assert r["pos_n"] == int((v > 0).sum())
+        assert r["arg_max"] == int(np.argmax(np.abs(v))) + 1
+        assert abs(r["max_abs"] - round(float(np.max(np.abs(v))), 4)) < 1e-9
+        assert abs(r["sq_norm"] - 1.0) < 0.01  # unit-normalized corpus

@@ -799,6 +799,17 @@ def main() -> int:
     ))
 
     sections.append((
+        "embedding_component_stats (higher-order array functions: "
+        "transform/filter/aggregate/array_max as JVM codegen over "
+        "array<float> — zero Python, zero Arrow hop, no shuffle; "
+        "the narrow projection fused into the scan)",
+        plan_text(Q.q_embedding_component_stats(spark, args.sf_dir)),
+        ["transform", "aggregate", "ReadSchema",
+         r"(?s)\A(?!.*(ArrowEvalPython|MapInPandas|BatchEvalPython"
+         r"|Exchange.*hashpartitioning))"],
+    ))
+
+    sections.append((
         "order_vs_customer_avg (decorrelated scalar subquery: ONE "
         "window over o_custkey replaces a per-row correlated "
         "subquery; integer-exact predicate in codegen; no join)",

@@ -198,7 +198,7 @@ def main() -> int:
                      "tpch_q18_large_orders", "events_day_pivot",
                      "revenue_rollup", "dormant_customers",
                      "order_vs_customer_avg",
-                     "embedding_component_stats"]:
+                     "embedding_component_stats", "revenue_cube"]:
             t0 = time.monotonic()
             Q.QUERIES[name](spark, sf_dir).write.mode(
                 "overwrite"

@@ -8988,6 +8988,64 @@ ORDER BY vec_id
 """
 
 
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment × order-year CUBE — rollup's complete sibling: all
+    FOUR grouping sets (detail, per-segment, per-year, grand total)
+    from one aggregation, so the per-year marginal — which ROLLUP
+    cannot produce — comes at no extra pass.  GROUPING flags separate
+    the levels; exact integer cents.
+
+    Scale shape: one Expand into 4 grouping sets feeding a single
+    map-side-combined aggregate; the fact-dim broadcast join runs
+    once; output bounded by (segments+1) × (years+1)."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    j = od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        cents.alias("cents"),
+    )
+    return (
+        j.cube("segment", "order_year")
+        .agg(
+            F.grouping("segment").cast("int").alias("g_segment"),
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            "segment",
+            "order_year",
+            "g_segment",
+            "g_year",
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("g_segment", "g_year", "segment", "order_year")
+    )
+
+
+SQL_REVENUE_CUBE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT segment, order_year,
+       CAST(GROUPING(segment) AS INT) AS g_segment,
+       CAST(GROUPING(order_year) AS INT) AS g_year,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM j
+GROUP BY CUBE(segment, order_year)
+ORDER BY g_segment, g_year, segment, order_year
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9127,6 +9185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dormant_customers": q_dormant_customers,
     "order_vs_customer_avg": q_order_vs_customer_avg,
     "embedding_component_stats": q_embedding_component_stats,
+    "revenue_cube": q_revenue_cube,
 }
 
 ORACLES: dict[str, str] = {
@@ -9270,4 +9329,5 @@ ORACLES: dict[str, str] = {
     "dormant_customers": SQL_DORMANT_CUSTOMERS,
     "order_vs_customer_avg": SQL_ORDER_VS_CUSTOMER_AVG,
     "embedding_component_stats": SQL_EMBEDDING_COMPONENT_STATS,
+    "revenue_cube": SQL_REVENUE_CUBE,
 }

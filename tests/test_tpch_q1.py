@@ -236,3 +236,17 @@ def test_embedding_component_stats_vs_numpy(spark):
         assert r["arg_max"] == int(np.argmax(np.abs(v))) + 1
         assert abs(r["max_abs"] - round(float(np.max(np.abs(v))), 4)) < 1e-9
         assert abs(r["sq_norm"] - 1.0) < 0.01  # unit-normalized corpus
+
+
+def test_cube_adds_per_year_marginal(spark):
+    """CUBE contains everything ROLLUP has plus the per-year marginal
+    rows ROLLUP cannot produce; the extra level reconciles too."""
+    cube = Q.QUERIES["revenue_cube"](spark, SF).collect()
+    roll = Q.QUERIES["revenue_rollup"](spark, SF).collect()
+    key = lambda r: (r["segment"], r["order_year"], r["g_segment"], r["g_year"])
+    cset, rset = {key(r) for r in cube}, {key(r) for r in roll}
+    assert rset < cset
+    per_year = [r for r in cube if (r["g_segment"], r["g_year"]) == (1, 0)]
+    assert per_year and all(k not in rset for k in map(key, per_year))
+    grand = [r for r in cube if (r["g_segment"], r["g_year"]) == (1, 1)][0]
+    assert sum(r["revenue_cents"] for r in per_year) == grand["revenue_cents"]

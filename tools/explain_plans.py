@@ -799,6 +799,15 @@ def main() -> int:
     ))
 
     sections.append((
+        "revenue_cube (all four grouping sets from ONE Expand + one "
+        "map-side-combined aggregate; the per-year marginal rollup "
+        "cannot produce comes at no extra pass)",
+        plan_text(Q.q_revenue_cube(spark, args.sf_dir)),
+        ["Expand", "HashAggregate", "partial_count",
+         "BroadcastHashJoin", r"(?s)\A(?!.*SortMergeJoin)"],
+    ))
+
+    sections.append((
         "embedding_component_stats (higher-order array functions: "
         "transform/filter/aggregate/array_max as JVM codegen over "
         "array<float> — zero Python, zero Arrow hop, no shuffle; "

@@ -128,12 +128,24 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     lists for word-3-grams are short so no cap needed here — the
     capped variant is operators.candidates for LSH keys), partial-agg
     count, then two broadcast-ready joins to attach set sizes.
+
+    Gram identities cross the posting shuffle as 8-byte xxhash64
+    values, never strings (round 6 — the allpairs.py / dup_spans.py
+    engine-wide convention; p(collision) ~ n²/2⁶⁴ and the DuckDB
+    oracle would surface one as a hash mismatch).
     """
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("ia"), "g")
-    b = sh.select(F.col("doc_id").alias("ib"), "g")
+    hashed = sh.select("doc_id", F.xxhash64("g").alias("gh"))
+    sizes = hashed.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = hashed.select(F.col("doc_id").alias("ia"), "gh")
+    b = hashed.select(F.col("doc_id").alias("ib"), "gh")
+    # SHUFFLE_HASH pins the posting join's physical shape: without the
+    # barrier the former .distinct() created, Catalyst broadcast the
+    # whole exploded gram table as the build side (measured +40% at
+    # sf0.1, and a scale hazard at any larger sf) — the posting join
+    # must shuffle both sides by the gram key, where the two identical
+    # exchanges also collapse into one via ReuseExchange.
     inter = (
-        a.join(b, "g")
+        a.hint("SHUFFLE_HASH").join(b, "gh")
         .filter(F.col("ia") < F.col("ib"))
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("c"))
@@ -596,12 +608,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = candidate_pairs(posting, cfg.band_cap).select(
         F.col("a").alias("ia"), F.col("b").alias("ib")
     )
-    # exact-Jaccard verification restricted to candidates
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a_sh = sh.select(F.col("doc_id").alias("ia"), "g")
-    b_sh = sh.select(F.col("doc_id").alias("ib"), "g")
+    # exact-Jaccard verification restricted to candidates; gram
+    # identities cross the verify joins as 8-byte xxhash64 values
+    # (engine-wide convention — see jaccard_pairs)
+    hashed = sh.select("doc_id", F.xxhash64("g").alias("gh"))
+    sizes = hashed.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = hashed.select(F.col("doc_id").alias("ia"), "gh")
+    b_sh = hashed.select(F.col("doc_id").alias("ib"), "gh")
     inter = (
-        cand.join(a_sh, "ia").join(b_sh, ["ib", "g"])
+        cand.join(a_sh, "ia").join(b_sh, ["ib", "gh"])
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("c"))
     )
@@ -748,15 +763,21 @@ def q_tier_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment operator (operators/candidates.py, containment.py)."""
     c = corpus_tiered(spark, sf_dir)
     w = Window.partitionBy(F.md5("t"))
-    lbl = c.withColumn("rep", F.min("doc_id").over(w))
+    # lbl feeds three subtrees (tier-1 flags, the rep shingle join, and
+    # chars below); one eager materialization replaces three recomputes
+    # of the corpus union + md5 window
+    lbl = c.withColumn("rep", F.min("doc_id").over(w)).localCheckpoint(
+        eager=True
+    )
     t1 = lbl.filter(F.col("doc_id") != F.col("rep")).select("doc_id")
     reps = lbl.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "t")
 
-    sh = shingles(reps)
+    sh = shingles(reps).select("doc_id", F.xxhash64("g").alias("gh"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
-        sh.select(F.col("doc_id").alias("ia"), "g")
-        .join(sh.select(F.col("doc_id").alias("ib"), "g"), "g")
+        sh.select(F.col("doc_id").alias("ia"), "gh")
+        .hint("SHUFFLE_HASH")
+        .join(sh.select(F.col("doc_id").alias("ib"), "gh"), "gh")
         .filter(F.col("ia") < F.col("ib"))
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("c"))
@@ -772,7 +793,7 @@ def q_tier_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jac"),
             F.round(F.col("c") / F.least("na", "nb"), 4).alias("containment"),
         )
-    )
+    ).localCheckpoint(eager=True)  # read twice: jaccard + containment tiers
     t2 = scored.filter(F.col("jac") >= JACCARD_T).select(
         F.col("ib").alias("doc_id")
     ).distinct()
@@ -785,7 +806,8 @@ def q_tier_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(t3.withColumn("tier", F.lit(3)))
     )
     assigned = flags.groupBy("doc_id").agg(F.min("tier").alias("tier"))
-    chars = c.select("doc_id", F.length("t").alias("ch"))
+    # same (doc_id, t) set as `c`, read from the lbl checkpoint
+    chars = lbl.select("doc_id", F.length("t").alias("ch"))
     return (
         assigned.join(chars, "doc_id")
         .groupBy("tier")
@@ -872,7 +894,17 @@ ORDER BY tier
 # ---------------------------------------------------------------------------
 
 def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exact-hash star edges (corpus_exact) ∪ Jaccard>=0.8 edges (docs)."""
+    """exact-hash star edges (corpus_exact) ∪ Jaccard>=0.8 edges (docs).
+
+    Eagerly localCheckpoint-ed (round 6): this is the query suite's
+    most-shared expensive subplan — the dup-graph family (CC,
+    triangles, PageRank, eccentricity, BFS spread, repair) references
+    the edge set 3-6 times per query, and without materialization
+    Catalyst re-plans the whole shingle self-join per reference
+    (measured: node_triangles' plan carried 446 Exchange nodes; with
+    the checkpoint it is a handful).  The checkpoint runs inside the
+    timed query body, so the bench still pays the derivation — exactly
+    once, like a real job would."""
     c = corpus_exact(spark, sf_dir).select("doc_id", F.md5("t").alias("h"))
     w = Window.partitionBy("h")
     exact = (
@@ -887,7 +919,7 @@ def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ia").alias("a"), F.col("ib").alias("b"),
         F.col("jac").alias("sim"), F.lit("jaccard").alias("kind"),
     )
-    return exact.unionByName(jac)
+    return exact.unionByName(jac).localCheckpoint(eager=True)
 
 
 SQL_DOC_EDGES = f"""
@@ -4861,12 +4893,15 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalizes).  Word-3-gram posting lists are short on this corpus;
     the capped/salted variant (operators.candidates) is the 100-TB
     path, same as the Jaccard tier."""
-    sh = shingles(corpus_near(spark, sf_dir))
+    sh = shingles(corpus_near(spark, sf_dir)).select(
+        "doc_id", F.xxhash64("g").alias("gh")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("ia"), "g")
-    b = sh.select(F.col("doc_id").alias("ib"), "g")
+    a = sh.select(F.col("doc_id").alias("ia"), "gh")
+    b = sh.select(F.col("doc_id").alias("ib"), "gh")
+    # 8-byte gram keys + pinned shuffle join (see jaccard_pairs)
     inter = (
-        a.join(b, "g")
+        a.hint("SHUFFLE_HASH").join(b, "gh")
         .filter(F.col("ia") != F.col("ib"))
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("c"))
@@ -5219,19 +5254,30 @@ def q_paraphrase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles keep jac = 0.0 (left join + coalesce); degenerate
     empty-text pairs (no shingles on either side) are treated as
     lexically identical and excluded."""
-    sem = _neardup_cosine_pairs(spark, sf_dir)   # (ia, ib, sim)
+    # the semantic pair table is read by the candidate-id semi-join,
+    # the intersection join, and the final output join — materialize
+    # the (expensive) cosine tier once
+    sem = _neardup_cosine_pairs(spark, sf_dir).localCheckpoint(
+        eager=True
+    )   # (ia, ib, sim)
     sh = shingles(docs_corpus(spark, sf_dir))
     cand_ids = (
         sem.select(F.col("ia").alias("doc_id"))
         .union(sem.select(F.col("ib").alias("doc_id")))
         .distinct()
     )
-    shc = sh.join(cand_ids, "doc_id", "left_semi")
+    # candidate-pruned gram table feeds sizes + both verify sides;
+    # grams cross as 8-byte xxhash64 values (engine-wide convention)
+    shc = (
+        sh.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+        .localCheckpoint(eager=True)
+    )
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sem.select("ia", "ib")
-        .join(shc.select(F.col("doc_id").alias("ia"), "g"), "ia")
-        .join(shc.select(F.col("doc_id").alias("ib"), "g"), ["ib", "g"])
+        .join(shc.select(F.col("doc_id").alias("ia"), "gh"), "ia")
+        .join(shc.select(F.col("doc_id").alias("ib"), "gh"), ["ib", "gh"])
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("c"))
     )
@@ -5939,7 +5985,9 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same result set, sub-quadratic), with the loosest cutoff bounding
     the band config."""
     sh = shingles(docs_corpus(spark, sf_dir))
-    pairs = jaccard_pairs(sh, 0.3)
+    # the pair table is read by BOTH the pair count and the flagged-doc
+    # count; materialize the posting join once (it is the whole cost)
+    pairs = jaccard_pairs(sh, 0.3).localCheckpoint(eager=True)
     grid = F.explode(
         F.array(*[F.lit(t / 10.0) for t in range(3, 10)])
     ).alias("threshold")
@@ -5993,11 +6041,16 @@ def q_snm_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = docs_corpus(spark, sf_dir)
     cand = snm_candidates(corpus)
-    sh = shingles(corpus)
+    # sh feeds three subtrees with DIFFERENT join keys (sizes by
+    # doc_id, verify sides by ia / (ib, gh)) — no exchange reuse
+    # applies, so materialize the 16-byte hashed gram table once
+    sh = shingles(corpus).select(
+        "doc_id", F.xxhash64("g").alias("gh")
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("ia"), "g"), "ia")
-        .join(sh.select(F.col("doc_id").alias("ib"), "g"), ["ib", "g"])
+        cand.join(sh.select(F.col("doc_id").alias("ia"), "gh"), "ia")
+        .join(sh.select(F.col("doc_id").alias("ib"), "gh"), ["ib", "gh"])
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("c"))
     )
@@ -6729,7 +6782,9 @@ def q_cluster_delete_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ia").alias("a"), F.col("ib").alias("b"),
         F.col("jac").alias("sim"), F.lit("jaccard").alias("kind"),
     )
-    edges = exact.unionByName(jac)
+    # edges feed the CC solve AND the repair pass — materialize once
+    # (CC's internal persist is released before repair runs)
+    edges = exact.unionByName(jac).localCheckpoint(eager=True)
     verts = corpus.select(F.col("doc_id").alias("clip_id"))
     assignments = connected_components(edges.select("a", "b"), verts)
     removed = verts.filter(F.col("clip_id") % 10 == 7)
@@ -6811,7 +6866,11 @@ def q_node_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         undirected_edges,
     )
 
-    ue = undirected_edges(_doc_edges(spark, sf_dir).select("a", "b"))
+    # ue feeds the degree aggregation and both triangle joins —
+    # materialize the (tiny) canonical edge set once
+    ue = undirected_edges(
+        _doc_edges(spark, sf_dir).select("a", "b")
+    ).localCheckpoint(eager=True)
     nt = node_triangle_counts(ue).filter(F.col("degree") >= 2)
     return nt.select(
         F.col("id").alias("doc_id"),
@@ -6868,8 +6927,10 @@ def q_triangle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         undirected_edges,
     )
 
-    ue = undirected_edges(_doc_edges(spark, sf_dir).select("a", "b"))
-    deg = degrees(ue)
+    ue = undirected_edges(
+        _doc_edges(spark, sf_dir).select("a", "b")
+    ).localCheckpoint(eager=True)
+    deg = degrees(ue).localCheckpoint(eager=True)
     nodes_wedges = deg.agg(
         F.count("*").alias("n_nodes"),
         (
@@ -7160,6 +7221,9 @@ def q_contam_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus, ev = corpus_contam_spread(spark, sf_dir)
+    # the planted corpus (a documents self-join) feeds the Jaccard
+    # edge derivation AND the 8-gram seed scan — materialize it once
+    corpus = corpus.localCheckpoint(eager=True)
     edges = jaccard_pairs(shingles(corpus), JACCARD_T).select(
         F.col("ia").alias("a"), F.col("ib").alias("b")
     )
@@ -7771,13 +7835,27 @@ def q_cluster_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     single k-round sweep over the shared edge set — never one BFS per
     cluster.  The oracle recomputes CC via the recursive min-label
     CTE and unrolls the same k relaxation rounds."""
+    from file_dedup_rust_spark.operators.connected_components import (
+        connected_components,
+    )
     from file_dedup_rust_spark.operators.graph import (
         min_hop_distance,
         undirected_edges,
     )
 
-    cc = q_cc_clusters(spark, sf_dir)
+    # one edge derivation feeds BOTH the CC labels and the BFS (the
+    # former q_cc_clusters call re-derived _doc_edges a second time);
+    # the cc label table is read by reps + the final join, so it is
+    # materialized once too
     edges = _doc_edges(spark, sf_dir).select("a", "b")
+    verts = corpus_exact(spark, sf_dir).select(
+        F.col("doc_id").alias("clip_id")
+    )
+    cc = (
+        connected_components(edges, verts)
+        .select(F.col("clip_id").alias("doc_id"), "cluster_id")
+        .localCheckpoint(eager=True)
+    )
     reps = cc.select(F.col("cluster_id").alias("id")).distinct()
     dist = min_hop_distance(undirected_edges(edges), reps, ECC_HOPS)
     joined = cc.join(
@@ -8073,21 +8151,26 @@ def q_tier_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % VENN_COPY_MOD == VENN_COPY_RES)
         & (F.size(F.split("t", " ")) >= 3)
     ).select((F.col("doc_id") + VENN_COPY_OFFSET).alias("doc_id"), "t")
-    corpus = base.unionByName(padded).unionByName(copies)
+    # the planted corpus feeds the set-Jaccard path, the bag-count
+    # path, and the fingerprint attach — materialize once
+    corpus = base.unionByName(padded).unionByName(copies).localCheckpoint(
+        eager=True
+    )
     sj = jaccard_pairs(shingles(corpus), JACCARD_T).select(
         "ia", "ib", F.lit(1).alias("in_set")
     )
     from file_dedup_rust_spark.operators.decontaminate import word_ngrams
 
     grams = word_ngrams(corpus.select("doc_id", "t"), 3, distinct=False)
+    # cnt feeds totals + both bag-posting sides (different join keys)
     cnt = grams.groupBy("doc_id", F.xxhash64("g").alias("h")).agg(
         F.count("*").alias("cn")
-    )
+    ).localCheckpoint(eager=True)
     tot = cnt.groupBy("doc_id").agg(F.sum("cn").alias("n"))
     ba = cnt.select(F.col("doc_id").alias("ia"), "h", F.col("cn").alias("ca"))
     bb = cnt.select(F.col("doc_id").alias("ib"), "h", F.col("cn").alias("cb"))
     binter = (
-        ba.join(bb, "h")
+        ba.hint("SHUFFLE_HASH").join(bb, "h")
         .filter(F.col("ia") < F.col("ib"))
         .groupBy("ia", "ib")
         .agg(F.sum(F.least("ca", "cb")).alias("m"))

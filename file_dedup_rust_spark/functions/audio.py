@@ -500,9 +500,14 @@ def framed_power(pcm: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarray:
     rms = float(np.sqrt(np.mean(np.square(x, dtype=np.float64))))
     if rms > 1e-8:
         x = x / np.float32(rms)
-    n_frames = 1 + (x.size - cfg.n_fft) // cfg.hop
-    idx = np.arange(cfg.n_fft)[None, :] + cfg.hop * np.arange(n_frames)[:, None]
-    frames = x[idx] * _hann(cfg.n_fft)[None, :]
+    # strided frame view (no index-matrix allocation, no gather copy):
+    # sliding_window_view(x, n_fft)[::hop] selects exactly the frames
+    # the former `x[arange(n_fft) + hop*arange(n_frames)]` gather built
+    # — the windowing product below is the only per-frame copy
+    frames = (
+        np.lib.stride_tricks.sliding_window_view(x, cfg.n_fft)[:: cfg.hop]
+        * _hann(cfg.n_fft)[None, :]
+    )
     # np.fft.rfft computes in double precision and returns complex128
     # regardless of input dtype, so the float32 savings end at the
     # frame matrix (the windowing product above) — the spectrum and
@@ -511,6 +516,19 @@ def framed_power(pcm: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarray:
     # and the float64 path is the tested/oracle-pinned one.)
     spec = np.fft.rfft(frames, axis=1)  # complex128
     return spec.real**2 + spec.imag**2  # float64 (n_frames, n_fft//2+1)
+
+
+@lru_cache(maxsize=4096)
+def _seg_bounds(n_frames: int, n_segments: int) -> tuple[np.ndarray, np.ndarray]:
+    """(los, his) temporal-segment frame bounds — tiny int arrays, one
+    pair per distinct frame count, so the per-row linspace/min/max of
+    the former inline computation is paid once per length."""
+    seg_bounds = np.linspace(0, n_frames, n_segments + 1).astype(int)
+    los = np.minimum(seg_bounds[:-1], n_frames - 1)
+    his = np.minimum(np.maximum(seg_bounds[1:], los + 1), n_frames)
+    los.flags.writeable = False
+    his.flags.writeable = False
+    return los, his
 
 
 def features_from_power(mag: np.ndarray, cfg: DedupConfig) -> np.ndarray:
@@ -527,9 +545,7 @@ def features_from_power(mag: np.ndarray, cfg: DedupConfig) -> np.ndarray:
 
     # temporal pooling into n_segments equal chunks (vectorized via a
     # frame-axis prefix sum; degenerate segments clamp like before)
-    seg_bounds = np.linspace(0, n_frames, cfg.n_segments + 1).astype(int)
-    los = np.minimum(seg_bounds[:-1], n_frames - 1)
-    his = np.minimum(np.maximum(seg_bounds[1:], los + 1), n_frames)
+    los, his = _seg_bounds(n_frames, cfg.n_segments)
     csum = np.zeros((n_frames + 1, band_e.shape[1]), dtype=np.float64)
     np.cumsum(band_e, axis=0, out=csum[1:])
     feats = (csum[his] - csum[los]) / (his - los)[:, None]
@@ -554,9 +570,14 @@ def simhash_planes(cfg: DedupConfig) -> np.ndarray:
     """
     n_feat = cfg.n_segments * (cfg.n_bands - 1)
     raw = rng_u64(cfg.simhash_seed, cfg.simhash_bits * n_feat * 4)
-    u = (raw.astype(np.float64) / 2**64) - 0.5
+    # divide by the float64 value of 2^64 (exactly representable).  A
+    # bare `/ 2**64` would pass a Python int ABOVE uint64 max, which
+    # numpy promotes to an OBJECT array — every downstream projection
+    # then runs Python-object arithmetic (~25x slower, measured round
+    # 6).  Same quotients bit-for-bit; dtype float64.
+    u = (raw.astype(np.float64) / np.float64(2**64)) - 0.5
     g = u.reshape(cfg.simhash_bits, n_feat, 4).sum(axis=2)
-    return g
+    return np.ascontiguousarray(g, dtype=np.float64)
 
 
 def simhash64(features: np.ndarray, planes: np.ndarray) -> int:
@@ -619,6 +640,41 @@ def simhash_band_keys(sim: int, cfg: DedupConfig) -> np.ndarray:
     return acc.astype(np.int64)
 
 
+@lru_cache(maxsize=16)
+def _band_key_acc0(n_combos: int, seed: int) -> np.ndarray:
+    from file_dedup_rust_spark.functions.hashing import splitmix64
+
+    acc = splitmix64(
+        np.arange(n_combos, dtype=np.uint64) ^ np.uint64(seed)
+    )
+    acc.flags.writeable = False
+    return acc
+
+
+def simhash_band_keys_batch(sims: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """Vectorized simhash_band_keys across rows: (n,) int64 simhashes
+    -> (n, C(sim_bands, arity)) int64 keys, each row bit-identical to
+    simhash_band_keys(sim, cfg).  One splitmix64 chain over an
+    (n, n_combos) matrix instead of `arity + 1` per-row calls — the
+    per-row path measured ~16% of the whole signature batch (round 6).
+    """
+    from file_dedup_rust_spark.functions.hashing import splitmix64
+
+    sims = np.asarray(sims, dtype=np.int64)
+    u = sims.view(np.uint64)
+    bb = cfg.sim_band_bits
+    mask = np.uint64((1 << bb) - 1)
+    shifts = np.arange(cfg.sim_bands, dtype=np.uint64) * np.uint64(bb)
+    vals = (u[:, None] >> shifts[None, :]) & mask          # (n, bands)
+    combos = _band_combos(cfg.sim_bands, cfg.sim_key_arity)
+    acc0 = _band_key_acc0(combos.shape[0], cfg.simhash_seed)
+    acc = np.broadcast_to(acc0, (u.size, acc0.size))
+    with np.errstate(over="ignore"):
+        for c in range(combos.shape[1]):
+            acc = splitmix64(acc ^ vals[:, combos[:, c]])
+    return acc.astype(np.int64)
+
+
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
@@ -664,9 +720,10 @@ def frame_fingerprints(
     x = np.ascontiguousarray(pcm[:max_samples], dtype=np.float32)
     if x.size < cfg.n_fft:
         return np.empty(0, dtype=np.int64)
-    n_frames = 1 + (x.size - cfg.n_fft) // cfg.hop
-    idx = np.arange(cfg.n_fft)[None, :] + cfg.hop * np.arange(n_frames)[:, None]
-    frames = x[idx] * _hann(cfg.n_fft)[None, :]
+    frames = (
+        np.lib.stride_tricks.sliding_window_view(x, cfg.n_fft)[:: cfg.hop]
+        * _hann(cfg.n_fft)[None, :]
+    )
     spec = np.fft.rfft(frames, axis=1)
     mag = spec.real**2 + spec.imag**2
     edges = _fp_band_edges(mag.shape[1], n_bands)

@@ -156,7 +156,6 @@ def signature_batch(
                 else None
             )
             out["simhash"].append(sim)
-            out["sim_keys"].append(A.simhash_band_keys(sim, cfg).tolist())
             out["decode_ok"].append(True)
             out["n_samples"].append(n_samples)
             out["pcm_rms"].append(pcm_rms)
@@ -192,7 +191,6 @@ def signature_batch(
                 out["frame_fps"].append(frame_fps)
         except Exception:
             out["simhash"].append(None)
-            out["sim_keys"].append([])
             out["decode_ok"].append(False)
             out["n_samples"].append(0)
             out["pcm_rms"].append(0.0)
@@ -204,6 +202,20 @@ def signature_batch(
             out["trim_sha"].append("")
             if with_frames:
                 out["frame_fps"].append(None)
+
+    # ---- audio LSH keys, vectorized ACROSS rows (bit-identical to the
+    # per-row simhash_band_keys — quarantine rows keep their empty
+    # key list) ----
+    sims = out["simhash"]
+    ok_idx = [i for i, s in enumerate(sims) if s is not None]
+    keys: list[list[int]] = [[]] * len(sims)
+    if ok_idx:
+        kb = A.simhash_band_keys_batch(
+            np.array([sims[i] for i in ok_idx], dtype=np.int64), cfg
+        )
+        for j, i in enumerate(ok_idx):
+            keys[i] = kb[j].tolist()
+    out["sim_keys"] = keys
 
     # ---- transcript: minhash + bands + winnow fingerprints (batch) ----
     norms = [TX.normalize_transcript(t) for t in pdf["transcript"]]

@@ -70,7 +70,12 @@ def allpairs_jaccard_pairs(
     order inconsistent between docs (p ~ n²/2⁶⁴, the documented
     engine-wide convention, and the oracle would surface it as a
     hash mismatch)."""
-    hashed = sh.select("doc_id", F.xxhash64("g").alias("gh"))
+    # hashed feeds five subtrees (sizes, df census, rank, both verify
+    # sides) with different join keys — materialize the 16-byte rows
+    # once instead of re-deriving the gram projection per reference
+    hashed = sh.select("doc_id", F.xxhash64("g").alias("gh")).localCheckpoint(
+        eager=True
+    )
     sizes = hashed.groupBy("doc_id").agg(F.count("*").alias("n"))
     df = hashed.groupBy("gh").agg(F.count("*").alias("df"))
 

@@ -39,7 +39,14 @@ def word_ngrams(
 
     Generalizes entry.testdata_queries.shingles (n=3) to any n; the
     sliding window is a JVM `transform(sequence(...))` expression —
-    no Python in the gram path."""
+    no Python in the gram path.
+
+    Scale note (round 6): `doc_id` is a key (one row per doc — true of
+    every caller), so per-doc distinctness is computed with
+    `array_distinct` INSIDE the row before the explode instead of a
+    post-explode `.distinct()` — that removes a full shuffle of every
+    gram occurrence from the single most-shared subplan in the query
+    suite (the Jaccard/containment/decontam family all start here)."""
     lanes = ", ".join(f"w[i+{j}-1]" for j in range(n))
     toks = docs_with_t.select("doc_id", F.split("t", " ").alias("w"))
     grams = F.when(
@@ -49,8 +56,9 @@ def word_ngrams(
             f" i -> concat_ws(' ', {lanes}))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = toks.select("doc_id", F.explode(grams).alias("g"))
-    return out.distinct() if distinct else out
+    if distinct:
+        grams = F.array_distinct(grams)
+    return toks.select("doc_id", F.explode(grams).alias("g"))
 
 
 def contamination_hits(

@@ -84,6 +84,11 @@ def triangles(uedges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("ddst"),
     )
+    # the oriented edge list feeds three subtrees (both wedge sides and
+    # the closing join); materialize it once so the degree join behind
+    # it is not re-planned per reference (round 6 — the un-materialized
+    # plan re-derived the whole upstream tier derivation 3x)
+    oriented = oriented.localCheckpoint(eager=True)
     o1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
     o2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
     wedges = o1.join(o2, "src").filter(
@@ -208,7 +213,11 @@ def node_triangle_counts(uedges: DataFrame) -> DataFrame:
     """(id, degree, triangles) for every node with degree >= 1.  Each
     triangle credits all three endpoints (explode is 3 rows per
     triangle — bounded by 3*T, not by any degree)."""
-    deg = degrees(uedges)
+    # deg is read by the orientation join AND the final left join; the
+    # (id, degree) table is tiny relative to the edge derivation, so
+    # one eager materialization beats two recomputes of the degree
+    # aggregation subtree
+    deg = degrees(uedges).localCheckpoint(eager=True)
     tri = triangles(uedges, deg)
     per = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("id"))

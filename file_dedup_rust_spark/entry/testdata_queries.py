@@ -27,6 +27,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from file_dedup_rust_spark.functions.rounding import round_dd
+
 # ---------------------------------------------------------------------------
 # shared constants (identical literals are spliced into the oracle SQL)
 # ---------------------------------------------------------------------------
@@ -158,7 +160,7 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         .select(
             "ia",
             "ib",
-            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias("jac"),
+            round_dd(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
     )
@@ -220,7 +222,7 @@ def q_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.agg(
         F.count("*").alias("total_files"),
         (F.count("*") - F.countDistinct("h")).alias("duplicates"),
-        F.round(
+        round_dd(
             (F.count("*") - F.countDistinct("h")) * 100.0 / F.count("*"), 4
         ).alias("dedup_ratio_pct"),
     )
@@ -243,7 +245,7 @@ def q_avg_cluster_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.agg(
         F.count("*").alias("n_clusters"),
         F.sum("n").alias("files_in_clusters"),
-        F.round(F.avg("n"), 4).alias("avg_cluster_size"),
+        round_dd(F.avg("n"), 4).alias("avg_cluster_size"),
     )
 
 
@@ -300,7 +302,7 @@ def q_top_events_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
             "event_type",
-            F.round("value", 4).alias("value_r"),
+            round_dd("value", 4).alias("value_r"),
         )
     )
 
@@ -323,7 +325,7 @@ def q_status_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            round_dd(F.avg("value"), 4).alias("avg_value"),
         )
     )
 
@@ -435,7 +437,7 @@ def q_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # + 0.0 folds IEEE -0.0 into +0.0: a sim that rounds to zero
         # from below would otherwise label its bucket "-0" on one
         # engine and "0" on the other (bit at sf0.1)
-        .groupBy((F.round("sim", 1) + 0.0).alias("bucket"))
+        .groupBy((round_dd("sim", 1) + 0.0).alias("bucket"))
         .agg(F.sum("n").alias("n"))
     )
 
@@ -626,7 +628,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "ia").join(sb, "ib")
         .select(
             "ia", "ib",
-            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias("jac"),
+            round_dd(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias("jac"),
         )
         .filter(F.col("jac") >= JACCARD_T)
     )
@@ -692,7 +694,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "ia").join(sb, "ib")
         .select(
             "ia", "ib",
-            F.round(F.col("c") / F.least("na", "nb"), 4).alias("containment"),
+            round_dd(F.col("c") / F.least("na", "nb"), 4).alias("containment"),
         )
         .filter(F.col("containment") >= CONTAIN_T)
     )
@@ -789,9 +791,9 @@ def q_tier_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("n").alias("nb")), "ib")
         .select(
             "ib",
-            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4)
+            round_dd(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4)
             .alias("jac"),
-            F.round(F.col("c") / F.least("na", "nb"), 4).alias("containment"),
+            round_dd(F.col("c") / F.least("na", "nb"), 4).alias("containment"),
         )
     ).localCheckpoint(eager=True)  # read twice: jaccard + containment tiers
     t2 = scored.filter(F.col("jac") >= JACCARD_T).select(
@@ -998,7 +1000,7 @@ def q_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra = (
         edges.join(lbl, "a")
         .groupBy("cluster_id")
-        .agg(F.round(F.avg("sim"), 4).alias("intra_similarity"))
+        .agg(round_dd(F.avg("sim"), 4).alias("intra_similarity"))
     )
     return sizes.join(intra, "cluster_id").select(
         "cluster_id", "size", "intra_similarity"
@@ -1089,14 +1091,14 @@ def q_cluster_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(
             F.count("*").cast("long").alias("n_edges"),
-            F.round(F.min("sim"), 4).alias("min_sim"),
+            round_dd(F.min("sim"), 4).alias("min_sim"),
         )
     )
     return sizes.join(es, "cluster_id").select(
         "cluster_id",
         "size",
         "n_edges",
-        F.round(
+        round_dd(
             F.col("n_edges") / (F.col("size") * (F.col("size") - 1) / 2), 4
         ).alias("density"),
         "min_sim",
@@ -1171,7 +1173,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
     n_tok = F.size("w")
-    score = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4)
+    score = round_dd(n_stop / F.greatest(n_tok, F.lit(1)), 4)
     return d.select(
         "doc_id",
         n_stop.alias("n_stopwords"),
@@ -1210,7 +1212,7 @@ def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.coalesce("text", F.lit(""))), " ").alias("w"),
     )
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    score = F.round(
+    score = round_dd(
         F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
         / F.greatest(F.size("w"), F.lit(1)),
         4,
@@ -1254,11 +1256,11 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tok = F.size("w")
     n_chars = F.length("t")
-    avg_tok = F.round(
+    avg_tok = round_dd(
         (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)), 4
     )
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    stop_ratio = F.round(
+    stop_ratio = round_dd(
         F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
         / F.greatest(n_tok, F.lit(1)),
         4,
@@ -1551,7 +1553,7 @@ def _events_listing_cols(df: DataFrame) -> DataFrame:
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         "event_type",
-        F.round("value", 4).alias("value_r"),
+        round_dd("value", 4).alias("value_r"),
     )
 
 
@@ -1665,7 +1667,7 @@ def q_jobs_delete_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_remaining"),
-            F.round(F.sum("value"), 2).alias("value_sum"),
+            round_dd(F.sum("value"), 2).alias("value_sum"),
         )
     )
 
@@ -1698,7 +1700,7 @@ def q_topk_neighbors_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _doc_edges(spark, sf_dir)
     return top_k_neighbors(edges, TOP_K).select(
         F.col("clip_id").alias("doc_id"), "neighbor_id",
-        F.round("sim", 4).alias("sim"), "rank",
+        round_dd("sim", 4).alias("sim"), "rank",
     )
 
 
@@ -2090,9 +2092,9 @@ def q_dedup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "nid",
-            F.round(F.col("c") / (F.col("nn") + F.col("nb") - F.col("c")), 4)
+            round_dd(F.col("c") / (F.col("nn") + F.col("nb") - F.col("c")), 4)
             .alias("jac"),
-            F.round(F.col("c") / F.least("nn", "nb"), 4).alias("cont"),
+            round_dd(F.col("c") / F.least("nn", "nb"), 4).alias("cont"),
         )
     )
     best = scored.groupBy("nid").agg(
@@ -2797,7 +2799,7 @@ def q_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     wd = clean.withColumn("w", F.split("t", " "))
     n_stop = F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
-    score = F.round(n_stop / F.greatest(F.size("w"), F.lit(1)), 4)
+    score = round_dd(n_stop / F.greatest(F.size("w"), F.lit(1)), 4)
     langs = wd.select(
         "doc_id",
         "t",
@@ -3226,7 +3228,7 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_tokens"),
-            F.round(
+            round_dd(
                 F.log(F.first("t")) - F.avg(F.log("c")), 4
             ).alias("unigram_nll"),
         )
@@ -3313,7 +3315,7 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_bigrams"),
-            F.round(F.avg(-F.log(p_interp)), 4).alias("bigram_nll"),
+            round_dd(F.avg(-F.log(p_interp)), 4).alias("bigram_nll"),
         )
     )
 
@@ -3452,7 +3454,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
-        F.round(F.size(toks) / F.greatest(n_words, F.lit(1)), 4).alias(
+        round_dd(F.size(toks) / F.greatest(n_words, F.lit(1)), 4).alias(
             "fertility"
         ),
     )
@@ -3508,7 +3510,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            F.round(
+            round_dd(
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
             ).alias("tfidf"),
         )
@@ -4065,7 +4067,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("t", " ").alias("w")
     )
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    score = F.round(
+    score = round_dd(
         F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
         / F.greatest(F.size("w"), F.lit(1)),
         4,
@@ -4167,7 +4169,7 @@ def q_mixture_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("t", " ").alias("w")
     )
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    score = F.round(
+    score = round_dd(
         F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
         / F.greatest(F.size("w"), F.lit(1)),
         4,
@@ -4396,7 +4398,7 @@ def q_edit_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta = corpus.select(F.col("doc_id").alias("ia"), F.col("t").alias("t_a"))
     tb = corpus.select(F.col("doc_id").alias("ib"), F.col("t").alias("t_b"))
     lev = F.levenshtein("t_a", "t_b")
-    edit_sim = F.round(
+    edit_sim = round_dd(
         F.lit(1.0)
         - lev
         / F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1)).cast(
@@ -4557,7 +4559,7 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ndocs.join(stats, "lang")
         .select(
             "lang", "n_docs", "n_grams", "n_uniq",
-            F.round(F.col("n_uniq") / F.col("n_grams"), 4).alias("ttr"),
+            round_dd(F.col("n_uniq") / F.col("n_grams"), 4).alias("ttr"),
         )
     )
 
@@ -4728,7 +4730,7 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         F.col("n").cast("long").alias("top_k"),
-        F.round(slope, 4).alias("zipf_slope"),
+        round_dd(slope, 4).alias("zipf_slope"),
     )
 
 
@@ -4789,7 +4791,7 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "group_size",
         "weight",
-        F.round(F.col("n_tokens") / F.col("group_size"), 4).alias("eff_tokens"),
+        round_dd(F.col("n_tokens") / F.col("group_size"), 4).alias("eff_tokens"),
     )
 
 
@@ -4911,7 +4913,7 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "ia")
         .select(
             "ia", "ib",
-            F.round(F.col("c") / F.col("na"), 4).alias("containment"),
+            round_dd(F.col("c") / F.col("na"), 4).alias("containment"),
         )
         .filter(F.col("containment") >= CONT_FRAC_T)
     )
@@ -5059,7 +5061,7 @@ def q_contam_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.count("n_gram_hits").alias("n_contaminated"),
-        F.round(
+        round_dd(
             F.count("n_gram_hits") * 100.0 / F.count("*"), 4
         ).alias("contam_pct"),
         F.coalesce(F.sum("n_gram_hits"), F.lit(0))
@@ -5138,7 +5140,7 @@ def q_dup_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n_docs",
             "n_new",
-            F.round(
+            round_dd(
                 (F.col("n_docs") - F.col("n_new")) * 100.0 / F.col("n_docs"),
                 4,
             ).alias("dup_pct"),
@@ -5287,7 +5289,7 @@ def q_paraphrase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(F.col("nb"), F.lit(0).cast("long"))
         - c0
     )
-    jac = F.round(F.when(denom > 0, c0 / denom), 4)
+    jac = round_dd(F.when(denom > 0, c0 / denom), 4)
     return (
         sem.join(inter, ["ia", "ib"], "left")
         .join(
@@ -5373,7 +5375,7 @@ def q_stale_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    sim = F.round(dot / (_nrm("va") * _nrm("vb")), 4)
+    sim = round_dd(dot / (_nrm("va") * _nrm("vb")), 4)
     return (
         lex.join(ea, "ia")
         .join(eb, "ib")
@@ -5579,7 +5581,7 @@ def q_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = exclusive_prefix_sum(
         scores.withColumn(
             "_ord",
-            F.round(F.col("dsir_logratio") * -10000, 0).cast("long"),
+            round_dd(F.col("dsir_logratio") * -10000, 0).cast("long"),
         ),
         "doc_id",
         "n_tok",
@@ -6060,7 +6062,7 @@ def q_snm_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ia",
             "ib",
-            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4)
+            round_dd(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4)
             .alias("jac"),
         )
         .filter(F.col("jac") >= JACCARD_T)
@@ -6279,7 +6281,7 @@ def q_bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ia",
             "ib",
-            F.round(
+            round_dd(
                 F.col("m") / (F.col("na") + F.col("nb") - F.col("m")), 4
             ).alias("bag_jac"),
         )
@@ -6423,7 +6425,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ia",
             "ib",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias(
+            round_dd(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias(
                 "tfidf_cos"
             ),
         )
@@ -6492,8 +6494,8 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_types",
-        F.round(h, 4).alias("entropy"),
-        F.round(
+        round_dd(h, 4).alias("entropy"),
+        round_dd(
             F.when(F.col("n_types") > 1, h / F.log("n_types")).otherwise(
                 F.lit(0.0)
             ),
@@ -6661,7 +6663,7 @@ def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             F.col("cb").alias("n_pair"),
-            F.round(
+            round_dd(
                 F.log(
                     (
                         F.col("cb").cast("double")
@@ -6876,7 +6878,7 @@ def q_node_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "degree",
         "triangles",
-        F.round(
+        round_dd(
             F.col("triangles") * 2.0
             / (F.col("degree") * (F.col("degree") - F.lit(1))),
             4,
@@ -6947,7 +6949,7 @@ def q_triangle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            F.when(F.col("n_wedges") > 0, F.round(
+            F.when(F.col("n_wedges") > 0, round_dd(
                 F.col("n_triangles") * 3.0 / F.col("n_wedges"), 6
             )).otherwise(F.lit(0.0)).alias("global_cc"),
         )
@@ -7006,7 +7008,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("id").alias("doc_id"),
         "degree",
-        F.round("rank", 6).alias("pagerank"),
+        round_dd("rank", 6).alias("pagerank"),
     ).orderBy("doc_id")
 
 
@@ -7094,12 +7096,12 @@ def q_clustering_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pairs_a").alias("pairs_lex"),
         F.col("pairs_b").alias("pairs_sem"),
         "pairs_both",
-        F.round((F.col("pairs_both") + neither) / total, 6).alias("rand_index"),
-        F.round(
+        round_dd((F.col("pairs_both") + neither) / total, 6).alias("rand_index"),
+        round_dd(
             F.when(F.col("pairs_a") > 0, F.col("pairs_both") / F.col("pairs_a")),
             6,
         ).alias("p_sem_given_lex"),
-        F.round(
+        round_dd(
             F.when(F.col("pairs_b") > 0, F.col("pairs_both") / F.col("pairs_b")),
             6,
         ).alias("p_lex_given_sem"),
@@ -7242,7 +7244,7 @@ def q_contam_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("id").alias("doc_id"),
         "hop_dist",
-        F.round(F.pow(F.lit(0.5), F.col("hop_dist")), 4).alias("risk"),
+        round_dd(F.pow(F.lit(0.5), F.col("hop_dist")), 4).alias("risk"),
     ).orderBy("doc_id")
 
 
@@ -7426,7 +7428,7 @@ def q_error_blast_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = hits.groupBy("err_event_id").agg(
         F.count("*").alias("n"),
         F.sum((F.col("p_type") == "purchase").cast("long")).alias("np"),
-        F.sum(F.round(F.col("p_value") * 100).cast("long")).alias("vc"),
+        F.sum(round_dd(F.col("p_value") * 100).cast("long")).alias("vc"),
     )
     return (
         errors.join(agg, "err_event_id", "left")
@@ -8181,7 +8183,7 @@ def q_tier_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tot.select(F.col("doc_id").alias("ib"),
                          F.col("n").alias("nb")), "ib")
         .filter(
-            F.round(F.col("m") / (F.col("na") + F.col("nb") - F.col("m")), 4)
+            round_dd(F.col("m") / (F.col("na") + F.col("nb") - F.col("m")), 4)
             >= JACCARD_T
         )
         .select("ia", "ib", F.lit(1).alias("in_bag"))
@@ -8380,10 +8382,10 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_shipdate") <= F.lit(TPCH_Q1_CUTOFF).cast("timestamp")
     )
-    qty = F.round(F.col("l_quantity")).cast("long")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    dpct = F.round(F.col("l_discount") * 100).cast("long")
-    tpct = F.round(F.col("l_tax") * 100).cast("long")
+    qty = round_dd(F.col("l_quantity")).cast("long")
+    cents = round_dd(F.col("l_extendedprice") * 100).cast("long")
+    dpct = round_dd(F.col("l_discount") * 100).cast("long")
+    tpct = round_dd(F.col("l_tax") * 100).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -8404,11 +8406,11 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_base_cents",
             "sum_disc_e4",
             "sum_charge_e6",
-            F.round(F.col("sum_qty") / F.col("n_rows"), 4).alias("avg_qty"),
-            F.round(
+            round_dd(F.col("sum_qty") / F.col("n_rows"), 4).alias("avg_qty"),
+            round_dd(
                 F.col("sum_base_cents") / (F.col("n_rows") * 100), 4
             ).alias("avg_price"),
-            F.round(
+            round_dd(
                 F.col("sum_disc_pct") / (F.col("n_rows") * 100), 4
             ).alias("avg_disc"),
         )
@@ -8478,8 +8480,8 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_shipdate") > F.lit(TPCH_Q3_DATE).cast("timestamp")
     )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    dpct = F.round(F.col("l_discount") * 100).cast("long")
+    cents = round_dd(F.col("l_extendedprice") * 100).cast("long")
+    dpct = round_dd(F.col("l_discount") * 100).cast("long")
     return (
         li.join(
             F.broadcast(orders.join(F.broadcast(cust),
@@ -8561,8 +8563,8 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_nationkey"
     )
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    dpct = F.round(F.col("l_discount") * 100).cast("long")
+    cents = round_dd(F.col("l_extendedprice") * 100).cast("long")
+    dpct = round_dd(F.col("l_discount") * 100).cast("long")
     return (
         li.join(
             F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
@@ -8618,8 +8620,8 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit(TPCH_Q14_FROM).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(TPCH_Q14_TO).cast("timestamp"))
     )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    dpct = F.round(F.col("l_discount") * 100).cast("long")
+    cents = round_dd(F.col("l_extendedprice") * 100).cast("long")
+    dpct = round_dd(F.col("l_discount") * 100).cast("long")
     rev = cents * (F.lit(100) - dpct)
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -8632,7 +8634,7 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "promo_rev_e4",
             "total_rev_e4",
-            F.round(
+            round_dd(
                 F.col("promo_rev_e4") * 100.0 / F.col("total_rev_e4"), 4
             ).alias("promo_pct"),
         )
@@ -8670,7 +8672,7 @@ def q_customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate, so the running sums are bit-identical across engines
     at any prefix length."""
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = round_dd(F.col("o_totalprice") * 100).cast("long")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -8731,7 +8733,7 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
+        .agg(F.sum(round_dd("l_quantity").cast("long")).alias("total_qty"))
         .filter(F.col("total_qty") > TPCH_Q18_MIN_QTY)
     )
     od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -8747,7 +8749,7 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.round(F.col("o_totalprice") * 100)
+            round_dd(F.col("o_totalprice") * 100)
             .cast("long")
             .alias("total_cents"),
             "total_qty",
@@ -8841,7 +8843,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = round_dd(F.col("o_totalprice") * 100).cast("long")
     j = od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         F.year("o_orderdate").cast("long").alias("order_year"),
@@ -8971,7 +8973,7 @@ def q_order_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), predicate and deviation inside codegen, no join at all
     (negative-pinned) — the decorrelation IS the optimization."""
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = round_dd(F.col("o_totalprice") * 100).cast("long")
     w = Window.partitionBy("o_custkey")
     base = od.select(
         "o_orderkey", "o_custkey", cents.alias("order_cents")
@@ -8988,7 +8990,7 @@ def q_order_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_cents",
             F.col("n").cast("long").alias("n_orders"),
             "sum_cents",
-            F.round(
+            round_dd(
                 F.col("order_cents") * F.col("n") / F.col("sum_cents"), 4
             ).alias("x_of_avg"),
         )
@@ -9044,9 +9046,9 @@ def q_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter("embedding", lambda x: x > 0))
             .cast("int")
             .alias("pos_n"),
-            F.round(F.array_max(a), 4).alias("max_abs"),
+            round_dd(F.array_max(a), 4).alias("max_abs"),
             F.array_position(a, F.array_max(a)).cast("long").alias("arg_max"),
-            F.round(sq, 4).alias("sq_norm"),
+            round_dd(sq, 4).alias("sq_norm"),
         )
         .orderBy("vec_id")
     )
@@ -9085,7 +9087,7 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = round_dd(F.col("o_totalprice") * 100).cast("long")
     j = od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         F.year("o_orderdate").cast("long").alias("order_year"),

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from file_dedup_rust_spark.functions.rounding import round_dd
+
 KNUTH_MULT = 2_654_435_761  # 2^32 / phi, TAOCP vol. 3 §6.4
 _MOD = 4_294_967_296  # 2^32
 
@@ -229,9 +231,9 @@ def temperature_rates(
         stratum_col,
         "n_rows",
         "weight",
-        F.round(p, 4).alias("p"),
-        F.round(qn, 4).alias("q"),
-        F.round(rate, 4).alias("sample_rate"),
+        round_dd(p, 4).alias("p"),
+        round_dd(qn, 4).alias("q"),
+        round_dd(rate, 4).alias("sample_rate"),
     )
 
 
@@ -291,7 +293,7 @@ def unimax_allocation(
         ),
         F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("ncap"),
     )
-    alloc = F.round(
+    alloc = round_dd(
         F.when(F.col("capped"), F.col("cap")).otherwise(
             (F.col("b") - F.col("csum")) / (F.col("nl") - F.col("ncap"))
         ),
@@ -301,7 +303,7 @@ def unimax_allocation(
         key_col,
         F.col("tok").cast("bigint").alias("n_tokens"),
         alloc.alias("alloc_tokens"),
-        F.round(alloc / F.col("tok"), 4).alias("epochs"),
+        round_dd(alloc / F.col("tok"), 4).alias("epochs"),
     )
 
 

@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from file_dedup_rust_spark.functions.rounding import round_dd
+
 
 def allpairs_jaccard_pairs(
     sh: DataFrame, t_num: int = 4, t_den: int = 5
@@ -123,7 +125,7 @@ def allpairs_jaccard_pairs(
         .select(
             "ia",
             "ib",
-            F.round(
+            round_dd(
                 F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4
             ).alias("jac"),
         )

@@ -258,29 +258,30 @@ def verify_oriented_pairs(oriented: DataFrame, cfg: DedupConfig) -> DataFrame:
     pre-filter lp < lc and the min-length rule; shared by the batch
     `containment_edges` and the streaming containment probe.
 
-    Two physical strategies, same semantics, split by container size:
-      * short containers (the bulk of a transcript corpus) — verify
-        with the built-in `contains` inside whole-stage codegen; no
-        Python, no Arrow transfer (measured ~300 core-seconds ->
-        ~nothing on the 80k-clip corpus)
-      * huge containers probed by many patterns — ONE numpy suffix
-        array per container via grouped-map, O(m log n) per probe
+    ONE grouped-map pass over the candidates, grouped per container;
+    the per-container kernel (verify_patterns_in_container) picks the
+    physical strategy itself:
+      * short container / few patterns — Python's C substring search
+        (Two-Way algorithm) per pattern;
+      * huge container probed by many patterns — ONE numpy suffix
+        array, O(m log n) binary search per probe.
+
+    Round 6 note: this used to be TWO branches (a JVM `contains`
+    filter for short containers unioned with a grouped-map for long
+    ones) — two references to `oriented`, which re-ran the whole
+    candidate derivation (posting census, min-df selection, text
+    attach joins) twice per job.  Candidate volume is near-linear and
+    small (min-df pruning: one posting probe per pattern), so a single
+    Python pass over it is noise while the duplicated upstream
+    derivation was the measured cost (~8.3s -> ~3s at 50k clips).
     """
-    ratio = (
-        F.octet_length("pat").cast("double") / F.octet_length("cont")
-    ).alias("sim")
-    is_short = F.octet_length("cont") < cfg.sa_container_bytes
-    e_jvm = (
-        oriented.filter(is_short)
-        .filter(F.contains(F.col("cont"), F.col("pat")))
-        .select("pat_id", "cont_id", ratio)
-    )
+    sa_bytes = cfg.sa_container_bytes
 
     def per_container(pdf: pd.DataFrame) -> pd.DataFrame:
         cont_id = pdf["cont_id"].iloc[0]
         hits = verify_patterns_in_container(
             pdf["cont"].iloc[0], pdf["pat_id"].tolist(), pdf["pat"].tolist(),
-            sa_min_chars=0, sa_min_pats=0,  # grouped path always uses the SA
+            sa_min_chars=sa_bytes,
         )
         if not hits:
             return pd.DataFrame({"pat_id": [], "cont_id": [], "sim": []})
@@ -291,9 +292,6 @@ def verify_oriented_pairs(oriented: DataFrame, cfg: DedupConfig) -> DataFrame:
             "sim": list(sims),
         })
 
-    e_sa = (
-        oriented.filter(~is_short)
-        .groupBy("cont_id")
-        .applyInPandas(per_container, schema=ORIENTED_SCHEMA)
+    return oriented.groupBy("cont_id").applyInPandas(
+        per_container, schema=ORIENTED_SCHEMA
     )
-    return e_jvm.unionByName(e_sa)

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from file_dedup_rust_spark.functions.rounding import round_dd
+
 
 def source_minhash_sketch(
     corpus: DataFrame, k: int = 64
@@ -101,7 +103,7 @@ def sketch_jaccard(sketch: DataFrame, k: int = 64) -> DataFrame:
             "src_a",
             "src_b",
             "agree_lanes",
-            F.round(F.col("agree_lanes") / k, 4).alias("jacc_est"),
+            round_dd(F.col("agree_lanes") / k, 4).alias("jacc_est"),
         )
     )
 
@@ -200,7 +202,7 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s"),
     ).select(
         "g",
-        F.round(
+        round_dd(
             F.when(
                 (F.col("nb") < m) & (raw <= 2.5 * m),
                 m * F.log(F.lit(float(m)) / (m - F.col("nb"))),
@@ -316,7 +318,7 @@ def hll_distinct_by(
         F.col("g").alias(group_col),
         "n_exact",
         "hll_estimate",
-        F.round(
+        round_dd(
             F.abs(F.col("hll_estimate") - F.col("n_exact"))
             / F.col("n_exact"),
             4,

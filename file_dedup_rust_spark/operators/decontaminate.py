@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from file_dedup_rust_spark.functions.rounding import round_dd
+
 
 def word_ngrams(
     docs_with_t: DataFrame, n: int, distinct: bool = True
@@ -155,7 +157,7 @@ def contamination_coverage(
         "n_tokens",
         "matched_grams",
         covered.alias("covered_tokens"),
-        F.round(covered / F.col("n_tokens"), 4).alias("covered_frac"),
+        round_dd(covered / F.col("n_tokens"), 4).alias("covered_frac"),
     )
 
 
@@ -218,7 +220,7 @@ def redact_contaminated(
         "doc_id",
         "n_tokens",
         covered.alias("covered_tokens"),
-        F.round(covered / F.col("n_tokens"), 4).alias("covered_frac"),
+        round_dd(covered / F.col("n_tokens"), 4).alias("covered_frac"),
         F.when(is_drop, F.lit("drop")).otherwise(F.lit("redact")).alias(
             "action"
         ),
@@ -304,7 +306,7 @@ def fuzzy_contamination_hits(
         .select(
             "doc_id",
             "eval_id",
-            F.round(
+            round_dd(
                 F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4
             ).alias("jac"),
         )
@@ -385,7 +387,7 @@ def embedding_contamination_hits(
         kernel, schema="vec_id long, best_eval_id long, raw_sim double"
     )
     return scored.select(
-        "vec_id", "best_eval_id", F.round("raw_sim", 4).alias("sim")
+        "vec_id", "best_eval_id", round_dd("raw_sim", 4).alias("sim")
     ).filter(F.col("sim") >= threshold)
 
 

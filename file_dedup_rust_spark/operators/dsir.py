@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from file_dedup_rust_spark.functions.rounding import round_dd
+
 
 def ngram_features(docs: DataFrame, text_col: str = "t") -> DataFrame:
     """(doc_id, t) -> (doc_id, fh): one row per unigram + bigram
@@ -114,6 +116,6 @@ def dsir_log_ratios(
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_feats"),
-            F.round(F.avg("lr"), 4).alias("dsir_logratio"),
+            round_dd(F.avg("lr"), 4).alias("dsir_logratio"),
         )
     )

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from file_dedup_rust_spark.functions.rounding import round_dd
+
 DUP_SPAN_L = 8  # tokens per gram (Lee et al. use 50 BPE tokens; the
                 # synthetic docs are 10-99 words, so 8 keeps multiple
                 # windows per doc while staying selective)
@@ -98,14 +100,21 @@ def dup_span_stats(docs_with_t: DataFrame, l: int = DUP_SPAN_L) -> DataFrame:
         )
     )
     covered = covered_tokens_expr(l)
+    # round_dd, not F.round: these are integer ratios — the same double
+    # on both engines — and the DuckDB oracle rounds doubles with
+    # std::round semantics, which disagrees with Spark's HALF_UP on
+    # half-way ratios (the round-5 driver hash mismatch; see
+    # functions/rounding.py)
     return per_doc.select(
         "doc_id",
         "n_tokens",
         "n_grams",
         "dup_grams",
-        F.round(F.col("dup_grams") / F.col("n_grams"), 4).alias("dup_fraction"),
+        round_dd(F.col("dup_grams") / F.col("n_grams"), 4).alias(
+            "dup_fraction"
+        ),
         covered.alias("covered_tokens"),
-        F.round(covered / F.col("n_tokens"), 4).alias("covered_frac"),
+        round_dd(covered / F.col("n_tokens"), 4).alias("covered_frac"),
     )
 
 
@@ -284,7 +293,7 @@ def novelty_scores(docs_with_t: DataFrame, n: int = 8) -> DataFrame:
             "doc_id",
             "n_grams",
             "novel_grams",
-            F.round(F.col("novel_grams") / F.col("n_grams"), 4).alias(
+            round_dd(F.col("novel_grams") / F.col("n_grams"), 4).alias(
                 "novelty_frac"
             ),
         )

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from file_dedup_rust_spark.functions.rounding import round_dd
+
 
 def exact_dup_edges(signatures: DataFrame) -> DataFrame:
     """signatures(clip_id, sha256, ...) -> edges(a, b, kind, sim).
@@ -126,7 +128,7 @@ def duplication_weights(keyed: DataFrame, key_col: str = "k") -> DataFrame:
     """
     counts = keyed.groupBy(key_col).agg(F.count("*").alias("group_size"))
     return keyed.join(counts, key_col).withColumn(
-        "weight", F.round(F.lit(1.0) / F.col("group_size"), 6)
+        "weight", round_dd(F.lit(1.0) / F.col("group_size"), 6)
     )
 
 

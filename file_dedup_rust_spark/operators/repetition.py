@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from file_dedup_rust_spark.functions.rounding import round_dd
+
 # Flag thresholds.  Gopher's published cuts are corpus-specific; these
 # sit in wide margins of the synthetic-testdata distributions (measured
 # at sf0.01: natural max top_word_frac 0.30, top_bigram_frac 0.167,
@@ -101,8 +103,8 @@ def repetition_stats(docs_with_t: DataFrame) -> DataFrame:
     return d.select(
         "doc_id",
         "n_tokens",
-        F.round(top_word, 4).alias("top_word_frac"),
-        F.round(top_bigram, 4).alias("top_bigram_frac"),
-        F.round(dup_bigram, 4).alias("dup_bigram_frac"),
+        round_dd(top_word, 4).alias("top_word_frac"),
+        round_dd(top_bigram, 4).alias("top_bigram_frac"),
+        round_dd(dup_bigram, 4).alias("dup_bigram_frac"),
         flag.cast("int").alias("rep_flag"),
     )

@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from file_dedup_rust_spark.functions.rounding import round_dd
+
 
 def _seed_matrix(e: DataFrame, n_seeds: int) -> tuple[np.ndarray, np.ndarray]:
     """(seed_ids asc, row-normalized seed matrix).  The collect is
@@ -152,7 +154,7 @@ def semdedup_prune(
     # pandas->Arrow maps the NaN sentinel to null; guard both spellings
     sim = F.when(
         F.col("raw_max").isNull() | F.isnan("raw_max"), F.lit(-1.0)
-    ).otherwise(F.round("raw_max", 4))
+    ).otherwise(round_dd("raw_max", 4))
     return scored.select(
         "vec_id",
         "cluster_id",

@@ -57,6 +57,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from file_dedup_rust_spark.functions.rounding import round_dd
+
 WINNOW_K = 4   # tokens per gram (noise threshold: matches shorter
                # than k tokens are never detected — Schleimer §2)
 WINNOW_W = 5   # window size: guarantee threshold t = w + k - 1 = 8
@@ -136,7 +138,7 @@ def winnow_census(
             "doc_id",
             "n_grams",
             F.size("fa").cast("long").alias("n_fps"),
-            F.round(F.size("fa") / F.col("n_grams"), 4).alias("density"),
+            round_dd(F.size("fa") / F.col("n_grams"), 4).alias("density"),
             F.md5(F.concat_ws(",", "fa")).alias("fp_checksum"),
         )
     )

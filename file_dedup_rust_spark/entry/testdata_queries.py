@@ -6788,7 +6788,13 @@ def q_cluster_delete_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (CC's internal persist is released before repair runs)
     edges = exact.unionByName(jac).localCheckpoint(eager=True)
     verts = corpus.select(F.col("doc_id").alias("clip_id"))
-    assignments = connected_components(edges.select("a", "b"), verts)
+    # assignments feed three routing joins inside repair_after_removal
+    # (hit-cluster probe, untouched anti-join, affected semi-join) —
+    # materialize the label table once (CLI runs read it from the job
+    # ledger; this query computes it inline for self-containment)
+    assignments = connected_components(
+        edges.select("a", "b"), verts
+    ).localCheckpoint(eager=True)
     removed = verts.filter(F.col("clip_id") % 10 == 7)
     repaired = repair_after_removal(
         assignments, edges, removed, equivalence_kinds=("exact",)

@@ -257,9 +257,13 @@ def lsh_cosine_pairs(
                  "keys": list(packed)}
             )
 
+    # the posting table feeds 2 (drop-policy) or 3 (salted) subtrees
+    # in the candidate join — materialize the band-key pass once so
+    # the Python projection kernel runs once, not per reference
+    # (round 6; the explode below re-derives cheaply JVM-side)
     keys = e.select("vec_id", "embedding").mapInPandas(
         band_keys, schema="vec_id long, keys array<long>"
-    )
+    ).localCheckpoint(eager=True)
     posting = keys.select(
         F.explode("keys").alias("key"), F.col("vec_id").alias("clip_id")
     )

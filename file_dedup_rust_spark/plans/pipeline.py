@@ -94,39 +94,40 @@ TEXT_REP_COLS = ["clip_id", "minhash", "mh_bands", "fps", "t_norm", "t_len"]
 def audio_reps(signatures: DataFrame) -> DataFrame:
     """One representative row per distinct sha256 (decodable only).
 
-    Round 6 (guide §8 shape — decide with small rows, move payload
-    once): the winner per group is chosen by a SLIM aggregation
-    (sha256, min clip_id — map-side partial combine, so an m-copy
-    exact group still sends one row per map partition), then the
-    winners' full signature rows attach via a semi-join on clip_id.
-    The wide signature payload (band/key arrays) never crosses the
-    group-by exchange at all; the winner-id side is a bounded
-    per-distinct-content relation that AQE broadcasts when it fits,
-    making the payload path exchange-free.  Same rows as the former
-    min_by(struct(...)) aggregation: clip_id is unique, so the
-    semi-join selects exactly the min_by winner rows."""
-    s = signatures.filter(F.col("decode_ok"))
-    wins = (
-        s.select("sha256", "clip_id")
-        .groupBy("sha256")
-        .agg(F.min("clip_id").alias("clip_id"))
-    )
-    return s.select(*AUDIO_REP_COLS).join(
-        wins.select("clip_id"), "clip_id", "left_semi"
+    min_by aggregation instead of a row_number window: hash aggregate
+    with map-side partial combine, so an m-copy exact group sends ONE
+    row per map partition through the shuffle instead of m sorted rows
+    — the difference between linear and pathological on a 100 TB table
+    where exact dup rates run 20-50%.  Columns pruned to what the
+    audio LSH path consumes.
+
+    Round 6 note: a slim-winner + clip_id-semi-join variant (payload
+    never crossing the contraction exchange — the guide §8 shape) was
+    implemented, verified row-identical, and REVERTED on measurement:
+    alternating A/B at 50k clips showed it ~1.5 s slower steady-state
+    and pathologically slow on first execution (102 s vs 22 s cold —
+    the two-step plan defeats AQE's one-shot sizing of the contraction
+    exchange).  The min_by payload shuffle is the measured winner."""
+    s = signatures.filter(F.col("decode_ok")).select("sha256", *AUDIO_REP_COLS)
+    return (
+        s.groupBy("sha256")
+        .agg(F.min_by(F.struct(*AUDIO_REP_COLS), "clip_id").alias("r"))
+        .select("r.*")
     )
 
 
 def text_reps(signatures: DataFrame) -> DataFrame:
     """One representative row per distinct normalized transcript
-    (same slim-winner/semi-join rationale as audio_reps)."""
-    s = signatures.filter(F.col("t_len") > 0)
-    wins = (
-        s.select("t_norm", "clip_id")
-        .groupBy("t_norm")
-        .agg(F.min("clip_id").alias("clip_id"))
-    )
-    return s.select(*TEXT_REP_COLS).join(
-        wins.select("clip_id"), "clip_id", "left_semi"
+    (same min_by/pruning rationale as audio_reps)."""
+    s = signatures.filter(F.col("t_len") > 0).select("t_norm", *TEXT_REP_COLS[:-2], "t_len")
+    return (
+        s.groupBy("t_norm")
+        .agg(
+            F.min_by(
+                F.struct(*[c for c in TEXT_REP_COLS if c != "t_norm"]), "clip_id"
+            ).alias("r")
+        )
+        .select("t_norm", "r.*")
     )
 
 

@@ -20,14 +20,10 @@ from pyspark.sql import functions as F
 from file_dedup_rust_spark.functions.rounding import round_dd
 
 
-@pytest.fixture(scope="module")
-def spark():
-    from file_dedup_rust_spark.session import build_session
-
-    s = build_session("test_rounding", master="local[2]",
-                      shuffle_partitions=2)
-    yield s
-    s.stop()
+# uses the session-scoped `spark` fixture from conftest.py — a local
+# module fixture would getOrCreate the SAME underlying SparkContext
+# and its teardown stop() would kill the shared session for every
+# test file after this one
 
 
 def _duck_round(xs: list[float], digits: int) -> list[float]:

@@ -196,7 +196,7 @@ def min_hop_distance(
     dist = seeds.select(
         F.col("id"), F.lit(0).cast("int").alias("hop_dist")
     ).distinct()
-    for _ in range(max_hops):
+    for i in range(max_hops):
         stepped = dist.join(sym, dist.id == sym.src).select(
             F.col("dst").alias("id"),
             (F.col("hop_dist") + F.lit(1)).cast("int").alias("hop_dist"),
@@ -206,6 +206,15 @@ def min_hop_distance(
             .groupBy("id")
             .agg(F.min("hop_dist").alias("hop_dist"))
         )
+        # each round references the previous frontier TWICE (carry +
+        # step), so an unmaterialized chain doubles the plan per hop —
+        # 2^k copies of the seed subtree by hop k (round 6: the
+        # eccentricity query's plan carried 114 Exchange nodes).
+        # Materialize every round like connected_components does; the
+        # state is (id, int) rows bounded by the k-hop neighbourhood.
+        # The final round is left lazy for the caller's own plan.
+        if i < max_hops - 1:
+            dist = dist.localCheckpoint(eager=True)
     return dist
 
 

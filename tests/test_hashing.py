@@ -626,3 +626,24 @@ def test_novelty_scores_property_vs_python(spark):
         assert got == want
 
     run()
+
+
+def test_simhash_band_keys_batch_parity():
+    """The round-6 cross-row vectorized LSH key path must be
+    bit-identical to the per-row definition (the numpy oracle and the
+    signature UDF consume the same keys)."""
+    import numpy as np
+
+    from file_dedup_rust_spark.config import DEFAULT_CONFIG as cfg
+    from file_dedup_rust_spark.functions.audio import (
+        simhash_band_keys,
+        simhash_band_keys_batch,
+    )
+
+    rng = np.random.default_rng(123)
+    sims = rng.integers(-(2**63), 2**63 - 1, size=500, dtype=np.int64)
+    # include edge values
+    sims[:4] = [0, -1, 2**63 - 1, -(2**63)]
+    batch = simhash_band_keys_batch(sims, cfg)
+    for i, s in enumerate(sims.tolist()):
+        assert batch[i].tolist() == simhash_band_keys(s, cfg).tolist()

@@ -6389,6 +6389,9 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = docs_corpus(spark, sf_dir)
     grams = word_ngrams(corpus.select("doc_id", "t"), 3, distinct=False)
+    # (round 6: materializing cnt/w here was tried and measured flat —
+    # the multi-reference recomputes overlap on idle cores and the
+    # posting join dominates; kept lazy)
     cnt = grams.groupBy("doc_id", F.xxhash64("g").alias("h")).agg(
         F.count("*").alias("tf")
     )

@@ -100,8 +100,19 @@ def medoid_repair(
     )
     a = live.select(key_col, F.col(val_col).alias("va"))
     b = live.select(key_col, F.col(val_col).alias("vb"), F.col("c").alias("cb"))
+    # pin the pairwise stage's partition count: its shuffle BYTES are
+    # tiny (variant pairs) while its CPU is O(len²) levenshtein per
+    # row, so AQE's bytes-based coalescing packs the whole stage onto
+    # 1-2 tasks (measured round 6: 8.6 s single-task vs ~1 s spread —
+    # the same pathology verify.simhash_edges_in_bucket pins).  An
+    # explicit user repartition is never coalesced, and the groupBy
+    # below reuses the (key, va) hash partitioning — no extra
+    # exchange, just a correctly-sized one.
+    spark = df.sparkSession
+    n_part = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     cost = (
         a.join(b, key_col)
+        .repartition(n_part, key_col, "va")
         .groupBy(key_col, "va")
         .agg(
             F.sum(F.col("cb") * F.levenshtein("va", "vb"))

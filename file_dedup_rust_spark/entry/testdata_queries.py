@@ -678,12 +678,15 @@ corpus AS (
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(corpus_near(spark, sf_dir))
+    # 8-byte gram keys + pinned shuffle join (see jaccard_pairs)
+    sh = shingles(corpus_near(spark, sf_dir)).select(
+        "doc_id", F.xxhash64("g").alias("gh")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("ia"), "g")
-    b = sh.select(F.col("doc_id").alias("ib"), "g")
+    a = sh.select(F.col("doc_id").alias("ia"), "gh")
+    b = sh.select(F.col("doc_id").alias("ib"), "gh")
     inter = (
-        a.join(b, "g")
+        a.hint("SHUFFLE_HASH").join(b, "gh")
         .filter(F.col("ia") < F.col("ib"))
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("c"))
